@@ -1,0 +1,550 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Cols._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 — the reference's operator patterns bound to the driver
+  * fixtures, each with a DuckDB oracle (verified by the driver at sf0.01).
+  *
+  * Every query is a pure function (SparkSession, sfDir) => DataFrame whose
+  * column NAMES and TYPES match the oracle SQL exactly (the driver sorts
+  * columns by name and hash-compares values).
+  *
+  * Scale notes (100 TB posture) are attached per query — the fixture tables
+  * are small, but each plan is written the way it should run on a large
+  * cluster: filters first (parquet pushdown), partial aggregation before
+  * shuffles, broadcast for dims, no driver-side loops.
+  */
+object FixtureQueries {
+
+  // Canonical event-time window used by most queries: January 2024.
+  private val W0 = "2024-01-01 00:00:00"
+  private val W1 = "2024-01-31 00:00:00"
+
+  private def eventsInWindow(spark: SparkSession, dir: String, gte: String = W0, lt: String = W1): DataFrame =
+    Tables.events(spark, dir).filter(inWindow(col("ts"), gte, lt))
+
+  // ---------------------------------------------------------------------------
+  // Q1 — A1+P2+P4: conditional sums (trans_summary_5min pattern,
+  // reference task-executor/trans_summary/trans_summary_5min.py:67-93).
+  // purchase≈'IN', view≈'OUT' per FIXTURES.md §C.
+  // Scale: single hash aggregation; partial agg map-side, one shuffle on
+  // user_id. Filter + 4-column projection reach the parquet scan.
+  // ---------------------------------------------------------------------------
+  def q1TransSummary(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sumIf(col("event_type") === "purchase", col("value")).as("in_amount"),
+        sumIf(col("event_type") === "view", col("value")).as("out_amount"),
+        countIf(col("event_type") === "purchase").as("in_count"),
+        countIf(col("event_type") === "view").as("out_count"))
+
+  private val q1Sql =
+    s"""SELECT user_id,
+       |  sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount,
+       |  sum(CASE WHEN event_type='view' THEN value ELSE 0 END) AS out_amount,
+       |  count(*) FILTER (WHERE event_type='purchase') AS in_count,
+       |  count(*) FILTER (WHERE event_type='view') AS out_count
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q2 — A2+F8: wide sum battery + guarded ratio (player_summary_5min.py:77-89,
+  // rtp = SUM(profit)/SUM(bet) with inf/nan -> 0 at line 106).
+  // ---------------------------------------------------------------------------
+  def q2PlayerSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_discount")).as("sum_disc"))
+      .withColumn("disc_per_qty", safeDiv(col("sum_disc"), col("sum_qty")))
+      .drop("sum_disc")
+
+  private val q2Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS cnt,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_price,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  CASE WHEN sum(l_quantity) = 0 THEN 0 ELSE sum(l_discount)/sum(l_quantity) END AS disc_per_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q3 — A3: clamped sum (player_summary_5min.py:85-86 free/jp >= 0 rule).
+  // ---------------------------------------------------------------------------
+  def q3Clamped(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sumIf(col("o_totalprice") >= 100000, col("o_totalprice")).as("clamped_total"),
+        countIf(col("o_totalprice") >= 100000).as("big_count"),
+        count(lit(1)).as("cnt"))
+
+  private val q3Sql =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_totalprice >= 100000 THEN o_totalprice ELSE 0 END) AS clamped_total,
+      |  count(*) FILTER (WHERE o_totalprice >= 100000) AS big_count,
+      |  count(*) AS cnt
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q4 — A4: two-tier rollup day -> month; must equal the direct month agg
+  // (the incremental-view-maintenance invariant behind trans_summary_1h/1d/1m,
+  // trans_summary_1m.py:68-93). The oracle IS the direct month aggregation, so
+  // a hash match proves the rollup identity.
+  // Scale: the day tier is the materialized 1d table; re-agg from it touches
+  // ~1/30th the rows of the raw scan. Both aggs shuffle on the same leading
+  // key (user_id) so AQE can co-locate them.
+  // ---------------------------------------------------------------------------
+  def q4RollupMonth(spark: SparkSession, dir: String): DataFrame = {
+    val day = eventsInWindow(spark, dir)
+      .groupBy(col("user_id"), yyyymmdd(col("ts")).as("summary_date"))
+      .agg(
+        sumIf(col("event_type") === "purchase", col("value")).as("in_amount"),
+        sumIf(col("event_type") === "view", col("value")).as("out_amount"),
+        countIf(col("event_type") === "purchase").as("in_count"),
+        countIf(col("event_type") === "view").as("out_count"))
+    day
+      .groupBy(col("user_id"), monthOfDateInt(col("summary_date")).as("summary_month"))
+      .agg(
+        sum(col("in_amount")).as("in_amount"),
+        sum(col("out_amount")).as("out_amount"),
+        sum(col("in_count")).as("in_count"),
+        sum(col("out_count")).as("out_count"))
+  }
+
+  private val q4Sql =
+    s"""SELECT user_id,
+       |  CAST(strftime(ts, '%Y%m') AS INTEGER) AS summary_month,
+       |  sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount,
+       |  sum(CASE WHEN event_type='view' THEN value ELSE 0 END) AS out_amount,
+       |  count(*) FILTER (WHERE event_type='purchase') AS in_count,
+       |  count(*) FILTER (WHERE event_type='view') AS out_count
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q5 — J1+F9: broadcast dim enrichment with miss -> 0
+  // (player_summary_5min.py:116-123 game_sites ratio join + profit split).
+  // Scale: part is the small dim -> explicit broadcast() hint; no shuffle of
+  // the fact side for the join, then one shuffle for the final agg.
+  // ---------------------------------------------------------------------------
+  def q5DimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .withColumn("net", col("l_extendedprice") * (lit(1.0) - coalesce(col("p_retailprice"), lit(0.0)) / lit(100000.0)))
+      .groupBy(coalesce(col("p_brand"), lit("NONE")).as("brand"))
+      .agg(sum(col("net")).as("net_amount"), count(lit(1)).as("cnt"))
+  }
+
+  private val q5Sql =
+    """SELECT coalesce(p.p_brand, 'NONE') AS brand,
+      |  sum(l.l_extendedprice * (1.0 - coalesce(p.p_retailprice, 0)/100000.0)) AS net_amount,
+      |  count(*) AS cnt
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q6 — A5+W2: trailing "7-day" WMA/sigma over the 8-day window [d-8, d)
+  // (risk_ctrl_player_1d.py:97-130: the reference sums 8 days and divides by
+  // 7, and MariaDB STDDEV is population — both reproduced deliberately).
+  // Two chained aggs; the second groups by a prefix of the first's keys so
+  // the day tier's shuffle partitioning is reusable.
+  // ---------------------------------------------------------------------------
+  private val wmaDay = "2024-01-15"
+
+  def q6Wma(spark: SparkSession, dir: String): DataFrame = {
+    val daySums = eventsInWindow(spark, dir, "2024-01-07 00:00:00", "2024-01-15 00:00:00")
+      .groupBy(col("user_id"), yyyymmdd(col("ts")).as("summary_date"))
+      .agg(sum(col("value")).as("day_sum"))
+    daySums
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("day_sum")) / 7.0).as("wma"),
+        coalesce(stddev_pop(col("day_sum")), lit(0.0)).as("wmasd"))
+  }
+
+  private val q6Sql =
+    """WITH day_sums AS (
+      |  SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
+      |         sum(value) AS day_sum
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT user_id, sum(day_sum)/7.0 AS wma,
+      |       coalesce(stddev_pop(day_sum), 0) AS wmasd
+      |FROM day_sums GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q7 — A7+F1: risky snapshot with ordered mask overrides
+  // (risk_ctrl_rtp_1d.py:77-118: flags computed, then unconditionally
+  // overridden for low-volume keys — mask ORDER is semantic, the later
+  // b_count mask wins; encoded as the first branch of the CASE).
+  // ---------------------------------------------------------------------------
+  def q7Risky(spark: SparkSession, dir: String): DataFrame =
+    riskSnapshot(spark, dir, W0, W1)
+
+  private def riskSnapshot(spark: SparkSession, dir: String, gte: String, lt: String): DataFrame =
+    eventsInWindow(spark, dir, gte, lt)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("b_count"), sum(col("value")).as("b_amount"))
+      .withColumn("avg_amount", safeDiv(col("b_amount"), col("b_count").cast("double")))
+      .withColumn("is_risky",
+        when(col("b_count") < 10, lit(0))
+          .when(col("avg_amount") > 48.0, lit(1))
+          .otherwise(lit(0)))
+
+  private def riskSnapshotSql(gte: String, lt: String): String =
+    s"""SELECT user_id, b_count, b_amount, avg_amount,
+       |  CASE WHEN b_count < 10 THEN 0
+       |       WHEN avg_amount > 48.0 THEN 1
+       |       ELSE 0 END AS is_risky
+       |FROM (
+       |  SELECT user_id, count(*) AS b_count, sum(value) AS b_amount,
+       |         CASE WHEN count(*) = 0 THEN 0 ELSE sum(value)/count(*) END AS avg_amount
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '$gte' AND ts < TIMESTAMP '$lt'
+       |    AND event_type = 'purchase'
+       |  GROUP BY user_id)""".stripMargin
+
+  private val q7Sql = riskSnapshotSql(W0, W1)
+
+  // ---------------------------------------------------------------------------
+  // Q8 — J6+J7: CDC-style ledger merge (risk_ctrl_rtp_1d.py:140-166):
+  // old ledger left-joined with the new report, metric columns overwritten
+  // from the new side when present, plus anti-join append of brand-new keys.
+  // Together this is exactly "full outer preferring new", which is what the
+  // oracle states; the Spark side keeps the reference's two-step shape.
+  // Scale: both sides pre-aggregated and keyed on user_id; sort-merge join
+  // on the same key serves both the left join and the anti join.
+  // ---------------------------------------------------------------------------
+  def q8LedgerMerge(spark: SparkSession, dir: String): DataFrame = {
+    val old = riskSnapshot(spark, dir, "2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    val neu = riskSnapshot(spark, dir, "2024-01-15 00:00:00", "2024-01-31 00:00:00")
+    val metrics = Seq("b_count", "b_amount", "avg_amount", "is_risky")
+    val neuR = metrics.foldLeft(neu)((d, c) => d.withColumnRenamed(c, c + "_new"))
+    // J6: keys already in the ledger — overwrite metrics from the new side.
+    val updated = old.join(neuR, Seq("user_id"), "left")
+      .select(col("user_id") +: metrics.map(c => coalesce(col(c + "_new"), col(c)).as(c)): _*)
+    // J7: brand-new keys (reference does concat+drop_duplicates(keep=False)).
+    val appended = neu.join(old, Seq("user_id"), "left_anti")
+      .select(col("user_id") +: metrics.map(col): _*)
+    updated.unionByName(appended)
+  }
+
+  private val q8Sql =
+    s"""WITH old AS (${riskSnapshotSql("2024-01-01 00:00:00", "2024-01-15 00:00:00")}),
+       |new AS (${riskSnapshotSql("2024-01-15 00:00:00", "2024-01-31 00:00:00")})
+       |SELECT coalesce(new.user_id, old.user_id) AS user_id,
+       |  coalesce(new.b_count, old.b_count) AS b_count,
+       |  coalesce(new.b_amount, old.b_amount) AS b_amount,
+       |  coalesce(new.avg_amount, old.avg_amount) AS avg_amount,
+       |  coalesce(new.is_risky, old.is_risky) AS is_risky
+       |FROM old FULL OUTER JOIN new ON old.user_id = new.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q9 — W1+O2: leaderboard ranking, rank(method='first') semantics
+  // (player_ranking_1d_vnd_ou_leaderboard.py:153,213-214) = row_number with a
+  // deterministic tiebreak. Partitioned by event_type (the reference ranks
+  // within a board) so no global single-partition sort at scale.
+  // ---------------------------------------------------------------------------
+  def q9Ranking(spark: SparkSession, dir: String): DataFrame = {
+    val totals = eventsInWindow(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value")).as("total_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    totals.withColumn("rank_no", row_number().over(w))
+  }
+
+  private val q9Sql =
+    s"""SELECT event_type, user_id, sum(value) AS total_value,
+       |  CAST(row_number() OVER (PARTITION BY event_type
+       |       ORDER BY sum(value) DESC, user_id ASC) AS INTEGER) AS rank_no
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY event_type, user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q10 — J5+A10: new-register day report (new_register_summary_1d.py:87-131):
+  // users whose FIRST-ever event lands on the report day, semi-joined to that
+  // day's per-user activity, then one groupBy producing sums + reg_count (the
+  // reference's separate sum()+count() pandas groupbys collapsed into one agg).
+  // ---------------------------------------------------------------------------
+  private val regDay = "2024-01-02"
+
+  def q10NewRegister(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val newUsers = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .filter(to_date(col("first_ts")) === lit(regDay))
+      .select("user_id")
+    val daySums = ev
+      .filter(inWindow(col("ts"), s"$regDay 00:00:00", "2024-01-03 00:00:00"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("value")).as("day_value"))
+    daySums.join(newUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("reg_count"), sum(col("day_value")).as("value_sum"))
+  }
+
+  private val q10Sql =
+    s"""WITH new_users AS (
+       |  SELECT user_id FROM events GROUP BY user_id
+       |  HAVING CAST(min(ts) AS DATE) = DATE '$regDay'),
+       |day_sums AS (
+       |  SELECT user_id, event_type, sum(value) AS day_value
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '$regDay 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT event_type, count(*) AS reg_count, sum(day_value) AS value_sum
+       |FROM day_sums WHERE user_id IN (SELECT user_id FROM new_users)
+       |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q11 — U1+U2: union + anti (ExecUtils.py:29 board concat; risk_ctrl_rtp_1d
+  // .py:158-166 concat+drop_duplicates(keep=False) whose intent is an anti
+  // join of new keys against old).
+  // ---------------------------------------------------------------------------
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def daySlice(day: String, next: String): DataFrame =
+      eventsInWindow(spark, dir, s"$day 00:00:00", s"$next 00:00:00")
+        .groupBy(col("user_id"))
+        .agg(sumIf(col("event_type") === "purchase", col("value")).as("in_amount"))
+    val a = daySlice("2024-01-02", "2024-01-03")
+    val b = daySlice("2024-01-03", "2024-01-04")
+    val oldTagged = a.select(lit("old").as("tag"), col("user_id"), col("in_amount"))
+    val newOnly = b.join(a, Seq("user_id"), "left_anti")
+      .select(lit("new_only").as("tag"), col("user_id"), col("in_amount"))
+    oldTagged.unionByName(newOnly)
+  }
+
+  private val q11Sql =
+    """WITH a AS (
+      |  SELECT user_id, sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      |  GROUP BY user_id),
+      |b AS (
+      |  SELECT user_id, sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+      |  GROUP BY user_id)
+      |SELECT 'old' AS tag, user_id, in_amount FROM a
+      |UNION ALL
+      |SELECT 'new_only' AS tag, b.user_id, b.in_amount FROM b
+      |WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_id = b.user_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q12 — A11: dependency count, set-based (GetTaskDepCount.py:53-65 runs one
+  // COUNT query per task row — an N+1 the Spark version replaces with a single
+  // groupBy over (key, day) counting distinct finished sub-slices).
+  // ---------------------------------------------------------------------------
+  def q12DepCount(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(col("user_id"), yyyymmdd(col("ts")).as("summary_date"))
+      .agg(countDistinct(hour(col("ts"))).as("active_hours"))
+      .filter(col("active_hours") >= 3)
+
+  private val q12Sql =
+    s"""SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  count(DISTINCT extract(hour FROM ts)) AS active_hours
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT extract(hour FROM ts)) >= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q13 — A12: latest-watermark scan (ScanTaskBoard.py:18-21). MariaDB's
+  // non-strict GROUP BY picks arbitrary companion columns; the engine defines
+  // deterministic semantics: the row with max (ts, event_id) wins.
+  // ---------------------------------------------------------------------------
+  def q13Watermark(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"), col("event_type").as("last_event_type"))
+  }
+
+  private val q13Sql =
+    """SELECT user_id, ts AS last_ts, event_type AS last_event_type
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q14 — F6: the core slicer — sequence+explode generates the 5-minute
+  // slices of one day (TaskUtils.py:53-101), left-joined to per-slice event
+  // counts. 288 rows, empty slices kept with count 0.
+  // Scale: events are bucketed to their slice via date math (no range join);
+  // the tiny slice spine is broadcast.
+  // ---------------------------------------------------------------------------
+  def q14Slices(spark: SparkSession, dir: String): DataFrame = {
+    val day0 = "2024-01-01 00:00:00"
+    val slices = spark.range(1).select(
+      explode(sequence(
+        lit(day0).cast("timestamp"),
+        lit("2024-01-01 23:55:00").cast("timestamp"),
+        expr("INTERVAL 5 MINUTES"))).as("slice_ts"))
+      // 5-minute slot index within the day: TZ-free integer arithmetic.
+      .select(((unix_timestamp(col("slice_ts")) - unix_timestamp(lit(day0).cast("timestamp"))) / 300).cast("long").as("slice_id"))
+    val counts = eventsInWindow(spark, dir, day0, "2024-01-02 00:00:00")
+      .select(floor((unix_timestamp(col("ts").cast("timestamp")) - unix_timestamp(lit(day0).cast("timestamp"))) / 300).as("slice_id"))
+      .groupBy(col("slice_id"))
+      .agg(count(lit(1)).as("event_count"))
+    slices.join(counts, Seq("slice_id"), "left")
+      .select(col("slice_id"), coalesce(col("event_count"), lit(0L)).as("event_count"))
+  }
+
+  private val q14Sql =
+    """WITH slices AS (
+      |  SELECT CAST(range AS BIGINT) AS slice_id FROM range(0, 288)),
+      |counts AS (
+      |  SELECT CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00'))/300) AS BIGINT) AS slice_id,
+      |         count(*) AS event_count
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s.slice_id, coalesce(c.event_count, 0) AS event_count
+      |FROM slices s LEFT JOIN counts c ON s.slice_id = c.slice_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q15 — F2/F3: date encodings (trans_summary_5min.py:96-99 summary_date/
+  // hours/mins stamping; GetNewTaskList.py:59-69 hour floor).
+  // ---------------------------------------------------------------------------
+  def q15Encodings(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(
+        yyyymmdd(col("ts")).as("summary_date"),
+        hour(col("ts")).as("hours"),
+        date_trunc("hour", col("ts")).as("start_time"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+
+  private val q15Sql =
+    s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  CAST(extract(hour FROM ts) AS INTEGER) AS hours,
+       |  date_trunc('hour', ts) AS start_time,
+       |  count(*) AS cnt, sum(value) AS value_sum
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q16 — P8: NOT-IN anti filter (player_ranking…py:141 robots not shown in
+  // the last 3 days): users active on 2024-01-02 with no events on 2024-01-03.
+  // ---------------------------------------------------------------------------
+  def q16AntiFilter(spark: SparkSession, dir: String): DataFrame = {
+    val active = eventsInWindow(spark, dir, "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      .select("user_id").distinct()
+    val recent = eventsInWindow(spark, dir, "2024-01-03 00:00:00", "2024-01-04 00:00:00")
+      .select("user_id").distinct()
+    active.join(recent, Seq("user_id"), "left_anti")
+  }
+
+  private val q16Sql =
+    """SELECT DISTINCT user_id FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+      |  AND user_id NOT IN (
+      |    SELECT user_id FROM events
+      |    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00')""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q17 — engine surface: JSON scalar extraction over events.props (the
+  // reference has no JSON columns; this exercises the engine's built-in
+  // get_json_object path per SURVEY §2.8 note).
+  // ---------------------------------------------------------------------------
+  def q17Json(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("k")).as("avg_k"), count(col("k")).as("k_count"))
+
+  private val q17Sql =
+    s"""SELECT event_type,
+       |  avg(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS avg_k,
+       |  count(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS k_count
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q18 — J2: 3-way left-join metric assembly (risk_ctrl_player_1d.py:143-152:
+  // current ⋈ wma ⋈ watermark on the same key, then na.fill(0)).
+  // Scale: all three inputs aggregate onto user_id first, so the joins are
+  // between pre-shrunk relations on one shared key — AQE turns these into
+  // broadcasts when small, else co-partitioned sort-merge with no extra
+  // exchange.
+  // ---------------------------------------------------------------------------
+  def q18ThreeWay(spark: SparkSession, dir: String): DataFrame = {
+    val base = q1TransSummary(spark, dir)
+    val wma = q6Wma(spark, dir)
+    val wm = q13Watermark(spark, dir)
+    base.join(wma, Seq("user_id"), "left")
+      .join(wm, Seq("user_id"), "left")
+      .na.fill(0.0, Seq("wma", "wmasd"))
+  }
+
+  private val q18Sql =
+    s"""WITH base AS ($q1Sql), wma AS ($q6Sql), wm AS ($q13Sql)
+       |SELECT base.user_id, base.in_amount, base.out_amount, base.in_count, base.out_count,
+       |  coalesce(wma.wma, 0) AS wma, coalesce(wma.wmasd, 0) AS wmasd,
+       |  wm.last_ts, wm.last_event_type
+       |FROM base
+       |LEFT JOIN wma ON base.user_id = wma.user_id
+       |LEFT JOIN wm ON base.user_id = wm.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_trans_summary" -> (q1TransSummary _),
+    "q2_player_summary" -> (q2PlayerSummary _),
+    "q3_clamped" -> (q3Clamped _),
+    "q4_rollup_month" -> (q4RollupMonth _),
+    "q5_dim_enrich" -> (q5DimEnrich _),
+    "q6_wma" -> (q6Wma _),
+    "q7_risky" -> (q7Risky _),
+    "q8_ledger_merge" -> (q8LedgerMerge _),
+    "q9_ranking" -> (q9Ranking _),
+    "q10_new_register" -> (q10NewRegister _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_dep_count" -> (q12DepCount _),
+    "q13_watermark" -> (q13Watermark _),
+    "q14_slices" -> (q14Slices _),
+    "q15_encodings" -> (q15Encodings _),
+    "q16_anti_filter" -> (q16AntiFilter _),
+    "q17_json" -> (q17Json _),
+    "q18_three_way" -> (q18ThreeWay _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_trans_summary" -> q1Sql,
+    "q2_player_summary" -> q2Sql,
+    "q3_clamped" -> q3Sql,
+    "q4_rollup_month" -> q4Sql,
+    "q5_dim_enrich" -> q5Sql,
+    "q6_wma" -> q6Sql,
+    "q7_risky" -> q7Sql,
+    "q8_ledger_merge" -> q8Sql,
+    "q9_ranking" -> q9Sql,
+    "q10_new_register" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_dep_count" -> q12Sql,
+    "q13_watermark" -> q13Sql,
+    "q14_slices" -> q14Sql,
+    "q15_encodings" -> q15Sql,
+    "q16_anti_filter" -> q16Sql,
+    "q17_json" -> q17Sql,
+    "q18_three_way" -> q18Sql)
+}

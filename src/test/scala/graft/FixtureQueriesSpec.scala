@@ -1,0 +1,99 @@
+package graft
+
+import graft.queries.FixtureQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class FixtureQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every declared query has an oracle and runs non-empty on sf0.001") {
+    // q10 is legitimately empty at sf0.001 (all 15 users first appear Jan 1;
+    // the register day with new users only exists from sf0.01 up).
+    val mayBeEmpty = Set("q10_new_register")
+    FixtureQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(FixtureQueries.oracleSql.contains(name), s"$name lacks an oracle")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 conditional sums: totals reconcile against a straight filter-sum") {
+    val q1 = FixtureQueries.q1TransSummary(spark, sf)
+    val total = q1.agg(sum("in_amount")).head.getDouble(0)
+    val direct = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-01-31"))
+      .filter(col("event_type") === "purchase")
+      .agg(sum("value")).head.getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+
+  test("q4 rollup identity: day->month re-agg equals direct month agg") {
+    val rolled = FixtureQueries.q4RollupMonth(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-01-31"))
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyyMM").cast("int").as("summary_month"))
+      .agg(
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("in_amount"),
+        count(when(col("event_type") === "purchase", lit(1))).as("in_count"))
+      .select("user_id", "summary_month", "in_amount", "in_count")
+    val joined = rolled.alias("r").join(direct.alias("d"), Seq("user_id", "summary_month"))
+      .filter(abs(col("r.in_amount") - col("d.in_amount")) > lit(1e-6) ||
+        col("r.in_count") =!= col("d.in_count"))
+    assert(joined.isEmpty, "rollup diverged from direct aggregation")
+    assert(rolled.count() === direct.count())
+  }
+
+  test("q14 generates exactly 288 five-minute slices covering all day-1 events") {
+    val df = FixtureQueries.q14Slices(spark, sf).cache()
+    assert(df.count() === 288)
+    val total = df.agg(sum("event_count")).head.getLong(0)
+    val direct = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-01-02")).count()
+    assert(total === direct)
+    df.unpersist()
+  }
+
+  test("q7 mask ordering: low-volume users are never risky regardless of ratio") {
+    val bad = FixtureQueries.q7Risky(spark, sf)
+      .filter(col("b_count") < 10 && col("is_risky") === 1)
+    assert(bad.isEmpty)
+  }
+
+  test("q8 ledger merge keeps exactly the union of old and new keys") {
+    val merged = FixtureQueries.q8LedgerMerge(spark, sf)
+    assert(merged.select("user_id").distinct().count() === merged.count(),
+      "ledger has duplicate keys")
+  }
+
+  test("q9 ranking is dense per event_type starting at 1") {
+    val r = FixtureQueries.q9Ranking(spark, sf)
+    val perBoard = r.groupBy("event_type")
+      .agg(min("rank_no").as("mn"), max("rank_no").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(perBoard.isEmpty, "rank numbers are not dense 1..n per board")
+  }
+
+  test("q13 watermark is deterministic under ts ties") {
+    val a = FixtureQueries.q13Watermark(spark, sf).orderBy("user_id").collect()
+    val b = FixtureQueries.q13Watermark(spark, sf).orderBy("user_id").collect()
+    assert(a.sameElements(b))
+  }
+}
