@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Writers for the report tables.
+  *
+  * The reference's idempotency story is delete-before-insert per slice
+  * (trans_summary_5min.py:104-128 — S4). The Spark-native equivalent is
+  * dynamic partition overwrite: report tables are parquet partitioned by
+  * their slice keys (summary_date [, hours [, mins]]), and a rewrite of a
+  * slice replaces exactly the partitions present in the incoming DataFrame.
+  * Re-running a slice is therefore naturally idempotent, and concurrent
+  * slices touch disjoint partitions.
+  *
+  * At 100 TB: partitioning by summary_date keeps partition counts bounded
+  * (365/yr × ~few files); platform/site stay row-level (high cardinality ×
+  * date would explode the partition count and kill the driver's listing).
+  */
+object Sinks {
+
+  /** S4: idempotent slice overwrite (delete-before-insert). Only partitions
+    * present in `df` are replaced. */
+  def overwriteSlices(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** S3: plain append (task publication, first write of a table). */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Read a report table back (empty-safe: a table that was never written
+    * yet reads as an empty DataFrame with the given schema). */
+  def readOrEmpty(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema) }
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.{PlayerSummary, TaskSlice, TransSummary}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The REAL report operators (graft.etl) driven through the correctness
+  * harness: events are mapped deterministically into reference-shaped logs
+  * (FIXTURES.md §C binding, same mapping spelled out in the oracle SQL), then
+  * the production TransSummary/PlayerSummary code runs a slice. This proves
+  * the shipped report library — not just the pattern queries — against the
+  * DuckDB oracle every round.
+  */
+object ReportQueries {
+
+  /** events -> player_value_log (deterministic binding used by both sides). */
+  private def valueLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+      concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
+      concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+      concat(lit("C"), (col("user_id") % 4).cast("string")).as("country"),
+      when(col("event_type") === "purchase", "IN")
+        .when(col("event_type") === "view", "OUT")
+        .otherwise("XFER").as("trade_type"),
+      col("value"),
+      (col("value") * 2).as("before_value"),
+      (col("value") * 0.9).as("after_value"),
+      date_format(col("ts"), "yyyyMMdd").cast("int").as("trade_date"),
+      when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
+      col("ts").as("trade_time"))
+
+  private val valueLogSql =
+    """SELECT
+      |  'P' || CAST(user_id % 2 AS VARCHAR) AS platform,
+      |  'S' || CAST(user_id % 5 AS VARCHAR) AS site_code,
+      |  'u' || CAST(user_id AS VARCHAR) AS player_name,
+      |  'C' || CAST(user_id % 4 AS VARCHAR) AS country,
+      |  CASE WHEN event_type='purchase' THEN 'IN'
+      |       WHEN event_type='view' THEN 'OUT' ELSE 'XFER' END AS trade_type,
+      |  value,
+      |  value * 2 AS before_value,
+      |  value * 0.9 AS after_value,
+      |  CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS trade_date,
+      |  CASE WHEN event_type='error' THEN 'FAIL' ELSE 'SUCCESS' END AS trade_status,
+      |  ts AS trade_time
+      |FROM events""".stripMargin
+
+  /** events -> player_profit_log. */
+  private def profitLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+      concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
+      concat(lit("g"), (col("event_id") % 3).cast("string")).as("game_code"),
+      concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+      concat(lit("C"), (col("user_id") % 4).cast("string")).as("country"),
+      col("value").as("bet"),
+      (col("value") * 0.98).as("win"),
+      (col("value") * 0.02).as("fee"),
+      (col("value") * lit(0.98) - col("value")).as("profit"),
+      lit(0.0).as("refund"),
+      col("value").as("normal_value"),
+      lit(0.0).as("bonus_value"),
+      (col("value") - lit(30.0)).as("free_value"),
+      (col("value") - lit(50.0)).as("jp_value"),
+      col("value").as("valid_value"),
+      lit(0.0).as("cancel_value"),
+      col("ts").as("round_time"),
+      (col("event_id") % 10 === 0).cast("int").as("is_robot"))
+
+  private val profitLogSql =
+    """SELECT
+      |  'P' || CAST(user_id % 2 AS VARCHAR) AS platform,
+      |  'S' || CAST(user_id % 5 AS VARCHAR) AS site_code,
+      |  'g' || CAST(event_id % 3 AS VARCHAR) AS game_code,
+      |  'u' || CAST(user_id AS VARCHAR) AS player_name,
+      |  'C' || CAST(user_id % 4 AS VARCHAR) AS country,
+      |  value AS bet, value * 0.98 AS win, value * 0.02 AS fee,
+      |  value * 0.98 - value AS profit, 0.0 AS refund,
+      |  value AS normal_value, 0.0 AS bonus_value,
+      |  value - 30.0 AS free_value, value - 50.0 AS jp_value,
+      |  value AS valid_value, 0.0 AS cancel_value,
+      |  ts AS round_time,
+      |  CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_robot
+      |FROM events""".stripMargin
+
+  /** game_sites dim derived from nation (distinct by key, deterministic). */
+  private def gameSites(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy(
+        concat(lit("P"), (col("n_nationkey") % 2).cast("string")).as("platform"),
+        concat(lit("S"), (col("n_nationkey") % 5).cast("string")).as("code"))
+      .agg((max(col("n_regionkey")) / 10.0).as("ratio"))
+
+  private val gameSitesSql =
+    """SELECT 'P' || CAST(n_nationkey % 2 AS VARCHAR) AS platform,
+      |       'S' || CAST(n_nationkey % 5 AS VARCHAR) AS code,
+      |       max(n_regionkey) / 10.0 AS ratio
+      |FROM nation GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // r1: TransSummary.fiveMin over a 1-hour slice (production code path:
+  // wildcard filters, SUCCESS filter, trade_date prefilter, A1 battery,
+  // slice stamping). trans_summary_5min.py:39-128.
+  // ---------------------------------------------------------------------------
+  def r1TransFiveMin(spark: SparkSession, dir: String): DataFrame =
+    TransSummary.fiveMin(valueLog(spark, dir), TaskSlice(
+      gte_time = java.sql.Timestamp.valueOf("2024-01-05 08:00:00"),
+      lt_time = java.sql.Timestamp.valueOf("2024-01-05 09:00:00")))
+      .drop("start_time") // slice-constant; timestamp column adds no signal
+
+  private val r1Sql =
+    s"""WITH vlog AS ($valueLogSql)
+       |SELECT platform, site_code, player_name, country,
+       |  sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS trans_in_amount,
+       |  sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_amount,
+       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_lost_amount,
+       |  20240105 AS summary_date, 8 AS hours, 0 AS mins
+       |FROM vlog
+       |WHERE trade_date = 20240105 AND trade_status = 'SUCCESS'
+       |  AND trade_time >= TIMESTAMP '2024-01-05 08:00:00'
+       |  AND trade_time < TIMESTAMP '2024-01-05 09:00:00'
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // r2: PlayerSummary.fiveMin over a 1-day slice with a pinned platform
+  // (production path: robot filter, clamped sums, weighted rtp, broadcast
+  // ratio join with miss -> 0, profit split, risky flags).
+  // player_summary_5min.py:39-148.
+  // ---------------------------------------------------------------------------
+  def r2PlayerFiveMin(spark: SparkSession, dir: String): DataFrame =
+    PlayerSummary.fiveMin(profitLog(spark, dir), gameSites(spark, dir), TaskSlice(
+      platform = "P1",
+      gte_time = java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+      lt_time = java.sql.Timestamp.valueOf("2024-01-06 00:00:00")))
+      .drop("start_time")
+
+  private val r2Sql =
+    s"""WITH plog AS ($profitLogSql), gs AS ($gameSitesSql),
+       |agg AS (
+       |  SELECT platform, site_code, game_code, player_name, country,
+       |    count(bet) AS b_count, sum(bet) AS b_amount, sum(win) AS w_amount,
+       |    sum(fee) AS fee_amount, sum(profit) AS profit_amount,
+       |    sum(refund) AS refund_amount, sum(normal_value) AS normal_amount,
+       |    sum(bonus_value) AS bonus_amount,
+       |    sum(CASE WHEN free_value >= 0 THEN free_value ELSE 0 END) AS free_amount,
+       |    sum(CASE WHEN jp_value >= 0 THEN jp_value ELSE 0 END) AS jp_amount,
+       |    sum(valid_value) AS valid_amount, sum(cancel_value) AS cancel_amount,
+       |    CASE WHEN sum(bet) = 0 THEN 0 ELSE sum(profit)/sum(bet) END AS rtp
+       |  FROM plog
+       |  WHERE round_time >= TIMESTAMP '2024-01-05 00:00:00'
+       |    AND round_time < TIMESTAMP '2024-01-06 00:00:00'
+       |    AND is_robot = 0 AND platform = 'P1'
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT agg.*, coalesce(gs.ratio, 0) AS ratio,
+       |  profit_amount AS p_before_amount,
+       |  profit_amount * (1 - coalesce(gs.ratio, 0)) AS p_after_amount,
+       |  profit_amount * coalesce(gs.ratio, 0) AS tg_after_amount,
+       |  20240105 AS summary_date, 0 AS hours, 0 AS mins,
+       |  CASE WHEN profit_amount >= 50000 THEN 1
+       |       WHEN profit_amount >= 10000 AND b_count >= 10 AND rtp >= 1 THEN 1
+       |       ELSE 0 END AS is_risky
+       |FROM agg LEFT JOIN gs
+       |  ON agg.platform = gs.platform AND agg.site_code = gs.code""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_trans_5min" -> (r1TransFiveMin _),
+    "r2_player_5min" -> (r2PlayerFiveMin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "r1_trans_5min" -> r1Sql,
+    "r2_player_5min" -> r2Sql)
+}
