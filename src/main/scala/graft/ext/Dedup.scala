@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *  1. exact (hash-groupBy) — one shuffle on a 128-bit digest
+  *  2. MinHash + LSH — per-row signatures (no shuffle), banded bucket join
+  *     for candidates, exact-jaccard verification on candidates only
+  *  3. SimHash — 64-bit per-row fingerprint, hamming-band join
+  *  4. exact n-gram Jaccard — the ground truth; quadratic in matching
+  *     shingles, used to verify candidates and as the small-scale oracle
+  *
+  * Scale: signatures/fingerprints are computed with nested SQL higher-order
+  * functions over the in-row shingle array — zero shuffles, fully parallel.
+  * The only shuffles are the final candidate joins, which LSH keeps tiny. At
+  * 100 TB the exact-jaccard all-pairs path is infeasible (that is the point
+  * of LSH); the engine exposes it only for verification and test oracles.
+  *
+  * The expr-built helpers take column NAMES (they splice into SQL lambdas,
+  * where shiftleft/array_min over lambda variables have no Column-DSL form).
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct) from a text column. Mirrors the
+    * DuckDB oracle's `string_split` + list comprehension exactly. */
+  def shingles(textColName: String, n: Int = 3): Column = expr(
+    s"""array_distinct(
+       |  CASE WHEN size(split(trim($textColName), ' ')) >= $n
+       |  THEN transform(
+       |    sequence(1, size(split(trim($textColName), ' ')) - ${n - 1}),
+       |    i -> concat_ws(' ', slice(split(trim($textColName), ' '), i, $n)))
+       |  ELSE array() END)""".stripMargin)
+
+  /** 1. Exact dedup groups: digest -> (count, representative = min doc_id).
+    * One hash aggregation; the digest shuffle moves 16 bytes/row. */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_doc_id"))
+
+  /** Exact-dedup filter: keep one representative per identical text. */
+  def dedupExact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature over a shingle-array column: `numHashes` permutations
+    * approximated by seeded xxhash64; per-row nested transform, no shuffle,
+    * no UDF. */
+  def minHashSignature(shingleColName: String, numHashes: Int = 64): Column = expr(
+    s"""transform(sequence(0, ${numHashes - 1}),
+       |  h -> array_min(transform($shingleColName, s -> xxhash64(h, s))))""".stripMargin)
+
+  /** 2. MinHash+LSH near-dup pairs.
+    *
+    * bands x rowsPerBand must equal the signature length. Candidates share at
+    * least one band; each candidate pair is then verified with EXACT jaccard
+    * on the shingle sets (array_intersect/array_union — in-row, no explode).
+    * Emits (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+    */
+  def nearDupMinhash(docs: DataFrame, threshold: Double, numHashes: Int = 64,
+      bands: Int = 16, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature("sh", numHashes))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+        .as(Seq("band_id", "band_hash")))
+
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 4. Exact n-gram Jaccard pairs (ground truth; small scale / verification
+    * only). Explodes shingles and self-joins — mirrors the DuckDB oracle. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.alias("a").join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 3. SimHash: 64-bit fingerprint from token hashes — per-row bit-vote
+    * aggregate over the token array, no shuffle. */
+  def simHash(textColName: String): Column = expr(
+    s"""aggregate(
+       |  sequence(0, 63),
+       |  cast(0 as bigint),
+       |  (acc, b) -> acc + shiftleft(
+       |    CASE WHEN aggregate(
+       |      split(trim($textColName), ' '),
+       |      cast(0 as bigint),
+       |      (v, t) -> v + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END
+       |    ) > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, b))""".stripMargin)
+
+  /** SimHash near-dup candidates at hamming distance <= maxHamming: split the
+    * 64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
+    * distance 3 agrees on >= 1 chunk -> equi-join per chunk, then the exact
+    * hamming check via bit_count(xor). */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), simHash(textCol).as("fp"))
+    val chunked = fp.select(col("doc_id"), col("fp"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)"))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

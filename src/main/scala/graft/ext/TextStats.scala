@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, and document fingerprinting.
+  *
+  * Everything is built from codegen'd string/regex built-ins — one pass over
+  * the text column, no shuffle until the optional per-language aggregation.
+  * Each heuristic is deliberately simple and EXACTLY mirrored by a DuckDB
+  * oracle SQL (the point at 100 TB is deterministic, cheap, vectorizable
+  * scoring — model-based scoring would sit behind the same column API).
+  */
+object TextStats {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks of <= 4 chars — a deterministic
+    * stand-in for tokenizer budget estimation (ceil(len/4) per word). */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(aggregate(
+        split(trim(text), "\\s+"),
+        lit(0),
+        (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
+
+  /** Simple quality features (ratios in [0,1]). */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_actual", length(t))
+      .withColumn("token_count", tokenCount(t))
+      .withColumn("avg_token_len",
+        when(tokenCount(t) === 0, 0.0)
+          .otherwise(length(regexp_replace(trim(t), "\\s+", "")).cast("double") / tokenCount(t)))
+      .withColumn("stopword_ratio",
+        when(tokenCount(t) === 0, 0.0)
+          .otherwise(size(expr(
+            s"filter(split(trim($textCol), '\\\\s+'), w -> w IN ('the','a','and','of','to','in'))"))
+            .cast("double") / tokenCount(t)))
+      .withColumn("digit_ratio",
+        when(length(t) === 0, 0.0)
+          .otherwise(regexp_count(t, lit("[0-9]")).cast("double") / length(t)))
+  }
+
+  /** Quality score + keep flag with ordered overrides (the F1 masked-
+    * assignment pattern applied to curation): score from features, then
+    * unconditional drops for degenerate docs. */
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 10, maxAvgTokenLen: Double = 12.0): DataFrame =
+    qualityFeatures(docs, textCol)
+      .withColumn("quality_score",
+        (least(col("token_count").cast("double") / 100.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("digit_ratio")) * 0.3
+          + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * 0.3))
+      .withColumn("keep",
+        when(col("token_count") < minTokens, 0)
+          .when(col("avg_token_len") > maxAvgTokenLen, 0)
+          .when(col("quality_score") >= 0.5, 1)
+          .otherwise(0))
+
+  /** Language-ID by stopword markers — a deterministic n-gram/stopword
+    * heuristic with a fixed precedence order (zh by CJK presence first, then
+    * the marker-count argmax, ties broken by the fixed language order). */
+  def langId(text: Column): Column = {
+    def hits(markers: String): Column = regexp_count(lower(text), lit(s"\\b($markers)\\b"))
+    val en = hits("the|and|of|to|a")
+    val de = hits("der|die|und|das|ist")
+    val es = hits("el|la|los|que|es")
+    val fr = hits("le|les|et|une|est")
+    val zh = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized text (exact-dup
+    * key robust to spacing) + the minimum shingle digest (a 1-hash MinHash —
+    * cheap containment fingerprint). */
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("_sh", Dedup.shingles(textCol))
+      .select(
+        col(idCol),
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("norm_fp"),
+        expr("array_min(transform(_sh, s -> md5(s)))").as("min_shingle_fp"))
+}

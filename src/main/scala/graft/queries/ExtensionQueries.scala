@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension operators (training-data pipeline surface): deduplication,
+  * similarity search, text analysis — each bound to the documents/embeddings
+  * fixtures with a DuckDB oracle where SQL can express the semantics.
+  * x3/x4/x9 use engine-specific hashing (xxhash64) so they get rows-only
+  * checks — except x3, whose exact-jaccard VERIFICATION step makes its output
+  * equal to the exact pair query (LSH miss probability at j>=0.8 with 16
+  * bands of 4 is (1-j^4)^16 < 4e-8), so it shares x2's oracle.
+  */
+object ExtensionQueries {
+
+  // ---------------------------------------------------------------------------
+  // x1 — exact dedup groups (QX1).
+  // ---------------------------------------------------------------------------
+  def x1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(spark, dir))
+
+  private val x1Sql =
+    """SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x2 — exact word-3gram Jaccard near-dup pairs (QX2 ground truth).
+  // ---------------------------------------------------------------------------
+  private val jaccardThreshold = 0.8
+
+  def x2JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), jaccardThreshold)
+
+  private val x2Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shset) AS n FROM sh)
+       |SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $jaccardThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x3 — MinHash + LSH near-dup pairs, exact-verified (QX2 scale path).
+  // Same oracle as x2: the band join only prunes candidates; survivors are
+  // re-checked with exact jaccard.
+  // ---------------------------------------------------------------------------
+  def x3MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinhash(Tables.documents(spark, dir), jaccardThreshold)
+
+  // ---------------------------------------------------------------------------
+  // x4 — SimHash near-dup candidates at hamming <= 3 (engine-hash specific:
+  // rows-only check; the recall property vs x2 is asserted in ScalaTest).
+  // ---------------------------------------------------------------------------
+  def x4SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSimhash(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------------
+  // x5 — text stats per language (QX4).
+  // ---------------------------------------------------------------------------
+  def x5TextStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFeatures(Tables.documents(spark, dir))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        avg(col("n_chars_actual")).as("avg_chars"),
+        sum(col("token_count")).cast("long").as("total_tokens"),
+        avg(col("stopword_ratio")).as("avg_stopword_ratio"))
+
+  private val x5Sql =
+    """WITH f AS (
+      |  SELECT lang, length(text) AS n_chars_actual,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                w -> w IN ('the','a','and','of','to','in'))) * 1.0
+      |              / len(string_split_regex(trim(text), '\s+')) END AS stopword_ratio
+      |  FROM documents)
+      |SELECT lang, count(*) AS docs, avg(n_chars_actual) AS avg_chars,
+      |       CAST(sum(token_count) AS BIGINT) AS total_tokens,
+      |       avg(stopword_ratio) AS avg_stopword_ratio
+      |FROM f GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x6 — language-ID confusion matrix (QX4: n-gram/stopword heuristic).
+  // ---------------------------------------------------------------------------
+  def x6LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("predicted", TextStats.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("docs"))
+
+  private val x6Sql =
+    """WITH h AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS en_c,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de_c,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|es)\b')) AS es_c,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|et|une|est)\b')) AS fr_c,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_c
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN zh_c > 0 THEN 'zh'
+      |       WHEN en_c >= de_c AND en_c >= es_c AND en_c >= fr_c AND en_c > 0 THEN 'en'
+      |       WHEN de_c >= es_c AND de_c >= fr_c AND de_c > 0 THEN 'de'
+      |       WHEN es_c >= fr_c AND es_c > 0 THEN 'es'
+      |       WHEN fr_c > 0 THEN 'fr'
+      |       ELSE 'und' END AS predicted,
+      |  count(*) AS docs
+      |FROM h GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x7 — document fingerprints (QX4: rolling/normalized hashes).
+  // ---------------------------------------------------------------------------
+  def x7Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(Tables.documents(spark, dir))
+
+  private val x7Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, text, list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+      |  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents))
+      |SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
+      |  CASE WHEN len(shset) = 0 THEN NULL
+      |       ELSE list_aggregate(list_transform(shset, s -> md5(s)), 'min') END AS min_shingle_fp
+      |FROM sh""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x8 — brute-force cosine top-5 for a fixed query set (QX3 baseline).
+  // Cosine rounded to 6dp on BOTH sides before ranking so float noise cannot
+  // flip ranks; ties broken by neighbor id in both.
+  // ---------------------------------------------------------------------------
+  def x8KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rounded = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    // re-rank on the rounded value for oracle-stable ordering
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    rounded
+      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  private val x8Sql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id)
+      |SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x9 — LSH ANN top-5 (QX3 scale path; engine-hash planes: rows-only check;
+  // recall vs x8 asserted in ScalaTest).
+  // ---------------------------------------------------------------------------
+  def x9KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  // ---------------------------------------------------------------------------
+  // x10 — embedding near-dup pairs above a cosine threshold.
+  // ---------------------------------------------------------------------------
+  def x10EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(spark, dir), threshold = 0.0)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .filter(col("cosine") >= 0.4)
+
+  private val x10Sql =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x11 — multimodal metadata budget (payload bytes never read: column
+  // pruning; the synthetic media table derives deterministically from
+  // documents, mirrored in SQL).
+  // ---------------------------------------------------------------------------
+  def x11MediaBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.mediaBudget(
+      graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir)))
+
+  private val x11Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    encode(text) AS payload, n_chars * 10 AS duration_ms
+      |  FROM documents)
+      |SELECT kind, count(*) AS n,
+      |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+      |  avg(octet_length(payload)) AS avg_bytes,
+      |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+      |FROM media GROUP BY kind""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x12 — multimodal decode stage (stub codec -> deterministic features;
+  // rows-only check: the codec is engine-side by design).
+  // ---------------------------------------------------------------------------
+  def x12MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.decodeFeatures(
+      graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir)))
+      .select(col("media_id"), col("kind"), col("feature_dim"), col("decode_ok"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_media_budget" -> (x11MediaBudget _),
+    "x12_media_features" -> (x12MediaFeatures _),
+    "x1_exact_dedup" -> (x1ExactDedup _),
+    "x2_jaccard_pairs" -> (x2JaccardPairs _),
+    "x3_minhash_pairs" -> (x3MinhashPairs _),
+    "x4_simhash_pairs" -> (x4SimhashPairs _),
+    "x5_text_stats" -> (x5TextStats _),
+    "x6_lang_id" -> (x6LangId _),
+    "x7_fingerprints" -> (x7Fingerprints _),
+    "x8_knn_brute" -> (x8KnnBrute _),
+    "x9_knn_lsh" -> (x9KnnLsh _),
+    "x10_embedding_pairs" -> (x10EmbeddingPairs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x11_media_budget" -> x11Sql,
+    "x1_exact_dedup" -> x1Sql,
+    "x2_jaccard_pairs" -> x2Sql,
+    "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)
+    "x5_text_stats" -> x5Sql,
+    "x6_lang_id" -> x6Sql,
+    "x7_fingerprints" -> x7Sql,
+    "x8_knn_brute" -> x8Sql,
+    "x10_embedding_pairs" -> x10Sql)
+}

@@ -20,8 +20,11 @@ object EntrySmoke {
     df.show(5)
     val qk = graft.SparkEntry.queries.keySet
     val ok = graft.SparkEntry.oracleSql.keySet
-    println(s"QUERIES=${qk.size} ORACLES=${ok.size} KEYSETS_MATCH=${qk == ok}")
+    // every oracle must have a query; queries without an oracle are the
+    // rows-only ops (engine-specific hashing) and are expected
+    println(s"QUERIES=${qk.size} ORACLES=${ok.size} ORACLES_SUBSET=${ok.subsetOf(qk)} ROWS_ONLY=${(qk -- ok).toSeq.sorted.mkString(",")}")
     require(n > 0, "entry returned 0 rows")
+    require(ok.subsetOf(qk), "oracle declared for a missing query")
     spark.stop()
   }
 }

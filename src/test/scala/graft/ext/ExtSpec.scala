@@ -1,0 +1,123 @@
+package graft.ext
+
+import graft.{SparkTestSession, Tables}
+import graft.functions.VectorFunctions.cosine_sim
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exact dedup: planted duplicate collapses to one representative") {
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(100000L)))
+    val deduped = Dedup.dedupExact(planted)
+    assert(deduped.count() === docs.count())
+    assert(deduped.filter(col("doc_id") === 100000L).isEmpty, "kept the non-min representative")
+    val groups = Dedup.exactDupGroups(planted)
+    assert(groups.filter(col("dup_count") === 2).count() === 1)
+  }
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at threshold 0.8") {
+    val exact = Dedup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupMinhash(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val sig = docs
+      .select(col("doc_id"), Dedup.shingles("text").as("sh"))
+      .withColumn("sig", Dedup.minHashSignature("sh", 128))
+    val pair = Dedup.jaccardPairs(docs, 0.8).limit(1).head
+    val (a, b, j) = (pair.getLong(0), pair.getLong(1), pair.getDouble(2))
+    val sa = sig.filter(col("doc_id") === a).head.getAs[collection.Seq[Long]]("sig")
+    val sb = sig.filter(col("doc_id") === b).head.getAs[collection.Seq[Long]]("sig")
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - j) < 0.15, s"minhash estimate $est too far from true jaccard $j")
+  }
+
+  test("simhash near-dups cover the high-jaccard planted pairs") {
+    val exact = Dedup.jaccardPairs(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.nearDupSimhash(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Recall property: near-identical texts must land within hamming<=3.
+    // (Precision is NOT asserted: simhash is a frequency-profile fingerprint,
+    // so same-vocab docs can collide at low jaccard — inherent to simhash on
+    // bag-of-words corpora, and why the jaccard verify step exists.)
+    assert(sim.nonEmpty)
+    assert((exact -- sim).size <= exact.size / 2, "simhash missed most near-identical pairs")
+  }
+
+  test("cosine_sim expression matches a scala-side computation") {
+    val rows = emb.limit(3).collect().map(_.getAs[collection.Seq[Float]]("embedding"))
+    def cos(a: collection.Seq[Float], b: collection.Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = emb.limit(3).alias("a").crossJoin(emb.limit(3).alias("b"))
+      .select(cosine_sim(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    val exp = for (a <- rows; b <- rows) yield cos(a, b)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    // self-similarity is 1
+    val self = emb.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12 && math.abs(self.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN results are a correctly-scored subset of brute force candidates") {
+    val brute = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10), 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit that brute force also ranked must carry the same cosine
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+    }
+    // determinism: run twice, same rows
+    val again = Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10), 5).collect()
+    assert(lsh.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("token and subword counts handle edge cases") {
+    val df = Seq("", "   ", "one", "a b  c", "supercalifragilistic").toDF("text")
+    val got = df.select(
+      TextStats.tokenCount(col("text")).as("t"),
+      TextStats.subwordCount(col("text")).as("s")).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 0, 1, 3, 1))
+    // ceil(3/4)=1 per short word; 20-char word -> 5 subwords
+    assert(got.map(_.getInt(1)).toSeq === Seq(0, 0, 1, 3, 5))
+  }
+
+  test("quality score: ordered overrides drop degenerate docs regardless of score") {
+    val df = Seq(
+      ("short doc", 1L),                       // < 10 tokens -> keep=0
+      (Seq.fill(50)("the good and of to in text").mkString(" "), 2L))
+      .toDF("text", "doc_id")
+    val got = TextStats.qualityScore(df).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 0)
+    assert(got(2L) === 1)
+  }
+
+  test("fingerprints: whitespace-normalized texts share norm_fp") {
+    val df = Seq(("a b c d", 1L), ("A  b   C d", 2L), ("different words here x", 3L))
+      .toDF("text", "doc_id")
+    val fp = TextStats.fingerprints(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}

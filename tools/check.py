@@ -51,6 +51,14 @@ def main():
         if Path(p).exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    # queries without an oracle: rows-only check (driver does the same)
+    for d in sorted(OUT.iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            try:
+                n = len(pd.read_parquet(d))
+                print(f"ROWS {d.name}: {n}")
+            except Exception as e:
+                print(f"ROWS {d.name}: unreadable ({e})")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         try:
