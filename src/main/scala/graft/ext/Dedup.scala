@@ -13,14 +13,12 @@ import org.apache.spark.sql.functions._
   *  4. exact n-gram Jaccard — the ground truth; quadratic in matching
   *     shingles, used to verify candidates and as the small-scale oracle
   *
-  * Scale: signatures/fingerprints are computed with nested SQL higher-order
-  * functions over the in-row shingle array — zero shuffles, fully parallel.
-  * The only shuffles are the final candidate joins, which LSH keeps tiny. At
-  * 100 TB the exact-jaccard all-pairs path is infeasible (that is the point
-  * of LSH); the engine exposes it only for verification and test oracles.
-  *
-  * The expr-built helpers take column NAMES (they splice into SQL lambdas,
-  * where shiftleft/array_min over lambda variables have no Column-DSL form).
+  * Scale: signatures/fingerprints are one compiled pass per row
+  * (graft.functions.MinHashSig / SimHash64 — no interpreted lambdas, no
+  * shuffle, each shingle hashed once). The only shuffles are the final
+  * candidate joins, which LSH keeps tiny. At 100 TB the exact-jaccard
+  * all-pairs path is infeasible (that is the point of LSH); the engine
+  * exposes it only for verification and test oracles.
   */
 object Dedup {
 
@@ -47,12 +45,11 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature over a shingle-array column: `numHashes` permutations
-    * approximated by seeded xxhash64; per-row nested transform, no shuffle,
-    * no UDF. */
-  def minHashSignature(shingleColName: String, numHashes: Int = 64): Column = expr(
-    s"""transform(sequence(0, ${numHashes - 1}),
-       |  h -> array_min(transform($shingleColName, s -> xxhash64(h, s))))""".stripMargin)
+  /** MinHash signature over a shingle-array column: one compiled pass per
+    * row (graft.functions.MinHashSig) — each shingle hashed once, k
+    * permutation minima via multiply-add mixing. No shuffle, no UDF. */
+  def minHashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    graft.functions.HashFunctions.minhash_sig(shingleCol, numHashes)
 
   /** 2. MinHash+LSH near-dup pairs.
     *
@@ -68,7 +65,7 @@ object Dedup {
     val sig = docs
       .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature("sh", numHashes))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
     val banded = sig.select(
       col("doc_id"), col("sh"),
       posexplode(expr(
@@ -110,18 +107,10 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 3. SimHash: 64-bit fingerprint from token hashes — per-row bit-vote
-    * aggregate over the token array, no shuffle. */
-  def simHash(textColName: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, 63),
-       |  cast(0 as bigint),
-       |  (acc, b) -> acc + shiftleft(
-       |    CASE WHEN aggregate(
-       |      split(trim($textColName), ' '),
-       |      cast(0 as bigint),
-       |      (v, t) -> v + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END
-       |    ) > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, b))""".stripMargin)
+  /** 3. SimHash: 64-bit fingerprint from token hashes — one compiled
+    * bit-vote pass per row (graft.functions.SimHash64), no shuffle. */
+  def simHash(textColName: String): Column =
+    graft.functions.HashFunctions.simhash64(split(trim(col(textColName)), " "))
 
   /** SimHash near-dup candidates at hamming distance <= maxHamming: split the
     * 64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within

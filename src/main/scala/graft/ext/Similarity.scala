@@ -38,26 +38,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic hyperplanes for one LSH table (seeded per table; no RNG
+    * state crosses executors — the planes are literals in the plan). */
+  def planes(table: Int, bits: Int, dim: Int): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(0xC0FFEEL + table * 7919L)
+    Seq.fill(bits)(Seq.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+  }
+
   /** Random-hyperplane signature for one LSH table: `bits` sign bits packed
-    * into a long. Per-row arithmetic only. */
-  def hyperplaneSignature(vecColName: String, table: Int, bits: Int = 16): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, p) ->
-       |  acc + shiftleft(CASE WHEN aggregate(
-       |    sequence(0, size($vecColName) - 1), cast(0.0 as double),
-       |    (s, d) -> s + $vecColName[d] * (cast(xxhash64($table, p, d) as double) / 9.223372036854776e18)
-       |  ) >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, p))""".stripMargin)
+    * into a long. Each bit is a codegen'd DotProduct against a literal
+    * plane — no interpreted lambdas in the inner loop. */
+  def hyperplaneSignature(vec: Column, table: Int, bits: Int = 16, dim: Int = 64): Column =
+    planes(table, bits, dim).zipWithIndex.map { case (p, i) =>
+      when(dot_product(vec, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** ANN top-k via multi-table hyperplane LSH: rows sharing a signature in
     * any table are candidates; candidates are re-scored exactly and top-k'd.
     * Recall grows with `tables`; cost with bucket collision rate (2^-bits). */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, bits: Int = 12,
+      tables: Int = 8, bits: Int = 12, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val withSigs = (0 until tables).foldLeft(
         df.select(col(idCol).as(id), col(vecCol).as(vec)))(
-        (d, t) => d.withColumn(s"_sig$t", hyperplaneSignature(vec, t, bits)))
+        (d, t) => d.withColumn(s"_sig$t", hyperplaneSignature(col(vec), t, bits, dim)))
       withSigs.select(col(id), col(vec),
         posexplode(array((0 until tables).map(t => col(s"_sig$t")): _*)).as(Seq("table_id", "sig")))
     }

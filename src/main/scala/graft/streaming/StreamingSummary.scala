@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.ops.Cols._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's hand-rolled
+  * micro-batch system (SURVEY §2.9).
+  *
+  * The reference's producer turns wall-clock into 5-minute task slices and
+  * the executor re-aggregates open windows until they close
+  * (task-producer/utils/TaskUtils.py:53-101, trans_summary_1h.py:29-32).
+  * In Spark this is a tumbling-window aggregation with a watermark: the
+  * watermark IS the "only emit slices whose lt_time <= now" rule, update mode
+  * IS the "re-run while the period is open" rule, and checkpointed offsets
+  * replace the task_board low-watermark scan.
+  *
+  * The stateful alert throttle (risk_ctrl_rtp_1d.py:168-194) becomes
+  * flatMapGroupsWithState: per-key (alert_count, last_alert_time) state with
+  * the same ordered cooldown -> cap -> bump -> stamp cascade as the batch
+  * ledger in graft.etl.RiskCtrl.
+  */
+object StreamingSummary {
+
+  /** The trans_summary 5-min tier as a streaming aggregation. Input: a
+    * STREAMING DataFrame shaped like player_value_log. Event time is
+    * trade_time; late rows beyond the watermark are dropped (the batch
+    * system's equivalent is the manual rerun cascade). */
+  def transFiveMinStream(valueLog: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    valueLog
+      .filter(col("trade_status") === "SUCCESS")
+      .withColumn("trade_time", col("trade_time").cast("timestamp"))
+      .withWatermark("trade_time", watermark)
+      .groupBy(
+        window(col("trade_time"), "5 minutes").as("slice"),
+        col("platform"), col("site_code"), col("player_name"), col("country"))
+      .agg(
+        sumIf(col("trade_type") === "IN", col("value")).as("trans_in_amount"),
+        sumIf(col("trade_type") === "OUT", col("value")).as("trans_out_amount"),
+        countIf(col("trade_type") === "IN").as("trans_in_count"),
+        countIf(col("trade_type") === "OUT").as("trans_out_count"),
+        (sumIf(col("trade_type") === "OUT", col("before_value"))
+          - sumIf(col("trade_type") === "OUT", col("after_value"))
+          - sumIf(col("trade_type") === "OUT", col("value"))).as("trans_out_lost_amount"))
+      .select(
+        col("slice.start").as("start_time"),
+        yyyymmdd(col("slice.start")).as("summary_date"),
+        hour(col("slice.start")).as("hours"),
+        minute(col("slice.start")).as("mins"),
+        col("platform"), col("site_code"), col("player_name"), col("country"),
+        col("trans_in_amount"), col("trans_out_amount"),
+        col("trans_in_count"), col("trans_out_count"), col("trans_out_lost_amount"))
+
+  // --- stateful alert throttling ---------------------------------------------
+
+  case class AlertInput(key: String, eventTimeMillis: Long, isRisky: Boolean)
+  case class AlertState(alertCount: Int, lastAlertMillis: Long)
+  case class AlertDecision(key: String, eventTimeMillis: Long, sendAlert: Boolean, alertCount: Int)
+
+  /** The risk_ctrl_rtp_1d throttle as a state function: cooldown check, cap
+    * check, count bump, stamp — same order as the batch ledger. Pure
+    * (Iterator, GroupState) -> Iterator function, directly pluggable into
+    * flatMapGroupsWithState and unit-testable without a stream. */
+  def throttleFn(cooldownMinutes: Double, alertLimit: Int)(
+      key: String, rows: Iterator[AlertInput], state: GroupState[AlertState]): Iterator[AlertDecision] = {
+    var st = state.getOption.getOrElse(AlertState(0, 0L))
+    val out = rows.toSeq.sortBy(_.eventTimeMillis).map { in =>
+      if (!in.isRisky) {
+        st = AlertState(0, 0L) // non-risky resets the ledger row
+        AlertDecision(key, in.eventTimeMillis, sendAlert = false, 0)
+      } else {
+        val minutesSince = (in.eventTimeMillis - st.lastAlertMillis) / 60000.0
+        var send = true
+        if (minutesSince < cooldownMinutes) send = false          // cooldown
+        if (send && st.alertCount >= alertLimit) send = false     // cap
+        if (send) st = AlertState(st.alertCount + 1, in.eventTimeMillis)
+        AlertDecision(key, in.eventTimeMillis, send, st.alertCount)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Wire the throttle into a (streaming or batch) Dataset[AlertInput]. */
+  def throttleAlerts(inputs: Dataset[AlertInput], cooldownMinutes: Double = 1.0,
+      alertLimit: Int = 5): Dataset[AlertDecision] = {
+    import inputs.sparkSession.implicits._
+    inputs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        throttleFn(cooldownMinutes, alertLimit))
+  }
+}

@@ -35,7 +35,7 @@ class ExtSpec extends AnyFunSuite {
   test("minhash signature approximates jaccard") {
     val sig = docs
       .select(col("doc_id"), Dedup.shingles("text").as("sh"))
-      .withColumn("sig", Dedup.minHashSignature("sh", 128))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 128))
     val pair = Dedup.jaccardPairs(docs, 0.8).limit(1).head
     val (a, b, j) = (pair.getLong(0), pair.getLong(1), pair.getDouble(2))
     val sa = sig.filter(col("doc_id") === a).head.getAs[collection.Seq[Long]]("sig")
