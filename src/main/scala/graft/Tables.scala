@@ -18,10 +18,31 @@ object Tables {
     * rejects by default (PARQUET_TYPE_ILLEGAL). Read the raw nanos as LONG and
     * convert to TIMESTAMP_NTZ at microsecond precision — integer `div` so the
     * truncation matches DuckDB's ns->us cast exactly (no double rounding). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRanged(spark, dir, None)
+
+  /** events with a half-open `[gte, lt)` wall-clock window applied to the RAW
+    * nanosecond long BEFORE the timestamp conversion. Filtering the converted
+    * column defeats parquet pushdown (the scan would show only
+    * `PushedFilters: [IsNotNull(ts)]` and read every row group); filtering the
+    * long reaches the parquet row-group stats — at scale this is the
+    * difference between pruning a month down to a day and a full scan. */
+  def eventsInWindow(spark: SparkSession, dir: String, gte: String, lt: String): DataFrame =
+    eventsRanged(spark, dir, Some((gte, lt)))
+
+  private def nanosOf(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000000L + inst.getNano
+  }
+
+  private def eventsRanged(spark: SparkSession, dir: String, window: Option[(String, String)]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, dir, "events")
+    val ranged = window.fold(raw) { case (gte, lt) =>
+      raw.filter(col("ts") >= lit(nanosOf(gte)) && col("ts") < lit(nanosOf(lt)))
+    }
+    ranged.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")

@@ -55,6 +55,31 @@ object TransSummary {
       .withColumn("start_time", lit(gte).cast("timestamp"))
   }
 
+  /** Backfill/catch-up path: ALL 5-min slices inside `[gte, lt)` in ONE
+    * aggregation, grouping by the floored event time instead of running one
+    * job per slice (the reference loops 288 sequential tasks per day,
+    * trans_summary_5min.py:23). Output is identical to per-slice [[fiveMin]]
+    * for aligned slices — the slice stamp IS the 5-min floor of trade_time.
+    * At scale this is one shuffle over the day instead of 288 scheduled jobs. */
+  def fiveMinRange(valueLog: DataFrame, gte: String, lt: String): DataFrame = {
+    val slice = graft.time.Slicer.floorTo(col("trade_time").cast("timestamp"), "5min")
+    valueLog
+      .filter(col("trade_status") === "SUCCESS")
+      .filter(inWindow(col("trade_time"), gte, lt))
+      .groupBy((keys.map(col) :+ slice.as("start_time")): _*)
+      .agg(
+        sumIf(col("trade_type") === "IN", col("value")).as("trans_in_amount"),
+        sumIf(col("trade_type") === "OUT", col("value")).as("trans_out_amount"),
+        sum(when(col("trade_type") === "IN", 1L).otherwise(0L)).as("trans_in_count"),
+        sum(when(col("trade_type") === "OUT", 1L).otherwise(0L)).as("trans_out_count"),
+        (sumIf(col("trade_type") === "OUT", col("before_value"))
+          - sumIf(col("trade_type") === "OUT", col("after_value"))
+          - sumIf(col("trade_type") === "OUT", col("value"))).as("trans_out_lost_amount"))
+      .withColumn("summary_date", graft.ops.Cols.yyyymmdd(col("start_time")))
+      .withColumn("hours", hour(col("start_time")))
+      .withColumn("mins", minute(col("start_time")))
+  }
+
   /** A4: one rollup step — re-aggregate the previous tier for one slice.
     * 1h consumes 5min rows of its hour; 1d consumes 1h rows of its day;
     * 1m consumes 1d rows of its month. */

@@ -25,7 +25,7 @@ object FixtureQueries {
   private val W1 = "2024-01-31 00:00:00"
 
   private def eventsInWindow(spark: SparkSession, dir: String, gte: String = W0, lt: String = W1): DataFrame =
-    Tables.events(spark, dir).filter(inWindow(col("ts"), gte, lt))
+    Tables.eventsInWindow(spark, dir, gte, lt)
 
   // ---------------------------------------------------------------------------
   // Q1 — A1+P2+P4: conditional sums (trans_summary_5min pattern,

@@ -168,11 +168,42 @@ object ReportQueries {
        |FROM agg LEFT JOIN gs
        |  ON agg.platform = gs.platform AND agg.site_code = gs.code""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // r3: TransSummary.fiveMinRange — the one-pass backfill path (all 5-min
+  // slices of a window in ONE aggregation; slice stamps from the floored
+  // event time). Verifies the catch-up path the scheduler uses at scale.
+  // ---------------------------------------------------------------------------
+  def r3TransBackfill(spark: SparkSession, dir: String): DataFrame =
+    TransSummary.fiveMinRange(valueLog(spark, dir),
+      "2024-01-05 00:00:00", "2024-01-05 06:00:00")
+      .drop("start_time")
+
+  private val r3Sql =
+    s"""WITH vlog AS ($valueLogSql)
+       |SELECT platform, site_code, player_name, country,
+       |  sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS trans_in_amount,
+       |  sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_amount,
+       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_lost_amount,
+       |  CAST(strftime(trade_time, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  CAST(extract(hour FROM trade_time) AS INTEGER) AS hours,
+       |  CAST(extract(minute FROM trade_time) - extract(minute FROM trade_time) % 5 AS INTEGER) AS mins
+       |FROM vlog
+       |WHERE trade_status = 'SUCCESS'
+       |  AND trade_time >= TIMESTAMP '2024-01-05 00:00:00'
+       |  AND trade_time < TIMESTAMP '2024-01-05 06:00:00'
+       |GROUP BY 1, 2, 3, 4, summary_date, hours, mins""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_trans_5min" -> (r1TransFiveMin _),
-    "r2_player_5min" -> (r2PlayerFiveMin _))
+    "r2_player_5min" -> (r2PlayerFiveMin _),
+    "r3_trans_backfill" -> (r3TransBackfill _))
 
   val oracleSql: Map[String, String] = Map(
     "r1_trans_5min" -> r1Sql,
-    "r2_player_5min" -> r2Sql)
+    "r2_player_5min" -> r2Sql,
+    "r3_trans_backfill" -> r3Sql)
 }
