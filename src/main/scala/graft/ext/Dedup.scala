@@ -22,15 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) from a text column. Mirrors the
-    * DuckDB oracle's `string_split` + list comprehension exactly. */
-  def shingles(textColName: String, n: Int = 3): Column = expr(
-    s"""array_distinct(
-       |  CASE WHEN size(split(trim($textColName), ' ')) >= $n
-       |  THEN transform(
-       |    sequence(1, size(split(trim($textColName), ' ')) - ${n - 1}),
-       |    i -> concat_ws(' ', slice(split(trim($textColName), ' '), i, $n)))
-       |  ELSE array() END)""".stripMargin)
+  /** Word n-gram shingle set (distinct) from a text column — one compiled
+    * pass (graft.functions.WordShingles); mirrors the DuckDB oracle's
+    * `string_split` + list comprehension exactly. */
+  def shingles(textColName: String, n: Int = 3): Column =
+    graft.functions.HashFunctions.word_shingles(col(textColName), n)
 
   /** 1. Exact dedup groups: digest -> (count, representative = min doc_id).
     * One hash aggregation; the digest shuffle moves 16 bytes/row. */

@@ -70,15 +70,18 @@ object Similarity {
 
     val qs = signed(queries, "query_id", "q_vec")
     val cs = signed(corpus, "neighbor_id", "c_vec")
-    val candidates = qs.join(cs, Seq("table_id", "sig"))
+    // Score BEFORE deduplicating multi-table collisions: the cosine is 64
+    // fused mult-adds, far cheaper than shuffling the embedding arrays
+    // through the dedup exchange — post-score rows are 3 scalars.
+    val scored = qs.join(cs, Seq("table_id", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

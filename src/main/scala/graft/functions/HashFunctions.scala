@@ -105,6 +105,10 @@ case class SimHash64(child: Expression)
 }
 
 object HashFunctions {
+  /** Distinct word n-gram shingles of a text column (compiled single pass). */
+  def word_shingles(text: Column, n: Int = 3): Column =
+    GraftExpressionBridge.column(WordShingles(GraftExpressionBridge.expression(text), n))
+
   /** MinHash signature of an array<string> column. */
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     GraftExpressionBridge.column(MinHashSig(GraftExpressionBridge.expression(shingles), numHashes))
@@ -112,4 +116,43 @@ object HashFunctions {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens)))
+}
+
+/** Word n-gram shingle set: string -> array<string> of distinct n-grams.
+  *
+  * Replaces the SQL formulation (trim/split evaluated three times per row +
+  * an interpreted transform + concat_ws + array_distinct) with one compiled
+  * pass: split once, build n-grams into an insertion-ordered set. Semantics
+  * match the SQL/DuckDB form exactly: single-space split (empty tokens
+  * preserved), fewer than n tokens -> empty array, first-occurrence order.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim()
+    val parts = text.split(UTF8String.fromString(" "), -1)
+    if (parts.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i + n <= parts.length) {
+      val paranddelim = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        paranddelim(2 * j) = parts(i + j)
+        if (j < n - 1) paranddelim(2 * j + 1) = space
+        j += 1
+      }
+      seen.add(UTF8String.concat(paranddelim: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

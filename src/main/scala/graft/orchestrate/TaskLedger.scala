@@ -93,6 +93,56 @@ object TaskLedger {
     counted.withColumn("matched", (col("dep_count") >= expected).cast("int"))
   }
 
+  /** One report entry in the init config (initialize/init_config shape). */
+  case class ReportDef(report_class: String, assignee: String, freq_type: String, level: Int)
+
+  /** Bootstrap date structure (initialize/init_main.py:8-44): one seed range
+    * per frequency; the 1M row is backdated to LAST month so the first
+    * producer cycle computes an (empty) month and completes initialization. */
+  def dateStructure(spark: SparkSession, initDate: String): DataFrame = {
+    import spark.implicits._
+    val d = java.time.LocalDateTime.parse(initDate.replace(' ', 'T'))
+    val currMonth = d.toLocalDate.withDayOfMonth(1).atStartOfDay
+    val lastMonth = currMonth.minusMonths(1)
+    def ts(x: java.time.LocalDateTime) = java.sql.Timestamp.valueOf(x)
+    Seq(
+      ("5min", ts(d), ts(d.plusMinutes(5))),
+      ("1H", ts(d), ts(d.plusHours(1))),
+      ("1D", ts(d), ts(d.plusDays(1))),
+      ("1M", ts(lastMonth), ts(currMonth)))
+      .toDF("freq_type", "gte_time", "lt_time")
+  }
+
+  /** J9: init fan-out — report defs joined to the date structure on
+    * freq_type (init_main.py:47-68), stamped with the platform scope. */
+  def initTaskList(spark: SparkSession, reports: Seq[ReportDef], initDate: String,
+      platform: String = "ALL", siteCode: String = "ALL", gameCode: String = "ALL"): DataFrame = {
+    import spark.implicits._
+    reports.toDF()
+      .join(broadcast(dateStructure(spark, initDate)), Seq("freq_type"), "left")
+      .withColumn("platform", lit(platform))
+      .withColumn("site_code", lit(siteCode))
+      .withColumn("game_code", lit(gameCode))
+      .withColumn("done", lit(0))
+  }
+
+  /** J10: monthly dependency backfill — for every report that has BOTH a 1M
+    * and a 1D entry, synthesize the 1D slices from the month start up to the
+    * init day and mark them done, so the first month-end dep check passes
+    * (init_main.py:72-98; disabled in the reference's main since reports
+    * became realtime — kept for the gated mode). */
+  def monthlyDepInit(initTasks: DataFrame): DataFrame = {
+    val m = initTasks.filter(col("freq_type") === "1M")
+      .select(col("report_class"), col("lt_time").as("m_lt"), col("gte_time").as("m_gte"))
+    val deps = initTasks.filter(col("freq_type") === "1D")
+      .join(m, Seq("report_class"))
+      .withColumn("lt_time", col("gte_time"))   // D start becomes the upper bound
+      .withColumn("gte_time", col("m_lt"))      // month end becomes the lower bound
+      .drop("m_lt", "m_gte")
+      .filter(col("gte_time") =!= col("lt_time"))
+    Slicer.explodeSlices(deps).withColumn("done", lit(1))
+  }
+
   /** S9 set-based status update: mark the given slices done with runtime
     * accounting (ExecUtils.py:56-84's per-row UPDATE loop as one join). */
   def markDone(board: DataFrame, completed: DataFrame, now: java.sql.Timestamp): DataFrame = {
