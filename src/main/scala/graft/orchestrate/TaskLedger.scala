@@ -93,6 +93,30 @@ object TaskLedger {
     counted.withColumn("matched", (col("dep_count") >= expected).cast("int"))
   }
 
+  /** J8: dep-log refresh (FilterNotMatched.py:26-96). The gate's unmatched
+    * coarse tasks are persisted with their current dep_count; on the next
+    * cycle the stored log is left-joined with this round's counts and the
+    * count/matched columns are overwritten from the fresh side, plus
+    * brand-new unmatched tasks are appended (the reference's
+    * concat+drop_duplicates(keep=False) anti-join idiom). Returns the new
+    * log; matched rows stay for audit, exactly like the reference. */
+  def refreshDepLog(oldLog: DataFrame, gated: DataFrame): DataFrame = {
+    val logKeys = taskKeys ++ Seq("freq_type", "gte_time", "lt_time")
+    val fresh = gated.select(
+      (logKeys.map(col) :+ col("dep_count").as("dep_count_new") :+
+        col("matched").as("matched_new")): _*)
+    if (oldLog.isEmpty) {
+      return gated.select((logKeys.map(col) :+ col("dep_count") :+ col("matched")): _*)
+    }
+    val updated = oldLog.join(fresh, logKeys, "left")
+      .select((logKeys.map(col) :+
+        coalesce(col("dep_count_new"), col("dep_count")).as("dep_count") :+
+        coalesce(col("matched_new"), col("matched")).as("matched")): _*)
+    val appended = gated.join(oldLog, logKeys, "left_anti")
+      .select((logKeys.map(col) :+ col("dep_count") :+ col("matched")): _*)
+    updated.unionByName(appended)
+  }
+
   /** One report entry in the init config (initialize/init_config shape). */
   case class ReportDef(report_class: String, assignee: String, freq_type: String, level: Int)
 

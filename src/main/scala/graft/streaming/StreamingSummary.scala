@@ -52,6 +52,23 @@ object StreamingSummary {
         col("trans_in_amount"), col("trans_out_amount"),
         col("trans_in_count"), col("trans_out_count"), col("trans_out_lost_amount"))
 
+  /** Start the streaming 5-min tier writing into the report table via
+    * foreachBatch + dynamic partition overwrite — the streaming equivalent
+    * of the delete-before-insert slice writes (each micro-batch replaces
+    * exactly the summary_date partitions it touches, so replays after a
+    * checkpoint recovery are idempotent). */
+  def startTransFiveMin(valueLog: DataFrame, tablePath: String, checkpoint: String,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    transFiveMinStream(valueLog, watermark).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.io.Sinks.overwriteSlices(batch.toDF(), tablePath, Seq("summary_date"))
+        }
+      }
+      .start()
+
   // --- stateful alert throttling ---------------------------------------------
 
   case class AlertInput(key: String, eventTimeMillis: Long, isRisky: Boolean)

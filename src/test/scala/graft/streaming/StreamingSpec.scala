@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("stream_5min").count() > 0)
   }
 
+  test("foreachBatch sink writes partition-overwritten report slices") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val vlog = TestData.valueLog(spark)
+      .filter(col("trade_time") < lit("2024-01-03 00:00:00"))
+    vlog.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val q = StreamingSummary.startTransFiveMin(stream, s"$dir/table", s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val table = spark.read.parquet(s"$dir/table")
+    assert(table.count() > 0)
+    assert(table.select("summary_date").distinct().count() === 2) // Jan 1 + Jan 2
+    val direct = vlog.filter(col("trade_status") === "SUCCESS")
+      .agg(sum(when(col("trade_type") === "IN", col("value")).otherwise(0.0))).head.getDouble(0)
+    val streamed = table.agg(sum("trans_in_amount")).head.getDouble(0)
+    assert(math.abs(direct - streamed) < 1e-6)
+  }
+
   test("alert throttle state function: cooldown, cap, reset (pure, no stream)") {
     import StreamingSummary._
     // Drive through the Dataset API in batch mode (same code path/planner as
