@@ -69,7 +69,7 @@ object PlayerRanking {
       .groupBy(boardKeys.map(col): _*)
       .agg(greatest(max(col("win")), lit(0.0)).as("max_value"))
 
-  private case class BoardRow(
+  case class BoardRow(
       platform: String, site_code: String, game_code: String, room_type: String,
       country: String, player_name: String, state_date: java.sql.Date,
       bet: Double, win: Double, is_bonus: Boolean, is_robot: Boolean,
