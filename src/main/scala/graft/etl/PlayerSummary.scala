@@ -80,6 +80,45 @@ object PlayerSummary {
     checkIfRisky(enriched, cfg)
   }
 
+  /** Backfill/catch-up path: ALL 5-min slices inside `[gte, lt)` in one
+    * aggregation (cf. TransSummary.fiveMinRange) — slice stamps from the
+    * floored round_time; identical to per-slice [[fiveMin]] for aligned
+    * slices. */
+  def fiveMinRange(profitLog: DataFrame, gameSites: DataFrame, gte: String, lt: String,
+      cfg: RtpConfig = RtpConfig()): DataFrame = {
+    val floored = graft.time.Slicer.floorTo(col("round_time").cast("timestamp"), "5min")
+    val base = profitLog
+      .filter(col("is_robot") === 0)
+      .filter(inWindow(col("round_time"), gte, lt))
+      .groupBy((keys.map(col) :+ floored.as("start_time")): _*)
+      .agg(
+        count(col("bet")).as("b_count"),
+        sum(col("bet")).as("b_amount"),
+        sum(col("win")).as("w_amount"),
+        sum(col("fee")).as("fee_amount"),
+        sum(col("profit")).as("profit_amount"),
+        sum(col("refund")).as("refund_amount"),
+        sum(col("normal_value")).as("normal_amount"),
+        sum(col("bonus_value")).as("bonus_amount"),
+        sumClamped(col("free_value")).as("free_amount"),
+        sumClamped(col("jp_value")).as("jp_amount"),
+        sum(col("valid_value")).as("valid_amount"),
+        sum(col("cancel_value")).as("cancel_amount"),
+        safeDiv(sum(col("profit")), sum(col("bet"))).as("rtp"))
+    val dim = gameSites.select(col("platform"), col("code"), col("ratio"))
+    val enriched = base
+      .join(broadcast(dim), base("platform") === dim("platform") && base("site_code") === dim("code"), "left")
+      .drop(dim("platform")).drop(dim("code"))
+      .na.fill(0.0, Seq("ratio"))
+      .withColumn("p_before_amount", col("profit_amount"))
+      .withColumn("p_after_amount", col("profit_amount") * (lit(1.0) - col("ratio")))
+      .withColumn("tg_after_amount", col("profit_amount") * col("ratio"))
+      .withColumn("summary_date", graft.ops.Cols.yyyymmdd(col("start_time")))
+      .withColumn("hours", hour(col("start_time")))
+      .withColumn("mins", minute(col("start_time")))
+    checkIfRisky(enriched, cfg)
+  }
+
   /** F1: ordered mask semantics (player_summary_5min.py:136-148) — base rule
     * first, then the unconditional profit override. Encoded as a single
     * `when` cascade with the LAST pandas mask as the FIRST branch (later
