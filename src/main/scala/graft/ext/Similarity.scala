@@ -99,4 +99,58 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer built from deterministically
+    * sampled corpus vectors as centroids; every corpus row is assigned to its
+    * nearest centroid (one small broadcast scan), and a query exact-scores
+    * only the rows in its `nprobe` closest clusters.
+    *
+    * Scale: the corpus is written partitioned/clustered by `cluster_id`, so a
+    * query touches |corpus| * nprobe / nlist rows. Centroid selection is
+    * deterministic (hash-ordered sample, no RNG): identical across runs and
+    * executors. Recall depends on nprobe/nlist like any IVF index.
+    */
+  def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+
+    // 1. coarse centroids: the nlist corpus vectors with the smallest
+    //    xxhash64(id) — a deterministic uniform sample.
+    val centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
+        xxhash64(col(idCol)).as("_h"))
+      .orderBy(col("_h")).limit(nlist).drop("_h")
+
+    // 2. assignment: nearest centroid per corpus row (broadcast nested-loop
+    //    over nlist rows, then keep the argmax by cosine).
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_c").desc, col("centroid_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_c", cosine_sim(col(vec), col("centroid_vec")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= keep)
+        .select(col(id), col(vec), col("centroid_id").as("cluster_id"))
+    }
+
+    val assigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec", keep = 1)
+    // queries probe their nprobe closest clusters
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", keep = nprobe)
+
+    // 3. exact scoring inside the probed clusters only.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -177,6 +177,15 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // x13 — IVF ANN top-5 (QX3 alternative scale path: coarse quantizer +
+  // cluster-probed exact scoring; rows-only check, recall asserted in spec).
+  // ---------------------------------------------------------------------------
+  def x13KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cosineTopKIvf(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  // ---------------------------------------------------------------------------
   // x10 — embedding near-dup pairs above a cosine threshold.
   // ---------------------------------------------------------------------------
   def x10EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
@@ -235,6 +244,7 @@ object ExtensionQueries {
     "x7_fingerprints" -> (x7Fingerprints _),
     "x8_knn_brute" -> (x8KnnBrute _),
     "x9_knn_lsh" -> (x9KnnLsh _),
+    "x13_knn_ivf" -> (x13KnnIvf _),
     "x10_embedding_pairs" -> (x10EmbeddingPairs _))
 
   val oracleSql: Map[String, String] = Map(

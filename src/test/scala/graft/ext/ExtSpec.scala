@@ -92,6 +92,23 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("IVF ANN: correctly-scored, deterministic, with reasonable recall") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.cosineTopKIvf(emb, queries, 5, nlist = 8, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+    }
+    // probing half the clusters should recover a majority of true neighbors
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= brute.size / 2, s"IVF recall too low: $hits of ${brute.size}")
+    val again = Similarity.cosineTopKIvf(emb, queries, 5, nlist = 8, nprobe = 4).collect()
+    assert(ivf.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("token and subword counts handle edge cases") {
     val df = Seq("", "   ", "one", "a b  c", "supercalifragilistic").toDF("text")
     val got = df.select(
