@@ -79,6 +79,22 @@ object Pipeline {
     Sinks.overwriteSlices(PlayerSummary.oneDay(tier1h, daySlice, cfg), paths.player1d, Seq("summary_date"))
   }
 
+  /** Monthly rollup for both cascades (consumes the materialized 1d tiers;
+    * re-run every cycle while the month is open, exactly like the reference's
+    * realtime 1m tasks — idempotent via partition overwrite). */
+  def runMonth(spark: SparkSession, paths: Paths, month: java.time.YearMonth): Unit = {
+    def ts(x: java.time.LocalDateTime) = java.sql.Timestamp.valueOf(x)
+    val slice = TaskSlice(freq_type = "1M",
+      gte_time = ts(month.atDay(1).atStartOfDay()),
+      lt_time = ts(month.plusMonths(1).atDay(1).atStartOfDay()))
+    val trans1d = spark.read.parquet(paths.trans1d)
+    Sinks.overwriteSlices(TransSummary.oneMonth(trans1d, slice),
+      s"${paths.base}/trans_summary_1m", Seq("summary_month"))
+    val player1d = spark.read.parquet(paths.player1d)
+    Sinks.overwriteSlices(PlayerSummary.oneMonth(player1d, slice),
+      s"${paths.base}/player_summary_1m", Seq("summary_month"))
+  }
+
   /** Risk + registration reports for one day (consume the materialized tiers). */
   def runReportsDay(spark: SparkSession, players: DataFrame, paths: Paths,
       day: java.time.LocalDate, now: java.sql.Timestamp): Unit = {

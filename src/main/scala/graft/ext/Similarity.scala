@@ -100,6 +100,30 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Embedding near-dup pairs at scale: hyperplane-LSH bucket join instead
+    * of the quadratic scan — same predicate as [[embeddingNearDupPairs]],
+    * cost proportional to bucket collisions. Candidate pairs sharing a
+    * signature in ANY table are exact-scored; like every LSH, recall < 1 for
+    * pairs near the threshold (raise `tables` to tighten).
+    */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      tables: Int = 16, bits: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signed = (0 until tables).foldLeft(
+      embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec")))(
+      (d, t) => d.withColumn(s"_sig$t", hyperplaneSignature(col("vec"), t, bits, dim)))
+      .select(col("vec_id"), col("vec"),
+        posexplode(array((0 until tables).map(t => col(s"_sig$t")): _*)).as(Seq("table_id", "sig")))
+    val a = signed.select(col("table_id"), col("sig"), col("vec_id").as("vec_a"), col("vec").as("va"))
+    val b = signed.select(col("table_id"), col("sig"), col("vec_id").as("vec_b"), col("vec").as("vb"))
+    a.join(b, Seq("table_id", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine_sim(col("va"), col("vb")))
+      .select("vec_a", "vec_b", "cosine")
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer built from deterministically
     * sampled corpus vectors as centroids; every corpus row is assigned to its
     * nearest centroid (one small broadcast scan), and a query exact-scores

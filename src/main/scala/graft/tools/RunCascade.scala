@@ -69,7 +69,9 @@ object RunCascade {
       Pipeline.runTransDay(spark, valueLog, paths, day)
       Pipeline.runPlayerDay(spark, profitLog, gameSites, paths, day)
       Pipeline.runReportsDay(spark, players, paths, day, now)
+      Pipeline.runMonth(spark, paths, java.time.YearMonth.of(2024, 1))
       Seq(
+        "trans_1m" -> s"$outDir/trans_summary_1m", "player_1m" -> s"$outDir/player_summary_1m",
         "trans_5min" -> paths.trans5min, "trans_1h" -> paths.trans1h, "trans_1d" -> paths.trans1d,
         "player_5min" -> paths.player5min, "player_1h" -> paths.player1h, "player_1d" -> paths.player1d,
         "risk_player_1d" -> paths.riskPlayer1d, "risk_game_1d" -> paths.riskGame1d,

@@ -109,6 +109,21 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("embedding LSH near-dup pairs are an exact-scored subset with decent recall") {
+    val exact = Similarity.embeddingNearDupPairs(emb, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, 0.4).collect()
+    assert(exact.nonEmpty)
+    // precision 1: every LSH pair must be a true pair with the same cosine
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"false positive pair $key")
+      assert(math.abs(exact(key) - r.getDouble(2)) < 1e-12)
+    }
+    // recall: deterministic for fixed planes; expect a majority at cos>=0.4
+    assert(lsh.length * 2 >= exact.size, s"LSH recall too low: ${lsh.length} of ${exact.size}")
+  }
+
   test("token and subword counts handle edge cases") {
     val df = Seq("", "   ", "one", "a b  c", "supercalifragilistic").toDF("text")
     val got = df.select(
