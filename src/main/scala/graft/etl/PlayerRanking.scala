@@ -144,4 +144,25 @@ object PlayerRanking {
   def bonusCount(boards: DataFrame): DataFrame =
     boards.groupBy(boardKeys.map(col): _*)
       .agg(sum(when(col("is_bonus"), 1).otherwise(0)).as("bonus_count"))
+
+  /** O4+F11: the day-end bonus lottery (player_ranking…py:297-364): per
+    * board, if no bonus was awarded yet, flag a seeded-random 3..8 rows
+    * is_bonus=true; boards already awarded pass through unchanged (the
+    * once-per-day guard). One window pass — no driver loop over boards. */
+  def awardBonuses(yesterdayBoards: DataFrame, seed: Long,
+      floorN: Int = 3, ceilN: Int = 8): DataFrame = {
+    val w = Window.partitionBy(boardKeys.map(col): _*)
+    val order = Window.partitionBy(boardKeys.map(col): _*)
+      .orderBy(rand(seed), col("player_name"))
+    // per-board deterministic winner count in [floorN, ceilN]
+    val nWinners = (pmod(hash(boardKeys.map(col) :+ lit(seed): _*), lit(ceilN - floorN + 1))
+      + floorN)
+    yesterdayBoards
+      .withColumn("_already", max(when(col("is_bonus"), 1).otherwise(0)).over(w))
+      .withColumn("_pick", row_number().over(order))
+      .withColumn("is_bonus",
+        when(col("_already") === 1, col("is_bonus"))
+          .otherwise(col("_pick") <= nWinners))
+      .drop("_already", "_pick")
+  }
 }

@@ -147,9 +147,12 @@ object RiskCtrl {
         step1.withColumn("trans_sigma", lit(0.0)).withColumn("p_trans_multi", lit(0.0))
       }
 
-    step2.withColumn("risk_score",
+    val scored = step2.withColumn("risk_score",
       col("b_sigma") * weights.b + col("p_sigma") * weights.wl +
         col("trans_sigma") * weights.trans + col("p_trans_multi") * weights.pTransMulti)
+    // the game-grain report has no transfer leg at all (risk_ctrl_game_1d.py
+    // emits only b/p sigma columns); keep its schema faithful
+    if (hasTrans) scored else scored.drop("trans_sigma", "p_trans_multi")
   }
 
   /** null/NaN/Inf -> 0 on a single column (pandas fillna-after-inf-replace). */

@@ -61,6 +61,24 @@ class PlayerRankingSpec extends AnyFunSuite {
     sim1.unpersist()
   }
 
+  test("bonus lottery awards 3..8 once per board, idempotent when already awarded") {
+    val shown = Seq.empty[(String, String, String, String, String)]
+      .toDF("platform", "game_code", "room_type", "country", "player_name")
+    val board = PlayerRanking.initBoards(boards, robots, shown, "2024-01-10", seed = 7L)
+    val awarded = PlayerRanking.awardBonuses(board, seed = 99L).cache()
+    val n = PlayerRanking.bonusCount(awarded).head.getAs[Long]("bonus_count")
+    assert(n >= 3 && n <= 8, s"awarded $n, expected 3..8")
+    // deterministic
+    val again = PlayerRanking.awardBonuses(board, seed = 99L)
+    assert(PlayerRanking.bonusCount(again).head.getAs[Long]("bonus_count") === n)
+    // once-per-day guard: awarding an already-awarded board changes nothing
+    val twice = PlayerRanking.awardBonuses(awarded, seed = 123L)
+    val sameWinners = awarded.filter(col("is_bonus")).select("player_name").collect().map(_.getString(0)).toSet ===
+      twice.filter(col("is_bonus")).select("player_name").collect().map(_.getString(0)).toSet
+    assert(sameWinners, "re-award must not change winners")
+    awarded.unpersist()
+  }
+
   test("rank is dense 1..20 with win-desc order (W1) and bonusCount counts flags (A9)") {
     val shown = Seq.empty[(String, String, String, String, String)]
       .toDF("platform", "game_code", "room_type", "country", "player_name")
