@@ -93,6 +93,23 @@ object TaskLedger {
     counted.withColumn("matched", (col("dep_count") >= expected).cast("int"))
   }
 
+  /** Dep gate with the reference's bypasses (GetTaskDepCount.py:29-37):
+    * 5min tasks have no dependency and pass-listed assignees skip the check —
+    * both flow through with matched=1, dep_count=0; everything else goes
+    * through [[depGate]]. (The reference checks dep_count == threshold
+    * exactly; the engine uses >= , identical under exact slice tiling and
+    * tolerant of duplicated done rows.) */
+  def gateWithBypass(tasks: DataFrame, board: DataFrame,
+      passDepCheck: Set[String] = Set.empty): DataFrame = {
+    val bypassCond = col("freq_type") === "5min" ||
+      col("assignee").isin(passDepCheck.toSeq: _*)
+    val bypassed = tasks.filter(bypassCond)
+      .select((taskKeys.map(col) :+ col("freq_type") :+ col("gte_time") :+ col("lt_time")): _*)
+      .withColumn("dep_count", lit(0L))
+      .withColumn("matched", lit(1))
+    depGate(tasks.filter(!bypassCond), board).unionByName(bypassed)
+  }
+
   /** J8: dep-log refresh (FilterNotMatched.py:26-96). The gate's unmatched
     * coarse tasks are persisted with their current dep_count; on the next
     * cycle the stored log is left-joined with this round's counts and the
