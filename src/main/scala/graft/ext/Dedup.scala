@@ -108,6 +108,31 @@ object Dedup {
   def simHash(textColName: String): Column =
     graft.functions.HashFunctions.simhash64(split(trim(col(textColName)), " "))
 
+  /** Winnowing containment candidates: pairs whose shared winnowing
+    * fingerprints (graft.functions.WinnowingFp — rolling k-gram hashes,
+    * window minima) cover at least `minContainment` of the SMALLER set.
+    * Normalizing by the smaller side catches shared RUNS (containment /
+    * plagiarism / doc-inside-doc) that set-based jaccard dilutes when
+    * documents differ in length; a raw shared count cannot separate true
+    * containment from shared-vocabulary noise. */
+  def winnowingPairs(docs: DataFrame, minContainment: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      graft.functions.HashFunctions.winnowing_fp(col(textCol)).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val sizes = fp.select(col("doc_id"), size(col("fps")).as("n"))
+    val ex = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+    ex.alias("a").join(ex.alias("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), "doc_b")
+      .withColumn("containment", col("shared_fps") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "shared_fps", "containment")
+  }
+
   /** SimHash near-dup candidates at hamming distance <= maxHamming: split the
     * 64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
     * distance 3 agrees on >= 1 chunk -> equi-join per chunk, then the exact

@@ -33,7 +33,9 @@ object GraftFunctions {
     ("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint",
       exprs => SimHash64(exprs.head)),
     ("word_shingles", "word_shingles(text[, n]) - distinct word n-grams",
-      exprs => WordShingles(exprs.head, intArg(exprs, 1, 3))))
+      exprs => WordShingles(exprs.head, intArg(exprs, 1, 3))),
+    ("winnowing_fp", "winnowing_fp(text[, k[, w]]) - winnowing fingerprint set",
+      exprs => WinnowingFp(exprs.head, intArg(exprs, 1, 8), intArg(exprs, 2, 4))))
 
   /** Register into a LIVE session's function registry. */
   def registerAll(spark: SparkSession): Unit =

@@ -113,6 +113,10 @@ object HashFunctions {
   def minhash_sig(shingles: Column, numHashes: Int = 64): Column =
     GraftExpressionBridge.column(MinHashSig(GraftExpressionBridge.expression(shingles), numHashes))
 
+  /** Winnowing fingerprints: rolling k-gram hashes -> window minima. */
+  def winnowing_fp(text: Column, k: Int = 8, window: Int = 4): Column =
+    GraftExpressionBridge.column(WinnowingFp(GraftExpressionBridge.expression(text), k, window))
+
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens)))
@@ -151,6 +155,67 @@ case class WordShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprints (the canonical rolling-hash scheme):
+  * Rabin-Karp rolling hashes over character k-grams, then the minimum hash
+  * of every sliding window of `w` consecutive k-gram hashes (rightmost min
+  * on ties), deduplicated. Robust to local edits: an edit only perturbs
+  * fingerprints within w+k characters of the change, so two documents
+  * sharing any sufficiently long run share fingerprints — the standard
+  * local-similarity fingerprint for plagiarism/near-dup detection.
+  *
+  * One compiled pass per row: O(n) rolling updates + a monotone deque for
+  * the window minima. Returns array<long>, empty when text is shorter
+  * than k.
+  */
+case class WinnowingFp(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Base = 1315423911L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    grams(0) = h
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * pow) * Base + s.charAt(i)
+      grams(i - k + 1) = h
+      i += 1
+    }
+    if (grams.length <= window) {
+      var mn = grams(0); i = 1
+      while (i < grams.length) { if (grams(i) <= mn) mn = grams(i); i += 1 }
+      return new GenericArrayData(Array[Any](mn))
+    }
+    // sliding-window minima (rightmost on ties) via monotone deque
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < grams.length) {
+      while (!deque.isEmpty && grams(deque.peekLast) >= grams(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - window) deque.pollFirst()
+      if (i >= window - 1) out.add(grams(deque.peekFirst))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.map(_.asInstanceOf[Any]))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -186,6 +186,14 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // x14 — winnowing containment pairs (rolling k-gram fingerprints, window
+  // minima; engine-hash specific -> rows-only; superset-of-x2 asserted in
+  // ScalaTest).
+  // ---------------------------------------------------------------------------
+  def x14WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------------
   // x10 — embedding near-dup pairs above a cosine threshold.
   // ---------------------------------------------------------------------------
   def x10EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
@@ -245,6 +253,7 @@ object ExtensionQueries {
     "x8_knn_brute" -> (x8KnnBrute _),
     "x9_knn_lsh" -> (x9KnnLsh _),
     "x13_knn_ivf" -> (x13KnnIvf _),
+    "x14_winnow_pairs" -> (x14WinnowPairs _),
     "x10_embedding_pairs" -> (x10EmbeddingPairs _))
 
   val oracleSql: Map[String, String] = Map(

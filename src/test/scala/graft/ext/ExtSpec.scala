@@ -124,6 +124,29 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.length * 2 >= exact.size, s"LSH recall too low: ${lsh.length} of ${exact.size}")
   }
 
+  test("winnowing fingerprints: local-edit robustness and containment pairs") {
+    import org.apache.spark.sql.functions.{col => c}
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word20", "EDITED")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, edited), (4L, other), (5L, "short"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.winnowingFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("fingerprints")).toMap
+    assert(fp(1L) === fp(2L), "identical texts share all fingerprints")
+    val overlap = fp(1L).toSet.intersect(fp(3L).toSet).size.toDouble / fp(1L).size
+    assert(overlap > 0.6, s"local edit must keep most fingerprints, got $overlap")
+    assert(fp(1L).toSet.intersect(fp(4L).toSet).isEmpty, "disjoint texts share none")
+    assert(fp(5L).isEmpty, "text shorter than k has no k-grams")
+
+    // containment pairs on the fixture: planted near-dups must surface
+    val exact = Dedup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = Dedup.winnowingPairs(docs, minContainment = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(winnow), s"winnowing missed planted pairs: ${exact -- winnow}")
+  }
+
   test("token and subword counts handle edge cases") {
     val df = Seq("", "   ", "one", "a b  c", "supercalifragilistic").toDF("text")
     val got = df.select(

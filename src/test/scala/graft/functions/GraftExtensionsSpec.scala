@@ -37,6 +37,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // injections (the SQL behavior of the builders is covered above).
     val ext = new SparkSessionExtensions
     (new GraftExtensions)(ext)
-    assert(GraftFunctions.all.map(_._1).distinct.size === 5)
+    assert(GraftFunctions.all.map(_._1).distinct.size === 6)
   }
 }
