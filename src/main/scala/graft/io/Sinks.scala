@@ -43,6 +43,21 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles once at write time so every later
+    * join/aggregation on `bucketCols` is co-located — no exchange in the
+    * plan. The 100 TB pattern for the rollup cascade: the 5min/1h/1d tiers
+    * all key on the same player columns, so bucketing the materialized tiers
+    * makes every re-aggregation and every risk-report join shuffle-free.
+    * (Bucketing needs the catalog, hence saveAsTable rather than a path.) */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** S6: existence probe — the reference's `SELECT 1 ... LIMIT 1` upsert
     * predicate (player_ranking…py:77-88). */
   def exists(df: DataFrame): Boolean = !df.limit(1).isEmpty
