@@ -197,13 +197,56 @@ object ReportQueries {
        |  AND trade_time < TIMESTAMP '2024-01-05 06:00:00'
        |GROUP BY 1, 2, 3, 4, summary_date, hours, mins""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // r4: the full monthly rollup chain — 5min backfill -> day tier -> 1m via
+  // TransSummary.oneMonth — against the direct month aggregation oracle.
+  // Proves the whole-cascade identity (each tier only ever reads the tier
+  // below) through the driver gate, not just in unit tests.
+  // ---------------------------------------------------------------------------
+  def r4TransMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val fiveMin = TransSummary.fiveMinRange(valueLog(spark, dir),
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    // materialized-1d-tier equivalent: re-aggregate the 5min tier to day grain
+    val dayTier = fiveMin.groupBy(
+      col("platform"), col("site_code"), col("player_name"), col("country"), col("summary_date"))
+      .agg(
+        sum(col("trans_in_amount")).as("trans_in_amount"),
+        sum(col("trans_out_amount")).as("trans_out_amount"),
+        sum(col("trans_in_count")).as("trans_in_count"),
+        sum(col("trans_out_count")).as("trans_out_count"),
+        sum(col("trans_out_lost_amount")).as("trans_out_lost_amount"))
+    TransSummary.oneMonth(dayTier, TaskSlice(freq_type = "1M",
+      gte_time = java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      lt_time = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      .drop("start_time")
+  }
+
+  private val r4Sql =
+    s"""WITH vlog AS ($valueLogSql)
+       |SELECT platform, site_code, player_name, country,
+       |  sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS trans_in_amount,
+       |  sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_amount,
+       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_lost_amount,
+       |  202401 AS summary_month
+       |FROM vlog
+       |WHERE trade_status = 'SUCCESS'
+       |  AND trade_time >= TIMESTAMP '2024-01-01 00:00:00'
+       |  AND trade_time < TIMESTAMP '2024-02-01 00:00:00'
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_trans_5min" -> (r1TransFiveMin _),
     "r2_player_5min" -> (r2PlayerFiveMin _),
-    "r3_trans_backfill" -> (r3TransBackfill _))
+    "r3_trans_backfill" -> (r3TransBackfill _),
+    "r4_trans_monthly" -> (r4TransMonthly _))
 
   val oracleSql: Map[String, String] = Map(
     "r1_trans_5min" -> r1Sql,
     "r2_player_5min" -> r2Sql,
-    "r3_trans_backfill" -> r3Sql)
+    "r3_trans_backfill" -> r3Sql,
+    "r4_trans_monthly" -> r4Sql)
 }
