@@ -13,11 +13,11 @@ object SparkEntry {
   /** One entry per implemented operator pattern from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.FixtureQueries.queries ++ graft.queries.ReportQueries.queries ++
-      graft.queries.ExtensionQueries.queries
+      graft.queries.ExtensionQueries.queries ++ graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.FixtureQueries.oracleSql ++ graft.queries.ReportQueries.oracleSql ++
-      graft.queries.ExtensionQueries.oracleSql
+      graft.queries.ExtensionQueries.oracleSql ++ graft.queries.StreamingQueries.oracleSql
 }

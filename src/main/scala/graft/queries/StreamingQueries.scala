@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.StreamingSummary
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The Structured Streaming path driven through the correctness harness:
+  * the 5-min tier runs as a real streaming query (file source -> watermarked
+  * tumbling-window aggregation -> memory sink, Trigger.AvailableNow) and its
+  * complete output is hash-compared against the batch SQL oracle. This
+  * proves streaming/batch unification every round — same aggregation,
+  * same answer.
+  */
+object StreamingQueries {
+
+  /** events -> minimal player_value_log shape (mirrors ReportQueries'
+    * binding; only the columns the 5min tier needs). */
+  private val vlogSql =
+    """SELECT
+      |  'P' || CAST(user_id % 2 AS VARCHAR) AS platform,
+      |  'S' || CAST(user_id % 5 AS VARCHAR) AS site_code,
+      |  'u' || CAST(user_id AS VARCHAR) AS player_name,
+      |  'C' || CAST(user_id % 4 AS VARCHAR) AS country,
+      |  CASE WHEN event_type='purchase' THEN 'IN'
+      |       WHEN event_type='view' THEN 'OUT' ELSE 'XFER' END AS trade_type,
+      |  value, value * 2 AS before_value, value * 0.9 AS after_value,
+      |  CASE WHEN event_type='error' THEN 'FAIL' ELSE 'SUCCESS' END AS trade_status,
+      |  ts AS trade_time
+      |FROM events""".stripMargin
+
+  def s1StreamFiveMin(spark: SparkSession, dir: String): DataFrame = {
+    // Stage the stream input once per (sf, session): a file-source stream
+    // needs a directory it can list.
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage",
+      java.lang.Integer.toHexString(dir.hashCode))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      Tables.events(spark, dir).select(
+        concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+        concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
+        concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+        concat(lit("C"), (col("user_id") % 4).cast("string")).as("country"),
+        when(col("event_type") === "purchase", "IN")
+          .when(col("event_type") === "view", "OUT").otherwise("XFER").as("trade_type"),
+        col("value"), (col("value") * 2).as("before_value"), (col("value") * 0.9).as("after_value"),
+        when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
+        col("ts").as("trade_time"))
+        .write.mode("overwrite").parquet(inDir)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s1_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = StreamingSummary.transFiveMinStream(stream)
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    spark.table(name).drop("start_time")
+  }
+
+  private val s1Sql =
+    s"""WITH vlog AS ($vlogSql)
+       |SELECT
+       |  CAST(strftime(slice_start, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  CAST(extract(hour FROM slice_start) AS INTEGER) AS hours,
+       |  CAST(extract(minute FROM slice_start) AS INTEGER) AS mins,
+       |  platform, site_code, player_name, country,
+       |  sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS trans_in_amount,
+       |  sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_amount,
+       |  count(*) FILTER (WHERE trade_type='IN') AS trans_in_count,
+       |  count(*) FILTER (WHERE trade_type='OUT') AS trans_out_count,
+       |  sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
+       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_lost_amount
+       |FROM (SELECT *, TIMESTAMP '2024-01-01 00:00:00' +
+       |        INTERVAL 5 MINUTE * CAST(floor((epoch(trade_time) - epoch(TIMESTAMP '2024-01-01 00:00:00'))/300) AS INTEGER)
+       |        AS slice_start
+       |      FROM vlog WHERE trade_status = 'SUCCESS')
+       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_stream_5min" -> (s1StreamFiveMin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_stream_5min" -> s1Sql)
+}
