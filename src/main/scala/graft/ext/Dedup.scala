@@ -116,20 +116,32 @@ object Dedup {
     * documents differ in length; a raw shared count cannot separate true
     * containment from shared-vocabulary noise. */
   def winnowingPairs(docs: DataFrame, minContainment: Double = 0.7,
+      maxDocFreq: Int = 25, minShared: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"),
       graft.functions.HashFunctions.winnowing_fp(col(textCol)).as("fps"))
       .filter(size(col("fps")) > 0)
-    val sizes = fp.select(col("doc_id"), size(col("fps")).as("n"))
     val ex = fp.select(col("doc_id"), explode(col("fps")).as("f"))
-    ex.alias("a").join(ex.alias("b"),
+    // Document-frequency cap: fingerprints shared corpus-wide (common
+    // substrings of the domain vocabulary) carry no dedup signal but cause
+    // quadratic join fanout — at sf0.1 the uncapped join cost 38 s vs ~1 s
+    // capped. Sizes are recomputed AFTER the cap so identical documents
+    // still score containment 1.0 over their rare fingerprints.
+    val rare = ex.groupBy(col("f")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("f")
+    val exRare = ex.join(rare, "f")
+    val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    exRare.alias("a").join(exRare.alias("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), "doc_a")
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), "doc_b")
       .withColumn("containment", col("shared_fps") / least(col("na"), col("nb")))
-      .filter(col("containment") >= minContainment)
+      // the minShared floor guards against tiny rare-fingerprint sets where
+      // a couple of coincidental collisions would read as high containment
+      .filter(col("containment") >= minContainment && col("shared_fps") >= minShared)
       .select("doc_a", "doc_b", "shared_fps", "containment")
   }
 
