@@ -19,6 +19,26 @@ object TaskLedger {
 
   val taskKeys = Seq("platform", "site_code", "game_code", "assignee")
 
+  /** Typed view of a board DataFrame (SURVEY §1.3): orchestration logic gets
+    * compile-time field checks via Dataset[TaskSlice]; analytic queries stay
+    * DataFrame. Extra physical columns (create_time, done, ...) are dropped
+    * by the encoder projection. */
+  def typedSlices(board: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[graft.etl.TaskSlice] = {
+    val spark = board.sparkSession
+    import spark.implicits._
+    board.select(
+      coalesce(col("platform"), lit("ALL")).as("platform"),
+      coalesce(col("site_code"), lit("ALL")).as("site_code"),
+      coalesce(col("game_code"), lit("ALL")).as("game_code"),
+      coalesce(col("report_class"), lit("")).as("report_class"),
+      coalesce(col("assignee"), lit("")).as("assignee"),
+      coalesce(col("freq_type"), lit("5min")).as("freq_type"),
+      coalesce(col("level"), lit(100)).cast("int").as("level"),
+      col("gte_time").cast("timestamp").as("gte_time"),
+      col("lt_time").cast("timestamp").as("lt_time"))
+      .as[graft.etl.TaskSlice]
+  }
+
   /** A12: per-key low watermark — max(lt_time) per (platform, site_code,
     * game_code, assignee) (ScanTaskBoard.py:18-21). MariaDB's non-strict
     * GROUP BY returned arbitrary companion columns; the engine pins them with
