@@ -66,6 +66,41 @@ object RunProducer {
     println(s"PRODUCER cycle2 delta=$delta")
     require(delta == 2 * 3, s"expected 6 new slices, got $delta")
     println("PRODUCER watermark advance OK")
+
+    // rerun cycle (SURVEY §3.3): a manual request with all four frequency
+    // flags cascades into aligned rerun tasks, slice-exploded and published
+    // to the rerun board.
+    import spark.implicits._
+    val rerunBoard = s"$outDir/rerun_board"
+    val request = Seq((
+      "ALL", "ALL", "ALL", "trans_summary",
+      java.sql.Timestamp.valueOf("2024-01-01 00:40:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 01:20:00"),
+      1, 1, 1, 0))
+      .toDF("platform", "site_code", "game_code", "report_class",
+        "gte_time", "lt_time", "5min", "1h", "1d", "1m")
+    val rerunCycle = ProcessPipeline.run(spark, "rerun_producer", Seq(
+      step("GetRelatedTimeSplit") { (_, _) =>
+        Some(graft.time.Slicer.cascadeRerun(request))
+      },
+      step("GetRerunTaskList") { (cascaded, _) =>
+        cascaded.map(graft.time.Slicer.explodeSlices)
+      },
+      step("ProduceRerunTask") { (tasks, _) =>
+        tasks.foreach(t => graft.io.Sinks.append(
+          t.withColumn("done", lit(0)), rerunBoard))
+        tasks
+      }))
+    require(rerunCycle.isRight, s"rerun cycle failed: $rerunCycle")
+    val rerun = spark.read.parquet(rerunBoard)
+    val byFreq = rerun.groupBy("freq_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"PRODUCER rerun byFreq=$byFreq")
+    // 5min [00:40,01:20) -> 8 slices; 1H floor/ceil -> [00:00,02:00) -> 2;
+    // 1D -> [01-01,01-02) -> 1; 1m flag off -> absent
+    require(byFreq == Map("5min" -> 8L, "1H" -> 2L, "1D" -> 1L),
+      s"unexpected rerun cascade: $byFreq")
+    println("PRODUCER rerun cascade OK")
     spark.stop()
   }
 }
