@@ -43,6 +43,21 @@ object ProcessPipeline {
         s"***** $title Error *****\npipeline: ${e.pipeline}\nprocess: ${e.process}\ncontent: ${e.content}")
   }
 
+  /** The reference's hourly heartbeat (task-producer/main.py:96-122) as a
+    * scheduler-agnostic hook: call once per cycle; emits at most one beat
+    * per `intervalMinutes`. Returns true when a beat fired (testable). */
+  class Heartbeat(title: String, intervalMinutes: Long = 60,
+      send: String => Unit = msg => System.err.println(msg)) {
+    private var lastBeat = 0L
+    def tick(nowMillis: Long): Boolean = {
+      if (nowMillis - lastBeat >= intervalMinutes * 60000L) {
+        lastBeat = nowMillis
+        send(s"$title alive at " + new java.sql.Timestamp(nowMillis))
+        true
+      } else false
+    }
+  }
+
   /** Run the steps in order with per-step retry; on exhaustion, persist the
     * error to `errorLogPath` (append) + notify, and halt — mirroring the
     * reference's break-on-failure semantics. Returns the last step output on

@@ -41,6 +41,16 @@ class ProcessPipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("content").contains("db down"))
   }
 
+  test("heartbeat fires at most once per interval") {
+    val beats = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hb = new Heartbeat("producer", intervalMinutes = 60, send = beats += _)
+    val base = 1700000000000L
+    assert(hb.tick(base))                       // first tick fires
+    assert(!hb.tick(base + 30 * 60000L))        // 30 min later: silent
+    assert(hb.tick(base + 61 * 60000L))         // past the hour: fires
+    assert(beats.size === 2)
+  }
+
   test("dep gate bypass: 5min and pass-listed assignees flow through matched") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
