@@ -33,8 +33,10 @@ object StreamingQueries {
   def s1StreamFiveMin(spark: SparkSession, dir: String): DataFrame = {
     // Stage the stream input once per (sf, session): a file-source stream
     // needs a directory it can list.
+    // the stage key includes a binding version: bump it if the events->vlog
+    // mapping ever changes, or a stale staged copy would survive in /tmp
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage",
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_v1",
       java.lang.Integer.toHexString(dir.hashCode))
     val inDir = stage.resolve("in").toString
     if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
