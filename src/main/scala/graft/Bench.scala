@@ -23,19 +23,32 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // two timed passes; report the min per query (noise on a shared host is
-    // one-sided — a slow pass means interference, never a faster engine)
+    // one-sided — a slow pass means interference, never a faster engine).
+    // A query that throws is reported as -1 and listed in "failed" — a broken
+    // query must never masquerade as a fast one.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    // a query is healthy only if BOTH passes succeeded
+    val results = names.map { n =>
+      n -> (if (failed.contains(n)) -1.0 else math.min(p1(n), p2(n)))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -119,8 +119,15 @@ object Pipeline {
     val oldForDay =
       if (old.columns.contains("alert_count")) old.filter(col("summary_date") === dInt)
       else old.limit(0)
+    // The merge below dynamic-partition-overwrites the SAME path the ledger
+    // was just read from. Path-based V1 overwrites bypass Spark's
+    // cannot-overwrite-a-read-path guard, and a failed/retried write job
+    // could lose the day's alert state. localCheckpoint() materializes the
+    // old rows BEFORE the target partitions are replaced, cutting the lineage
+    // back to the files being overwritten.
+    val oldMaterialized = oldForDay.localCheckpoint()
     Sinks.overwriteSlices(
-      RiskCtrl.rtpLedgerMerge(oldForDay, snapshot, now),
+      RiskCtrl.rtpLedgerMerge(oldMaterialized, snapshot, now),
       paths.riskRtp1d, Seq("summary_date"))
 
     val ps5 = spark.read.parquet(paths.player5min)

@@ -24,15 +24,24 @@ object Similarity {
   /** Brute-force exact top-k: for each query row, the k nearest corpus rows
     * by cosine (self-match excluded). Queries are broadcast — the corpus is
     * never shuffled, and the window partitions by query id only. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** Exact cosine for every (query, corpus) pair except self-matches —
+    * the scoring stage of [[cosineTopK]], exposed so callers can rank on a
+    * transformed score (e.g. rounded for cross-engine-stable ordering)
+    * BEFORE any top-k cut. */
+  def cosineScores(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    cosineScores(corpus, queries, idCol, vecCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")

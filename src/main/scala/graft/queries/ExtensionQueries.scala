@@ -143,15 +143,17 @@ object ExtensionQueries {
   // flip ranks; ties broken by neighbor id in both.
   // ---------------------------------------------------------------------------
   def x8KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    // Round BEFORE the only top-k cut (mirroring the oracle exactly): ranking
+    // unrounded and re-ranking the survivors could keep a different neighbor
+    // when a rounded tie straddles the rank-k boundary.
     val emb = Tables.embeddings(spark, dir)
-    val rounded = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-    // re-rank on the rounded value for oracle-stable ordering
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
-    rounded
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    Similarity.cosineScores(emb, emb.filter(col("vec_id") < 10))
       .withColumn("cosine", round(col("cosine"), 6))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
   }
 
   private val x8Sql =

@@ -38,15 +38,15 @@ object FixtureQueries {
     eventsInWindow(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sumIf(col("event_type") === "purchase", col("value")).as("in_amount"),
-        sumIf(col("event_type") === "view", col("value")).as("out_amount"),
+        sumIf(col("event_type") === "purchase", money(col("value"))).cast("double").as("in_amount"),
+        sumIf(col("event_type") === "view", money(col("value"))).cast("double").as("out_amount"),
         countIf(col("event_type") === "purchase").as("in_count"),
         countIf(col("event_type") === "view").as("out_count"))
 
   private val q1Sql =
     s"""SELECT user_id,
-       |  sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount,
-       |  sum(CASE WHEN event_type='view' THEN value ELSE 0 END) AS out_amount,
+       |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS in_amount,
+       |  CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS out_amount,
        |  count(*) FILTER (WHERE event_type='purchase') AS in_count,
        |  count(*) FILTER (WHERE event_type='view') AS out_count
        |FROM events
@@ -62,20 +62,27 @@ object FixtureQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        sum(col("l_discount")).as("sum_disc"))
-      .withColumn("disc_per_qty", safeDiv(col("sum_disc"), col("sum_qty")))
-      .drop("sum_disc")
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+        // disc is ≤2dp so 1-disc is an exact DECIMAL and the product an exact
+        // scale-4 DECIMAL: the sum is order-independent.
+        sum(money(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2))).as("sum_disc"),
+        sum(money(col("l_quantity"))).as("sum_qty_d"))
+      .withColumn("disc_per_qty", safeDiv(col("sum_disc"), col("sum_qty_d")))
+      .drop("sum_disc", "sum_qty_d")
 
   private val q2Sql =
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS cnt,
-      |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_price,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-      |  CASE WHEN sum(l_quantity) = 0 THEN 0 ELSE sum(l_discount)/sum(l_quantity) END AS disc_per_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CASE WHEN sum(CAST(l_quantity AS DECIMAL(12,2))) = 0 THEN 0
+      |       ELSE CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |            / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) END AS disc_per_qty
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -86,13 +93,13 @@ object FixtureQueries {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sumIf(col("o_totalprice") >= 100000, col("o_totalprice")).as("clamped_total"),
+        sumIf(col("o_totalprice") >= 100000, money(col("o_totalprice"))).cast("double").as("clamped_total"),
         countIf(col("o_totalprice") >= 100000).as("big_count"),
         count(lit(1)).as("cnt"))
 
   private val q3Sql =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_totalprice >= 100000 THEN o_totalprice ELSE 0 END) AS clamped_total,
+      |  CAST(sum(CASE WHEN o_totalprice >= 100000 THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS clamped_total,
       |  count(*) FILTER (WHERE o_totalprice >= 100000) AS big_count,
       |  count(*) AS cnt
       |FROM orders
@@ -108,18 +115,20 @@ object FixtureQueries {
   // key (user_id) so AQE can co-locate them.
   // ---------------------------------------------------------------------------
   def q4RollupMonth(spark: SparkSession, dir: String): DataFrame = {
+    // day tier keeps the EXACT decimal sums; only the final month tier casts
+    // to double — so the rollup identity vs the direct month agg is exact.
     val day = eventsInWindow(spark, dir)
       .groupBy(col("user_id"), yyyymmdd(col("ts")).as("summary_date"))
       .agg(
-        sumIf(col("event_type") === "purchase", col("value")).as("in_amount"),
-        sumIf(col("event_type") === "view", col("value")).as("out_amount"),
+        sumIf(col("event_type") === "purchase", money(col("value"))).as("in_amount"),
+        sumIf(col("event_type") === "view", money(col("value"))).as("out_amount"),
         countIf(col("event_type") === "purchase").as("in_count"),
         countIf(col("event_type") === "view").as("out_count"))
     day
       .groupBy(col("user_id"), monthOfDateInt(col("summary_date")).as("summary_month"))
       .agg(
-        sum(col("in_amount")).as("in_amount"),
-        sum(col("out_amount")).as("out_amount"),
+        sum(col("in_amount")).cast("double").as("in_amount"),
+        sum(col("out_amount")).cast("double").as("out_amount"),
         sum(col("in_count")).as("in_count"),
         sum(col("out_count")).as("out_count"))
   }
@@ -127,8 +136,8 @@ object FixtureQueries {
   private val q4Sql =
     s"""SELECT user_id,
        |  CAST(strftime(ts, '%Y%m') AS INTEGER) AS summary_month,
-       |  sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount,
-       |  sum(CASE WHEN event_type='view' THEN value ELSE 0 END) AS out_amount,
+       |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS in_amount,
+       |  CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS out_amount,
        |  count(*) FILTER (WHERE event_type='purchase') AS in_count,
        |  count(*) FILTER (WHERE event_type='view') AS out_count
        |FROM events
@@ -144,15 +153,22 @@ object FixtureQueries {
   def q5DimEnrich(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    // All-decimal per-row arithmetic: ep(12,2) × (1 − rp(8,2)·1e-5)(·,7) is an
+    // EXACT scale-9 decimal; the per-row round to 3dp (half-away-from-zero in
+    // both engines, values strictly positive) bounds the group sum's unscaled
+    // magnitude so the final decimal→double cast is exact-range in DuckDB too.
+    val ep = money(col("l_extendedprice"))
+    val rp = coalesce(col("p_retailprice"), lit(0)).cast(org.apache.spark.sql.types.DecimalType(8, 2))
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
-      .withColumn("net", col("l_extendedprice") * (lit(1.0) - coalesce(col("p_retailprice"), lit(0.0)) / lit(100000.0)))
+      .withColumn("net", round(ep * (lit(1) - rp * lit(new java.math.BigDecimal("0.00001"))), 3))
       .groupBy(coalesce(col("p_brand"), lit("NONE")).as("brand"))
-      .agg(sum(col("net")).as("net_amount"), count(lit(1)).as("cnt"))
+      .agg(sum(col("net")).cast("double").as("net_amount"), count(lit(1)).as("cnt"))
   }
 
   private val q5Sql =
     """SELECT coalesce(p.p_brand, 'NONE') AS brand,
-      |  sum(l.l_extendedprice * (1.0 - coalesce(p.p_retailprice, 0)/100000.0)) AS net_amount,
+      |  CAST(sum(round(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - coalesce(CAST(p.p_retailprice AS DECIMAL(8,2)), 0) * 0.00001), 3)) AS DOUBLE) AS net_amount,
       |  count(*) AS cnt
       |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1""".stripMargin
@@ -167,25 +183,44 @@ object FixtureQueries {
   private val wmaDay = "2024-01-15"
 
   def q6Wma(spark: SparkSession, dir: String): DataFrame = {
+    // Population stddev via the sum-of-squares identity over EXACT decimal
+    // day sums: sum(ds) and sum(ds²) are order-independent decimals, and the
+    // final double expression is the identical correctly-rounded IEEE program
+    // on both sides (a moments-based stddev_pop would accumulate in float,
+    // whose merge order is partitioning-dependent). greatest(…, 0) guards the
+    // tiny negative residue the identity can produce for constant groups.
+    val ds14 = org.apache.spark.sql.types.DecimalType(14, 2)
     val daySums = eventsInWindow(spark, dir, "2024-01-07 00:00:00", "2024-01-15 00:00:00")
       .groupBy(col("user_id"), yyyymmdd(col("ts")).as("summary_date"))
-      .agg(sum(col("value")).as("day_sum"))
+      .agg(sum(money(col("value"))).cast(ds14).as("day_sum"))
+    val s = col("s").cast("double")
+    val n = col("n").cast("double")
     daySums
       .groupBy(col("user_id"))
       .agg(
-        (sum(col("day_sum")) / 7.0).as("wma"),
-        coalesce(stddev_pop(col("day_sum")), lit(0.0)).as("wmasd"))
+        sum(col("day_sum")).as("s"),
+        sum(col("day_sum") * col("day_sum")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        (s / 7.0).as("wma"),
+        sqrt(greatest(col("ss").cast("double") / n - (s / n) * (s / n), lit(0.0))).as("wmasd"))
   }
 
   private val q6Sql =
     """WITH day_sums AS (
       |  SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
-      |         sum(value) AS day_sum
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS day_sum
       |  FROM events
       |  WHERE ts >= TIMESTAMP '2024-01-07 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
       |  GROUP BY 1, 2)
-      |SELECT user_id, sum(day_sum)/7.0 AS wma,
-      |       coalesce(stddev_pop(day_sum), 0) AS wmasd
+      |SELECT user_id,
+      |  CAST(sum(day_sum) AS DOUBLE)/7.0 AS wma,
+      |  sqrt(greatest(
+      |    CAST(sum(day_sum*day_sum) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+      |      - (CAST(sum(day_sum) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+      |        * (CAST(sum(day_sum) AS DOUBLE)/CAST(count(*) AS DOUBLE)),
+      |    0)) AS wmasd
       |FROM day_sums GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------------
@@ -201,12 +236,14 @@ object FixtureQueries {
     eventsInWindow(spark, dir, gte, lt)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("b_count"), sum(col("value")).as("b_amount"))
-      .withColumn("avg_amount", safeDiv(col("b_amount"), col("b_count").cast("double")))
+      .agg(count(lit(1)).as("b_count"), sum(money(col("value"))).as("b_amount_d"))
+      .withColumn("avg_amount", safeDiv(col("b_amount_d"), col("b_count")))
+      .withColumn("b_amount", col("b_amount_d").cast("double")).drop("b_amount_d")
       .withColumn("is_risky",
         when(col("b_count") < 10, lit(0))
           .when(col("avg_amount") > 48.0, lit(1))
           .otherwise(lit(0)))
+      .select("user_id", "b_count", "b_amount", "avg_amount", "is_risky")
 
   private def riskSnapshotSql(gte: String, lt: String): String =
     s"""SELECT user_id, b_count, b_amount, avg_amount,
@@ -214,8 +251,11 @@ object FixtureQueries {
        |       WHEN avg_amount > 48.0 THEN 1
        |       ELSE 0 END AS is_risky
        |FROM (
-       |  SELECT user_id, count(*) AS b_count, sum(value) AS b_amount,
-       |         CASE WHEN count(*) = 0 THEN 0 ELSE sum(value)/count(*) END AS avg_amount
+       |  SELECT user_id, count(*) AS b_count,
+       |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS b_amount,
+       |         CASE WHEN count(*) = 0 THEN 0
+       |              ELSE CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+       |                   / CAST(count(*) AS DOUBLE) END AS avg_amount
        |  FROM events
        |  WHERE ts >= TIMESTAMP '$gte' AND ts < TIMESTAMP '$lt'
        |    AND event_type = 'purchase'
@@ -263,18 +303,21 @@ object FixtureQueries {
   // within a board) so no global single-partition sort at scale.
   // ---------------------------------------------------------------------------
   def q9Ranking(spark: SparkSession, dir: String): DataFrame = {
+    // ranking over the DOUBLE view of the exact sum on both sides, so rank
+    // order can never diverge from the emitted value
     val totals = eventsInWindow(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("value")).as("total_value"))
+      .agg(sum(money(col("value"))).cast("double").as("total_value"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("total_value").desc, col("user_id").asc)
     totals.withColumn("rank_no", row_number().over(w))
   }
 
   private val q9Sql =
-    s"""SELECT event_type, user_id, sum(value) AS total_value,
+    s"""SELECT event_type, user_id,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
        |  CAST(row_number() OVER (PARTITION BY event_type
-       |       ORDER BY sum(value) DESC, user_id ASC) AS INTEGER) AS rank_no
+       |       ORDER BY CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) DESC, user_id ASC) AS INTEGER) AS rank_no
        |FROM events
        |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
        |GROUP BY event_type, user_id""".stripMargin
@@ -296,10 +339,10 @@ object FixtureQueries {
     val daySums = ev
       .filter(inWindow(col("ts"), s"$regDay 00:00:00", "2024-01-03 00:00:00"))
       .groupBy(col("user_id"), col("event_type"))
-      .agg(sum(col("value")).as("day_value"))
+      .agg(sum(money(col("value"))).as("day_value"))
     daySums.join(newUsers, Seq("user_id"), "left_semi")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("reg_count"), sum(col("day_value")).as("value_sum"))
+      .agg(count(lit(1)).as("reg_count"), sum(col("day_value")).cast("double").as("value_sum"))
   }
 
   private val q10Sql =
@@ -307,11 +350,12 @@ object FixtureQueries {
        |  SELECT user_id FROM events GROUP BY user_id
        |  HAVING CAST(min(ts) AS DATE) = DATE '$regDay'),
        |day_sums AS (
-       |  SELECT user_id, event_type, sum(value) AS day_value
+       |  SELECT user_id, event_type, sum(CAST(value AS DECIMAL(12,2))) AS day_value
        |  FROM events
        |  WHERE ts >= TIMESTAMP '$regDay 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
        |  GROUP BY 1, 2)
-       |SELECT event_type, count(*) AS reg_count, sum(day_value) AS value_sum
+       |SELECT event_type, count(*) AS reg_count,
+       |  CAST(sum(day_value) AS DOUBLE) AS value_sum
        |FROM day_sums WHERE user_id IN (SELECT user_id FROM new_users)
        |GROUP BY event_type""".stripMargin
 
@@ -324,7 +368,7 @@ object FixtureQueries {
     def daySlice(day: String, next: String): DataFrame =
       eventsInWindow(spark, dir, s"$day 00:00:00", s"$next 00:00:00")
         .groupBy(col("user_id"))
-        .agg(sumIf(col("event_type") === "purchase", col("value")).as("in_amount"))
+        .agg(sumIf(col("event_type") === "purchase", money(col("value"))).cast("double").as("in_amount"))
     val a = daySlice("2024-01-02", "2024-01-03")
     val b = daySlice("2024-01-03", "2024-01-04")
     val oldTagged = a.select(lit("old").as("tag"), col("user_id"), col("in_amount"))
@@ -335,11 +379,11 @@ object FixtureQueries {
 
   private val q11Sql =
     """WITH a AS (
-      |  SELECT user_id, sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount
+      |  SELECT user_id, CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS in_amount
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-03 00:00:00'
       |  GROUP BY user_id),
       |b AS (
-      |  SELECT user_id, sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END) AS in_amount
+      |  SELECT user_id, CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS in_amount
       |  FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
       |  GROUP BY user_id)
       |SELECT 'old' AS tag, user_id, in_amount FROM a
@@ -431,13 +475,14 @@ object FixtureQueries {
         yyyymmdd(col("ts")).as("summary_date"),
         hour(col("ts")).as("hours"),
         date_trunc("hour", col("ts")).as("start_time"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("cnt"), sum(money(col("value"))).cast("double").as("value_sum"))
 
   private val q15Sql =
     s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
        |  CAST(extract(hour FROM ts) AS INTEGER) AS hours,
        |  date_trunc('hour', ts) AS start_time,
-       |  count(*) AS cnt, sum(value) AS value_sum
+       |  count(*) AS cnt,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
        |FROM events
        |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
        |GROUP BY 1, 2, 3""".stripMargin

@@ -25,21 +25,28 @@ object StreamingQueries {
       |  'C' || CAST(user_id % 4 AS VARCHAR) AS country,
       |  CASE WHEN event_type='purchase' THEN 'IN'
       |       WHEN event_type='view' THEN 'OUT' ELSE 'XFER' END AS trade_type,
-      |  value, value * 2 AS before_value, value * 0.9 AS after_value,
+      |  CAST(value AS DECIMAL(12,2)) AS value,
+      |  CAST(value AS DECIMAL(12,2)) * 2 AS before_value,
+      |  CAST(value AS DECIMAL(12,2)) * 0.9 AS after_value,
       |  CASE WHEN event_type='error' THEN 'FAIL' ELSE 'SUCCESS' END AS trade_status,
       |  ts AS trade_time
       |FROM events""".stripMargin
 
   def s1StreamFiveMin(spark: SparkSession, dir: String): DataFrame = {
-    // Stage the stream input once per (sf, session): a file-source stream
-    // needs a directory it can list.
-    // the stage key includes a binding version: bump it if the events->vlog
-    // mapping ever changes, or a stale staged copy would survive in /tmp
+    // Stage the stream input once per (sf, fixture mtime, binding version): a
+    // file-source stream needs a directory it can list. Bump the version if
+    // the events->vlog mapping changes; the mtime term invalidates the staged
+    // copy when the driver regenerates the fixture data.
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Throwable => 0L }
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_v1",
-      java.lang.Integer.toHexString(dir.hashCode))
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_v2",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
     val inDir = stage.resolve("in").toString
     if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      val v = graft.ops.Cols.money(col("value"))
       Tables.events(spark, dir).select(
         concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
         concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
@@ -47,7 +54,9 @@ object StreamingQueries {
         concat(lit("C"), (col("user_id") % 4).cast("string")).as("country"),
         when(col("event_type") === "purchase", "IN")
           .when(col("event_type") === "view", "OUT").otherwise("XFER").as("trade_type"),
-        col("value"), (col("value") * 2).as("before_value"), (col("value") * 0.9).as("after_value"),
+        v.as("value"),
+        (v * lit(2)).as("before_value"),
+        (v * lit(new java.math.BigDecimal("0.9"))).as("after_value"),
         when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
         col("ts").as("trade_time"))
         .write.mode("overwrite").parquet(inDir)
@@ -60,8 +69,11 @@ object StreamingQueries {
     val q = StreamingSummary.transFiveMinStream(stream)
       .writeStream.outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    spark.table(name).drop("start_time")
+    require(q.awaitTermination(300000),
+      "s1 stream timed out before AvailableNow drained — memory table would be partial")
+    val out = spark.table(name).drop("start_time")
+    Seq("trans_in_amount", "trans_out_amount", "trans_out_lost_amount")
+      .foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("double")))
   }
 
   private val s1Sql =
@@ -71,13 +83,13 @@ object StreamingQueries {
        |  CAST(extract(hour FROM slice_start) AS INTEGER) AS hours,
        |  CAST(extract(minute FROM slice_start) AS INTEGER) AS mins,
        |  platform, site_code, player_name, country,
-       |  sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS trans_in_amount,
-       |  sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_amount,
+       |  CAST(sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS DOUBLE) AS trans_in_amount,
+       |  CAST(sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_amount,
        |  count(*) FILTER (WHERE trade_type='IN') AS trans_in_count,
        |  count(*) FILTER (WHERE trade_type='OUT') AS trans_out_count,
-       |  sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
+       |  CAST(sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
-       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS trans_out_lost_amount
+       |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_lost_amount
        |FROM (SELECT *, TIMESTAMP '2024-01-01 00:00:00' +
        |        INTERVAL 5 MINUTE * CAST(floor((epoch(trade_time) - epoch(TIMESTAMP '2024-01-01 00:00:00'))/300) AS INTEGER)
        |        AS slice_start

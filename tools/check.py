@@ -5,7 +5,11 @@ Runs graft.Verify (via sbt) at a given SF, then replays each oracle SQL in
 DuckDB against the same fixture parquet and compares: row count, sorted-by-name
 columns, and values (doubles rounded). Usage:
 
-    python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+    python3 tools/check.py [sfdir] [outdir] [--skip-verify] [--exact]
+
+--exact demands BITWISE equality on float columns (no tolerance): the engine's
+aggregates are built on exact decimal arithmetic, so any bit diff vs the oracle
+is a real nondeterminism bug, the kind the driver's hash compare fails on.
 """
 import json, math, subprocess, sys
 from pathlib import Path
@@ -30,7 +34,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            if "--exact" not in sys.argv:
+                df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
@@ -79,10 +84,13 @@ def main():
             for c in got.columns:
                 g, w = got[c], want[c]
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
-                    bad = ~(
-                        (g.isna() & w.isna())
-                        | (abs(g - w) <= 1e-6 + 1e-9 * abs(w))
-                    )
+                    if "--exact" in sys.argv:
+                        bad = ~((g.isna() & w.isna()) | (g == w))
+                    else:
+                        bad = ~(
+                            (g.isna() & w.isna())
+                            | (abs(g - w) <= 1e-6 + 1e-9 * abs(w))
+                        )
                 else:
                     bad = ~((g.isna() & w.isna()) | (g == w))
                 if bad.any():
