@@ -16,7 +16,10 @@ object Bench {
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = Sessions.local(cpus.toInt, "graft-bench")
 
+    // SPARK_GRAFT_ONLY=q1_x,q2_y runs a subset (hotspot iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up pass (untimed)
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

@@ -58,7 +58,7 @@ object Dedup {
       bands: Int = 16, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = docs
+    val sig = graft.ops.Par.fanOut(docs)
       .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), numHashes))
@@ -87,7 +87,7 @@ object Dedup {
     * only). Explodes shingles and self-joins — mirrors the DuckDB oracle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+    val sh = graft.ops.Par.fanOut(docs).select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -118,7 +118,7 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, minContainment: Double = 0.7,
       maxDocFreq: Int = 25, minShared: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc_id"),
+    val fp = graft.ops.Par.fanOut(docs).select(col(idCol).as("doc_id"),
       graft.functions.HashFunctions.winnowing_fp(col(textCol)).as("fps"))
       .filter(size(col("fps")) > 0)
     val ex = fp.select(col("doc_id"), explode(col("fps")).as("f"))
@@ -151,7 +151,7 @@ object Dedup {
     * hamming check via bit_count(xor). */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc_id"), simHash(textCol).as("fp"))
+    val fp = graft.ops.Par.fanOut(docs).select(col(idCol).as("doc_id"), simHash(textCol).as("fp"))
     val chunked = fp.select(col("doc_id"), col("fp"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(fp, c * 16) & 65535)"))

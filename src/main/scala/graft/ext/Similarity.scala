@@ -21,22 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Brute-force exact top-k: for each query row, the k nearest corpus rows
-    * by cosine (self-match excluded). Queries are broadcast — the corpus is
-    * never shuffled, and the window partitions by query id only. */
   /** Exact cosine for every (query, corpus) pair except self-matches —
     * the scoring stage of [[cosineTopK]], exposed so callers can rank on a
     * transformed score (e.g. rounded for cross-engine-stable ordering)
-    * BEFORE any top-k cut. */
+    * BEFORE any top-k cut. Queries are broadcast — the corpus is never
+    * shuffled beyond the parallelism fan-out. */
   def cosineScores(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // the non-equi join is a nested loop streaming the corpus: fan the
+    // corpus out first or the whole pairwise scoring runs on one core
+    val c = graft.ops.Par.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Brute-force exact top-k: for each query row, the k nearest corpus rows
+    * by cosine (self-match excluded); per-query window top-k. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -73,13 +76,13 @@ object Similarity {
       tables: Int = 16, bits: Int = 6, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
 
-    def signed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val withSigs = (0 until tables).foldLeft(
-        df.select(col(idCol).as(id), col(vecCol).as(vec)))(
-        (d, t) => d.withColumn(s"_sig$t", hyperplaneSignature(col(vec), t, bits, dim)))
-      withSigs.select(col(id), col(vec),
-        posexplode(array((0 until tables).map(t => col(s"_sig$t")): _*)).as(Seq("table_id", "sig")))
-    }
+    // one HyperplaneSigs node computes every table's signature in a single
+    // compiled pass (plane literals in the plan made analysis the bottleneck)
+    def signed(df: DataFrame, id: String, vec: String): DataFrame =
+      graft.ops.Par.fanOut(df.select(col(idCol).as(id), col(vecCol).as(vec)))
+        .select(col(id), col(vec),
+          posexplode(graft.functions.VectorFunctions.hyperplane_sigs(col(vec), tables, bits, dim))
+            .as(Seq("table_id", "sig")))
 
     val qs = signed(queries, "query_id", "q_vec")
     val cs = signed(corpus, "neighbor_id", "c_vec")
@@ -105,9 +108,10 @@ object Similarity {
     * bucket join above is the scale path for the same predicate. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val a = graft.ops.Par.fanOut(
+      embeddings.select(col(idCol).as("vec_a"), col(vecCol).as("va")))
     val b = embeddings.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cosine", cosine_sim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
@@ -122,11 +126,11 @@ object Similarity {
   def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 6, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val signed = (0 until tables).foldLeft(
-      embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec")))(
-      (d, t) => d.withColumn(s"_sig$t", hyperplaneSignature(col("vec"), t, bits, dim)))
+    val signed = graft.ops.Par.fanOut(
+      embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("vec")))
       .select(col("vec_id"), col("vec"),
-        posexplode(array((0 until tables).map(t => col(s"_sig$t")): _*)).as(Seq("table_id", "sig")))
+        posexplode(graft.functions.VectorFunctions.hyperplane_sigs(col("vec"), tables, bits, dim))
+          .as(Seq("table_id", "sig")))
     val a = signed.select(col("table_id"), col("sig"), col("vec_id").as("vec_a"), col("vec").as("va"))
     val b = signed.select(col("table_id"), col("sig"), col("vec_id").as("vec_b"), col("vec").as("vb"))
     a.join(b, Seq("table_id", "sig"))

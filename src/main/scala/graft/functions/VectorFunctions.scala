@@ -114,6 +114,64 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH hyperplane signatures for one vector in a single compiled pass:
+  * returns `array<long>` of length `tables`, bit b of entry t = sign of
+  * dot(vec, plane(t,b)).
+  *
+  * Why custom: composing this from per-plane [[DotProduct]]s puts
+  * tables×bits expressions each carrying a dim-element literal array into
+  * the plan — analysis/optimization of that plan costs seconds per query
+  * (it dominated the LSH queries' wall time), and the literal planes are
+  * re-shipped with every plan. Here the planes are derived deterministically
+  * from the seed INSIDE the expression (same stream as Similarity.planes, so
+  * signatures are bit-identical to the composed form), the plan holds one
+  * node, and the scoring loop runs over primitive arrays.
+  *
+  * CodegenFallback like the hash kernels: the loop body is compiled Scala;
+  * surrounding operators still whole-stage-codegen.
+  */
+case class HyperplaneSigs(child: Expression, tables: Int, bits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  // [tables][bits*dim], plane b of table t at offset b*dim — the SAME draw
+  // order as Similarity.planes (Random(0xC0FFEE + t*7919), bits×dim draws).
+  @transient private lazy val planes: Array[Array[Float]] =
+    Array.tabulate(tables) { t =>
+      val rng = new scala.util.Random(0xC0FFEEL + t * 7919L)
+      Array.fill(bits * dim)((rng.nextDouble() * 2 - 1).toFloat)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val pl = planes(t)
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val off = b * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * pl(off + i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -122,6 +180,10 @@ object VectorFunctions {
   /** Column API: dot product of two array<float> columns. */
   def dot_product(a: Column, b: Column): Column =
     GraftExpressionBridge.column(DotProduct(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** Column API: all LSH table signatures (array<long>) for a vector. */
+  def hyperplane_sigs(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    GraftExpressionBridge.column(HyperplaneSigs(GraftExpressionBridge.expression(vec), tables, bits, dim))
 
   /** Register for SQL use (`SELECT cosine_sim(a, b) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

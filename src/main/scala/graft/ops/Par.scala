@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism repair for CPU-bound stages.
+  *
+  * Spark sizes scan parallelism by INPUT BYTES (`files.maxPartitionBytes`),
+  * which is the right call for I/O-bound plans but starves compute-heavy
+  * per-row operators: a few MB of documents or embeddings arrive as ONE
+  * partition, and everything until the first shuffle — shingling, minhash
+  * signatures, winnowing fingerprints, LSH hyperplane signatures, nested-loop
+  * pair scoring — runs on one core. The reference's workloads hit this shape
+  * constantly (small inputs, expensive per-row transforms).
+  *
+  * [[fanOut]] repartitions up to the session's default parallelism, and only
+  * when the input is BELOW it — at 100 TB a scan already carries thousands of
+  * partitions and this is a no-op (no shuffle inserted); on a small slice it
+  * converts a single-threaded stage into a full-width one for the cost of
+  * shuffling the small input once.
+  */
+object Par {
+
+  /** Repartition `df` to the session default parallelism if (and only if) its
+    * current plan yields fewer partitions. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

@@ -96,7 +96,7 @@ object ExtensionQueries {
   // x6 — language-ID confusion matrix (QX4: n-gram/stopword heuristic).
   // ---------------------------------------------------------------------------
   def x6LangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    graft.ops.Par.fanOut(Tables.documents(spark, dir))
       .withColumn("predicted", TextStats.langId(col("text")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("docs"))
