@@ -552,6 +552,49 @@ object FixtureQueries {
        |LEFT JOIN wm ON base.user_id = wm.user_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q19 — session windows: player activity sessionized with a 30-minute
+  // inactivity gap (the reference reconstructs "play sessions" by slicing
+  // fixed windows; session_window is the operator it lacked). Spark semantics:
+  // an event extends the session while it starts STRICTLY before prev_end
+  // (= prev_ts + gap); session_end = last_ts + gap. The oracle states the
+  // identical rule via gaps-and-islands (lag >= gap starts a new island).
+  // Scale: one shuffle on user_id; sessionization is a per-key merge —
+  // no cross-key state, no window over the full table.
+  // ---------------------------------------------------------------------------
+  def q19Sessions(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("value_sum"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
+  private val q19Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |marked AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sess AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked)
+       |SELECT user_id,
+       |  min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -571,7 +614,8 @@ object FixtureQueries {
     "q15_encodings" -> (q15Encodings _),
     "q16_anti_filter" -> (q16AntiFilter _),
     "q17_json" -> (q17Json _),
-    "q18_three_way" -> (q18ThreeWay _))
+    "q18_three_way" -> (q18ThreeWay _),
+    "q19_sessions" -> (q19Sessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -591,5 +635,6 @@ object FixtureQueries {
     "q15_encodings" -> q15Sql,
     "q16_anti_filter" -> q16Sql,
     "q17_json" -> q17Sql,
-    "q18_three_way" -> q18Sql)
+    "q18_three_way" -> q18Sql,
+    "q19_sessions" -> q19Sql)
 }

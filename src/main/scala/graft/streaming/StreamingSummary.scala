@@ -69,6 +69,74 @@ object StreamingSummary {
       }
       .start()
 
+  /** Player activity sessionized with an inactivity gap — the streaming twin
+    * of the batch q19 sessionization. Sessions merge as long as events arrive
+    * within `gap` of the running session end; a session is EMITTED (append
+    * mode) once the watermark passes its end, i.e. it can no longer grow.
+    * State per open session only — no cross-key state. */
+  def sessionStream(valueLog: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    valueLog
+      .filter(col("trade_status") === "SUCCESS")
+      .withColumn("trade_time", col("trade_time").cast("timestamp"))
+      .withWatermark("trade_time", watermark)
+      .groupBy(session_window(col("trade_time"), gap),
+        col("platform"), col("player_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(
+        col("platform"), col("player_name"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
+  /** Exactly-once-ish ingestion: drop replayed rows by business key while
+    * their event time is inside the watermark. The reference deduplicates by
+    * delete-before-insert on the SINK; this removes the duplicates on the
+    * SOURCE side, so at-least-once upstream delivery (log replay, producer
+    * retry) cannot double-count a trade. State is bounded by the watermark —
+    * keys older than it are forgotten (a replay older than the watermark is
+    * the batch rerun cascade's job instead). */
+  def dedupStream(log: DataFrame, keys: Seq[String], eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    log
+      .withColumn(eventTimeCol, col(eventTimeCol).cast("timestamp"))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: each wallet transfer paired with the same
+    * player's game rounds within ±`tolerance` — the "wallet movement near
+    * game activity" correlation the reference computes by re-querying both
+    * tables per task slice. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state for either side is
+    * dropped as soon as the other side's watermark passes the tolerance
+    * window (bounded state, append-only output). */
+  def transNearRoundsStream(trans: DataFrame, rounds: DataFrame,
+      tolerance: String = "5 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val t = trans
+      .filter(col("trade_status") === "SUCCESS")
+      .select(
+        col("platform").as("t_platform"), col("player_name").as("t_player"),
+        col("trade_type"), col("value").as("trade_value"),
+        col("trade_time").cast("timestamp").as("trade_time"))
+      .withWatermark("trade_time", watermark)
+    val r = rounds
+      .filter(col("is_robot") === 0)
+      .select(
+        col("platform").as("r_platform"), col("player_name").as("r_player"),
+        col("game_code"), col("bet"),
+        col("round_time").cast("timestamp").as("round_time"))
+      .withWatermark("round_time", watermark)
+    t.join(r,
+      col("t_platform") === col("r_platform") &&
+        col("t_player") === col("r_player") &&
+        col("round_time") >= col("trade_time") - expr(s"INTERVAL $tolerance") &&
+        col("round_time") <= col("trade_time") + expr(s"INTERVAL $tolerance"))
+      .select(
+        col("t_platform").as("platform"), col("t_player").as("player_name"),
+        col("trade_type"), col("trade_value"), col("trade_time"),
+        col("game_code"), col("bet"), col("round_time"))
+  }
+
   // --- stateful alert throttling ---------------------------------------------
 
   case class AlertInput(key: String, eventTimeMillis: Long, isRisky: Boolean)

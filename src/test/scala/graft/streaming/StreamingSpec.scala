@@ -63,6 +63,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(direct - streamed) < 1e-6)
   }
 
+  test("streaming sessionization emits exactly the batch sessions the watermark closed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val vlog = TestData.valueLog(spark)
+    vlog.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val q = StreamingSummary.sessionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("stream_sessions")
+
+    // batch reference: identical sessionization over the same log
+    val batch = vlog.filter(col("trade_status") === "SUCCESS")
+      .groupBy(session_window(col("trade_time").cast("timestamp"), "30 minutes"),
+        col("platform"), col("player_name"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("platform"), col("player_name"),
+        col("session_window.start").as("session_start"), col("n_events"))
+
+    assert(got.count() > 0, "no sessions emitted")
+    // append mode emits only watermark-finalized sessions -> got must be a
+    // subset of batch, and every emitted session must agree on n_events
+    val mismatched = got.alias("g").join(batch.alias("b"),
+      Seq("platform", "player_name", "session_start"), "left")
+      .filter(col("b.n_events").isNull || col("g.n_events") =!= col("b.n_events"))
+    assert(mismatched.isEmpty, "streamed session disagrees with batch sessionization")
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed rows by business key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val base = TestData.valueLog(spark)
+      .filter(col("trade_time") < lit("2024-01-02 00:00:00"))
+      .withColumn("trade_id",
+        xxhash64(col("player_name"), col("trade_time"), col("trade_type"), col("value")))
+      .dropDuplicates("trade_id")
+    val n = base.count()
+    // replay: every row delivered twice (at-least-once upstream)
+    base.unionAll(base).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val q = StreamingSummary.dedupStream(stream, Seq("trade_id"), "trade_time")
+      .writeStream.outputMode("append").format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("stream_dedup").count() === n,
+      "stream dedup must collapse the replay back to the original row count")
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    // keep it small: one day of wallet moves and game rounds
+    val trans = TestData.valueLog(spark).filter(col("trade_time") < lit("2024-01-02 00:00:00"))
+    val rounds = TestData.profitLog(spark).filter(col("round_time") < lit("2024-01-02 00:00:00"))
+    trans.write.mode("overwrite").parquet(s"$dir/t")
+    rounds.write.mode("overwrite").parquet(s"$dir/r")
+    val tStream = spark.readStream.schema(trans.schema).parquet(s"$dir/t")
+    val rStream = spark.readStream.schema(rounds.schema).parquet(s"$dir/r")
+
+    val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
+      .writeStream.outputMode("append").format("memory").queryName("stream_join")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000))
+    val got = spark.table("stream_join").count()
+
+    val want = StreamingSummary.transNearRoundsStream(
+      spark.read.parquet(s"$dir/t"), spark.read.parquet(s"$dir/r")).count()
+    assert(got === want, s"stream-stream join produced $got rows, batch $want")
+    assert(got > 0)
+  }
+
   test("alert throttle state function: cooldown, cap, reset (pure, no stream)") {
     import StreamingSummary._
     // Drive through the Dataset API in batch mode (same code path/planner as
