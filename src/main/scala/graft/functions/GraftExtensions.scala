@@ -35,7 +35,10 @@ object GraftFunctions {
     ("word_shingles", "word_shingles(text[, n]) - distinct word n-grams",
       exprs => WordShingles(exprs.head, intArg(exprs, 1, 3))),
     ("winnowing_fp", "winnowing_fp(text[, k[, w]]) - winnowing fingerprint set",
-      exprs => WinnowingFp(exprs.head, intArg(exprs, 1, 8), intArg(exprs, 2, 4))))
+      exprs => WinnowingFp(exprs.head, intArg(exprs, 1, 8), intArg(exprs, 2, 4))),
+    ("hyperplane_sigs", "hyperplane_sigs(vec[, tables[, bits[, dim]]]) - all LSH table signatures",
+      exprs => HyperplaneSigs(exprs.head,
+        intArg(exprs, 1, 16), intArg(exprs, 2, 6), intArg(exprs, 3, 64))))
 
   /** Register into a LIVE session's function registry. */
   def registerAll(spark: SparkSession): Unit =

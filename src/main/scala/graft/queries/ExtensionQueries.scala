@@ -242,8 +242,19 @@ object ExtensionQueries {
       .select(col("media_id"), col("kind"), col("feature_dim"), col("decode_ok"),
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
 
+  // ---------------------------------------------------------------------------
+  // x15 — embedding near-dup pairs via hyperplane LSH (the scale path for
+  // x10's exact quadratic scan; engine-hash planes -> rows-only check, recall
+  // vs x10 asserted in ScalaTest).
+  // ---------------------------------------------------------------------------
+  def x15EmbeddingPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairsLsh(Tables.embeddings(spark, dir), threshold = 0.0)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .filter(col("cosine") >= 0.4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_media_budget" -> (x11MediaBudget _),
+    "x15_embedding_pairs_lsh" -> (x15EmbeddingPairsLsh _),
     "x12_media_features" -> (x12MediaFeatures _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),

@@ -19,9 +19,17 @@ object ReportQueries {
     * Money columns are EXACT decimals from here on: the fixture values carry
     * ≤2dp so the cast is lossless, `value*2` and `value*0.9` are exact decimal
     * products, and every downstream sum — including the cancellation-heavy
-    * trans_out_lost_amount — is order-independent. */
-  private def valueLog(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    * trans_out_lost_amount — is order-independent.
+    *
+    * `window` pre-filters on the RAW nanosecond long (Tables.eventsInWindow)
+    * so the slice predicate reaches parquet row-group stats — at 100 TB the
+    * difference between scanning one hour and scanning the table. Since
+    * trade_time IS ts, pre-filtering to the slice window is semantically
+    * identical to the oracle filtering trade_time in SQL. */
+  private def valueLog(spark: SparkSession, dir: String,
+      window: Option[(String, String)] = None): DataFrame =
+    window.fold(Tables.events(spark, dir))(
+      w => Tables.eventsInWindow(spark, dir, w._1, w._2)).select(
       concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
       concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
       concat(lit("u"), col("user_id").cast("string")).as("player_name"),
@@ -128,7 +136,8 @@ object ReportQueries {
       .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
 
   def r1TransFiveMin(spark: SparkSession, dir: String): DataFrame =
-    transOut(TransSummary.fiveMin(valueLog(spark, dir), TaskSlice(
+    transOut(TransSummary.fiveMin(
+      valueLog(spark, dir, Some(("2024-01-05 08:00:00", "2024-01-05 09:00:00"))), TaskSlice(
       gte_time = java.sql.Timestamp.valueOf("2024-01-05 08:00:00"),
       lt_time = java.sql.Timestamp.valueOf("2024-01-05 09:00:00")))
       .drop("start_time")) // slice-constant; timestamp column adds no signal
@@ -218,7 +227,8 @@ object ReportQueries {
   // event time). Verifies the catch-up path the scheduler uses at scale.
   // ---------------------------------------------------------------------------
   def r3TransBackfill(spark: SparkSession, dir: String): DataFrame =
-    transOut(TransSummary.fiveMinRange(valueLog(spark, dir),
+    transOut(TransSummary.fiveMinRange(
+      valueLog(spark, dir, Some(("2024-01-05 00:00:00", "2024-01-05 06:00:00"))),
       "2024-01-05 00:00:00", "2024-01-05 06:00:00")
       .drop("start_time"))
 
@@ -248,7 +258,8 @@ object ReportQueries {
   // below) through the driver gate, not just in unit tests.
   // ---------------------------------------------------------------------------
   def r4TransMonthly(spark: SparkSession, dir: String): DataFrame = {
-    val fiveMin = TransSummary.fiveMinRange(valueLog(spark, dir),
+    val fiveMin = TransSummary.fiveMinRange(
+      valueLog(spark, dir, Some(("2024-01-01 00:00:00", "2024-02-01 00:00:00"))),
       "2024-01-01 00:00:00", "2024-02-01 00:00:00")
     // materialized-1d-tier equivalent: re-aggregate the 5min tier to day grain
     val dayTier = fiveMin.groupBy(

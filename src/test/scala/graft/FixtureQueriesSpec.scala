@@ -96,4 +96,25 @@ class FixtureQueriesSpec extends AnyFunSuite {
     val b = FixtureQueries.q13Watermark(spark, sf).orderBy("user_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("money aggregates are bit-identical under different partitionings") {
+    // The decimal-exact design promise: the same query returns the SAME BITS
+    // regardless of shuffle width / merge order. Float sums would fail this.
+    val probes = Seq("q1_trans_summary", "q2_player_summary", "q5_dim_enrich",
+      "q6_wma", "q19_sessions")
+    def runAll(parts: String): Map[String, Array[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try probes.map { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        name -> df.collect().map(_.toString).sorted
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val narrow = runAll("2")
+    val wide = runAll("17")
+    probes.foreach { name =>
+      assert(narrow(name).sameElements(wide(name)),
+        s"$name changed bits when shuffle partitions changed")
+    }
+  }
 }

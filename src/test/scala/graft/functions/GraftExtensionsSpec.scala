@@ -33,10 +33,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("the build-time extensions class wires every function builder") {
-    // Apply to a fresh SparkSessionExtensions and check it accepts all five
-    // injections (the SQL behavior of the builders is covered above).
+    // Apply to a fresh SparkSessionExtensions and check it accepts every
+    // injection (the SQL behavior of the builders is covered above).
     val ext = new SparkSessionExtensions
     (new GraftExtensions)(ext)
-    assert(GraftFunctions.all.map(_._1).distinct.size === 6)
+    assert(GraftFunctions.all.map(_._1).distinct.size === 7)
   }
 }
