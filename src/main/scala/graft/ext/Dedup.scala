@@ -104,9 +104,12 @@ object Dedup {
   }
 
   /** 3. SimHash: 64-bit fingerprint from token hashes — one compiled
-    * bit-vote pass per row (graft.functions.SimHash64), no shuffle. */
+    * bit-vote pass per row (graft.functions.SimHash64), no shuffle.
+    * Votes on the md5-low-64 token hash so a DuckDB oracle can rebuild the
+    * identical fingerprint (`md5_number_lower`); the hamming-radius result
+    * depends on the hash BITS, not just its collision structure. */
   def simHash(textColName: String): Column =
-    graft.functions.HashFunctions.simhash64(split(trim(col(textColName)), " "))
+    graft.functions.HashFunctions.simhash64(split(trim(col(textColName)), " "), md5Bits = true)
 
   /** Winnowing containment candidates: pairs whose shared winnowing
     * fingerprints (graft.functions.WinnowingFp — rolling k-gram hashes,

@@ -42,6 +42,26 @@ object HashKernels {
 
   def hashString(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5 exactly as DuckDB's `md5_number_lower`: the LAST
+    * 8 digest bytes interpreted little-endian. Slower than XXH64 but lets a
+    * SQL oracle reproduce the identical bit pattern — used where the hash
+    * BITS (not just collision structure) decide the result, e.g. SimHash
+    * bit votes. */
+  def md5Lo64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (digest(i) & 0xFFL); i -= 1 }
+    h
+  }
 }
 
 /** MinHash signature: array<string> shingles -> array<long> of k minima. */
@@ -74,8 +94,14 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** SimHash: array<string> tokens -> 64-bit fingerprint (bit-vote). */
-case class SimHash64(child: Expression)
+/** SimHash: array<string> tokens -> 64-bit fingerprint (bit-vote).
+  *
+  * `md5Bits = true` votes on the DuckDB-reproducible md5-low-64 token hash
+  * (oracle parity: the fingerprint BITS decide which pairs land within the
+  * hamming radius, so equality-only hash parity is not enough); `false`
+  * keeps the faster XXH64 for pure engine-side use.
+  */
+case class SimHash64(child: Expression, md5Bits: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -86,7 +112,9 @@ case class SimHash64(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = HashKernels.hashString(arr.getUTF8String(i))
+      val h =
+        if (md5Bits) HashKernels.md5Lo64(arr.getUTF8String(i))
+        else HashKernels.hashString(arr.getUTF8String(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -118,8 +146,8 @@ object HashFunctions {
     GraftExpressionBridge.column(WinnowingFp(GraftExpressionBridge.expression(text), k, window))
 
   /** 64-bit SimHash of an array<string> token column. */
-  def simhash64(tokens: Column): Column =
-    GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens)))
+  def simhash64(tokens: Column, md5Bits: Boolean = false): Column =
+    GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens), md5Bits))
 }
 
 /** Word n-gram shingle set: string -> array<string> of distinct n-grams.

@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
 /** Extension operators (training-data pipeline surface): deduplication,
   * similarity search, text analysis — each bound to the documents/embeddings
   * fixtures with a DuckDB oracle where SQL can express the semantics.
-  * x3/x4/x9 use engine-specific hashing (xxhash64) so they get rows-only
-  * checks — except x3, whose exact-jaccard VERIFICATION step makes its output
-  * equal to the exact pair query (LSH miss probability at j>=0.8 with 16
-  * bands of 4 is (1-j^4)^16 < 4e-8), so it shares x2's oracle.
+  *
+  * Oracle strategy for hash-dependent ops: x3 shares x2's oracle because its
+  * exact-jaccard VERIFICATION step makes the output equal to the exact pair
+  * query (LSH miss probability at j>=0.8 with 16 bands of 4 is
+  * (1-j^4)^16 < 4e-8); x4 votes on md5-low-64 (= DuckDB md5_number_lower);
+  * x12/x14 replay the engine's integer hash arithmetic in HUGEINT mod-2^64
+  * SQL. Only the ANN paths (x9/x13) and hyperplane LSH (x15) stay rows-only:
+  * their candidate sets are approximation-defined, so specs assert recall
+  * against the exact twins (x8/x10) instead.
   */
 object ExtensionQueries {
 
@@ -59,11 +64,31 @@ object ExtensionQueries {
     Dedup.nearDupMinhash(Tables.documents(spark, dir), jaccardThreshold)
 
   // ---------------------------------------------------------------------------
-  // x4 — SimHash near-dup candidates at hamming <= 3 (engine-hash specific:
-  // rows-only check; the recall property vs x2 is asserted in ScalaTest).
+  // x4 — SimHash near-dup candidates at hamming <= 3. The token hash is
+  // md5-low-64 (= DuckDB md5_number_lower) so the oracle rebuilds the exact
+  // fingerprint: per-bit votes over token hashes, fp bit set when votes > 0,
+  // then ALL pairs within hamming 3 (the engine's 16-bit-chunk pigeonhole
+  // join is exact for radius 3, so both sides enumerate the same pair set).
   // ---------------------------------------------------------------------------
   def x4SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(Tables.documents(spark, dir))
+
+  private val x4Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+      |hv AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hv, range(64) r(i) GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0::HUGEINT END)
+      |         AS UBIGINT) AS fp
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x5 — text stats per language (QX4).
@@ -189,11 +214,57 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------------------
   // x14 — winnowing containment pairs (rolling k-gram fingerprints, window
-  // minima; engine-hash specific -> rows-only; superset-of-x2 asserted in
-  // ScalaTest).
+  // minima). Oracled with NO engine change: the Rabin-Karp polynomial hash
+  // is linear, so the oracle rebuilds each k-gram hash as
+  // sum(codepoint * Base^(k-1-j)) mod 2^64 with precomputed power constants,
+  // converts to the signed-long bit pattern (the engine compares SIGNED
+  // longs when picking window minima), and replays winnowing + DF-cap +
+  // containment in SQL. Fixture text is BMP-only so charAt == codepoint.
   // ---------------------------------------------------------------------------
   def x14WinnowPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowingPairs(Tables.documents(spark, dir))
+
+  // Base = 1315423911 (WinnowingFp); constants below are Base^k mod 2^64 for
+  // k = 7..1. k-gram k=8, window w=4, maxDocFreq=25, minShared=3,
+  // minContainment=0.7 — keep in sync with Dedup.winnowingPairs defaults.
+  private val x14Sql =
+    """WITH cs AS (
+      |  SELECT doc_id, CAST([unicode(c) FOR c IN string_split(text, '')] AS HUGEINT[]) AS cps
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(cps) < 8 THEN []::BIGINT[]
+      |    ELSE [
+      |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+      |      FOR h IN [
+      |        (cps[i] * 7338767820243804503::HUGEINT + cps[i+1] * 10030938618205820369::HUGEINT
+      |         + cps[i+2] * 3132446466301724359::HUGEINT + cps[i+3] * 9116066114394809057::HUGEINT
+      |         + cps[i+4] * 5531498854692111159::HUGEINT + cps[i+5] * 1730340065630535921::HUGEINT
+      |         + cps[i+6] * 1315423911::HUGEINT + cps[i+7]) % 18446744073709551616::HUGEINT
+      |        FOR i IN range(1, len(cps) - 8 + 2)]
+      |    ] END AS grams
+      |  FROM cs),
+      |fp AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(grams) <= 4 THEN [list_aggregate(grams, 'min')]
+      |         ELSE [list_aggregate(grams[j:j+3], 'min') FOR j IN range(1, len(grams) - 4 + 2)]
+      |    END) AS fps
+      |  FROM g WHERE len(grams) > 0),
+      |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp WHERE len(fps) > 0),
+      |rare AS (SELECT f FROM ex GROUP BY f HAVING count(DISTINCT doc_id) <= 25),
+      |exr AS (SELECT ex.doc_id, ex.f FROM ex JOIN rare USING (f)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      |  FROM exr a JOIN exr b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared_fps,
+      |  CAST(shared_fps AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(shared_fps AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7
+      |  AND shared_fps >= 3""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x10 — embedding near-dup pairs above a cosine threshold.
@@ -233,14 +304,40 @@ object ExtensionQueries {
       |FROM media GROUP BY kind""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // x12 — multimodal decode stage (stub codec -> deterministic features;
-  // rows-only check: the codec is engine-side by design).
+  // x12 — multimodal decode stage (stub codec -> deterministic features).
+  // Oracled with NO engine change: FakeCodec is a 31-base rolling hash of the
+  // payload bytes seeding one xorshift64* step; the oracle replays both in
+  // HUGEINT mod-2^64 arithmetic (fixture text is ASCII so payload bytes ==
+  // codepoints) down to the same float divide, bit for bit.
   // ---------------------------------------------------------------------------
   def x12MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.decodeFeatures(
       graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir)))
       .select(col("media_id"), col("kind"), col("feature_dim"), col("decode_ok"),
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+
+  private val x12Sql =
+    """WITH cs AS (
+      |  SELECT doc_id, CAST([unicode(c) FOR c IN string_split(text, '')] AS HUGEINT[]) AS cps
+      |  FROM documents),
+      |sd AS (
+      |  SELECT doc_id, len(cps) > 0 AS ok,
+      |    list_reduce(list_prepend(1125899906842597::HUGEINT, cps),
+      |      (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)::UBIGINT AS seed
+      |  FROM cs),
+      |x1 AS (SELECT doc_id, ok, xor(seed, seed >> 12) AS x FROM sd),
+      |x2 AS (SELECT doc_id, ok, xor(x, ((x::HUGEINT * 33554432) % 18446744073709551616::HUGEINT)::UBIGINT) AS x FROM x1),
+      |x3 AS (SELECT doc_id, ok, xor(x, x >> 27) AS x FROM x2),
+      |f AS (SELECT doc_id, ok,
+      |  ((x::HUGEINT * 2685821657736338717) % 18446744073709551616::HUGEINT)::UBIGINT >> 11 AS v
+      |  FROM x3)
+      |SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(64 AS INTEGER) AS feature_dim,
+      |  ok AS decode_ok,
+      |  CASE WHEN ok THEN round(CAST(CAST(v AS FLOAT) / CAST(9007199254740992 AS FLOAT)
+      |                               - CAST(0.5 AS FLOAT) AS DOUBLE), 6) END AS f0
+      |FROM f""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x15 — embedding near-dup pairs via hyperplane LSH (the scale path for
@@ -271,12 +368,15 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x11_media_budget" -> x11Sql,
+    "x12_media_features" -> x12Sql,
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)
+    "x4_simhash_pairs" -> x4Sql,
     "x5_text_stats" -> x5Sql,
     "x6_lang_id" -> x6Sql,
     "x7_fingerprints" -> x7Sql,
     "x8_knn_brute" -> x8Sql,
+    "x14_winnow_pairs" -> x14Sql,
     "x10_embedding_pairs" -> x10Sql)
 }
