@@ -595,6 +595,90 @@ object FixtureQueries {
        |FROM sess GROUP BY user_id, sid""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q20 — as-of join: each purchase attributed to the user's latest STRICTLY
+  // earlier view event (last-touch attribution — the point-in-time lookup
+  // the reference's row-at-a-time scripts do with correlated reads). Runs as
+  // graft.ops.AsOfJoin: union + one keyed window scan, a single shuffle on
+  // user_id — no range join, no per-row probe. The oracle states the same
+  // total order (ts, purchase-before-view at equal ts, event_id) with
+  // last_value IGNORE NULLS.
+  // ---------------------------------------------------------------------------
+  def q20AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsInWindow(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"), col("value").as("view_value"))
+    graft.ops.AsOfJoin.asOfLeft(purchases, views, Seq("user_id"),
+      leftTime = "purchase_ts", rightTime = "view_ts",
+      payload = Seq("view_id", "view_ts", "view_value"),
+      strict = true, tieBreak = Seq("view_id"))
+  }
+
+  private val q20Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, ts, user_id, event_type, value FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |    AND event_type IN ('view', 'purchase')),
+       |u AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+       |  FROM e),
+       |w AS (
+       |  SELECT user_id, ts, event_id, value, side,
+       |    last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS) OVER win AS view_id,
+       |    last_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER win AS view_ts,
+       |    last_value(CASE WHEN side = 1 THEN value END IGNORE NULLS) OVER win AS view_value
+       |  FROM u
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       |  value AS purchase_value, view_id, view_ts, view_value
+       |FROM w WHERE side = 0""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q21 — banded range join: views per purchase in the preceding 10 minutes
+  // (graft.ops.RangeJoin: time bucketed into the equi-join key, one hash
+  // shuffle, each pair produced once — the batch twin of the stream-stream
+  // interval join). Sum is decimal-cast before aggregation so the result is
+  // bit-deterministic at any parallelism.
+  // ---------------------------------------------------------------------------
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsInWindow(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+    val pairs = graft.ops.RangeJoin.precedingPairs(purchases, views,
+      Seq("user_id"), "purchase_ts", "view_ts", lookbackSec = 600,
+      payload = Seq("view_value"))
+    val agg = pairs.groupBy(col("purchase_id")).agg(
+      count(lit(1)).as("views_10m"),
+      sum(money(col("view_value"))).as("_sum"))
+    purchases.join(agg, Seq("purchase_id"), "left").select(
+      col("purchase_id"), col("user_id"), col("purchase_ts"),
+      coalesce(col("views_10m"), lit(0L)).as("views_10m"),
+      coalesce(col("_sum").cast("double"), lit(0.0)).as("view_value_10m"))
+  }
+
+  private val q21Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, ts, user_id, event_type, value FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+       |      FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+       |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       |  count(v.ts) AS views_10m,
+       |  CAST(coalesce(sum(CAST(v.value AS DECIMAL(12,2))), 0) AS DOUBLE) AS view_value_10m
+       |FROM p LEFT JOIN v ON v.user_id = p.user_id
+       |  AND v.ts >= p.purchase_ts - INTERVAL 10 MINUTE AND v.ts < p.purchase_ts
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -615,7 +699,9 @@ object FixtureQueries {
     "q16_anti_filter" -> (q16AntiFilter _),
     "q17_json" -> (q17Json _),
     "q18_three_way" -> (q18ThreeWay _),
-    "q19_sessions" -> (q19Sessions _))
+    "q19_sessions" -> (q19Sessions _),
+    "q20_asof" -> (q20AsOf _),
+    "q21_range_join" -> (q21RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -636,5 +722,7 @@ object FixtureQueries {
     "q16_anti_filter" -> q16Sql,
     "q17_json" -> q17Sql,
     "q18_three_way" -> q18Sql,
-    "q19_sessions" -> q19Sql)
+    "q19_sessions" -> q19Sql,
+    "q20_asof" -> q20Sql,
+    "q21_range_join" -> q21Sql)
 }
