@@ -679,6 +679,39 @@ object FixtureQueries {
        |GROUP BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q22 — exact percentile distribution report: token-count quartiles per
+  // language over documents (curation dashboards need distribution cuts, not
+  // just means). Spark's exact `percentile` and DuckDB's `quantile_cont`
+  // share the linear-interpolation definition; inputs are integers (exactly
+  // representable), so the interpolated values agree bitwise. At 100 TB the
+  // exact aggregate holds per-group sorted state — swap to approx_percentile
+  // for one-pass sketching when groups stop fitting; the column API is the
+  // same shape.
+  // ---------------------------------------------------------------------------
+  def q22Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val f = graft.ext.TextStats.qualityFeatures(Tables.documents(spark, dir))
+    f.groupBy(col("lang")).agg(
+      count(lit(1)).as("docs"),
+      percentile(col("token_count"), lit(0.25)).as("p25_tokens"),
+      percentile(col("token_count"), lit(0.5)).as("p50_tokens"),
+      percentile(col("token_count"), lit(0.75)).as("p75_tokens"),
+      max(col("token_count")).as("max_tokens"))
+  }
+
+  private val q22Sql =
+    """WITH f AS (
+      |  SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |  FROM documents)
+      |SELECT lang, count(*) AS docs,
+      |  quantile_cont(token_count, 0.25) AS p25_tokens,
+      |  quantile_cont(token_count, 0.5) AS p50_tokens,
+      |  quantile_cont(token_count, 0.75) AS p75_tokens,
+      |  max(token_count) AS max_tokens
+      |FROM f GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -701,7 +734,8 @@ object FixtureQueries {
     "q18_three_way" -> (q18ThreeWay _),
     "q19_sessions" -> (q19Sessions _),
     "q20_asof" -> (q20AsOf _),
-    "q21_range_join" -> (q21RangeJoin _))
+    "q21_range_join" -> (q21RangeJoin _),
+    "q22_quantiles" -> (q22Quantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -724,5 +758,6 @@ object FixtureQueries {
     "q18_three_way" -> q18Sql,
     "q19_sessions" -> q19Sql,
     "q20_asof" -> q20Sql,
-    "q21_range_join" -> q21Sql)
+    "q21_range_join" -> q21Sql,
+    "q22_quantiles" -> q22Sql)
 }
