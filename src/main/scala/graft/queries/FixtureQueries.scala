@@ -617,7 +617,8 @@ object FixtureQueries {
       strict = true, tieBreak = Seq("view_id"))
   }
 
-  private val q20Sql =
+  // shared with the streaming twin s2_stream_asof (StreamingQueries)
+  private[queries] val q20Sql =
     s"""WITH e AS (
        |  SELECT event_id, ts, user_id, event_type, value FROM events
        |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'

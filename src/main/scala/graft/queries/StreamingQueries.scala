@@ -96,9 +96,57 @@ object StreamingQueries {
        |      FROM vlog WHERE trade_status = 'SUCCESS')
        |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  /** Streaming as-of attribution (q20's twin): purchases attributed to the
+    * last strictly-earlier view via flatMapGroupsWithState — one LastView
+    * row of state per user. Shares q20's DuckDB oracle: the state replay
+    * follows the same (ts, purchase-first, event_id) total order, so the
+    * streaming output equals the batch as-of join bit for bit. All staged
+    * files are delivered in one AvailableNow batch (no maxFilesPerTrigger
+    * cap), so in-batch ordering covers the replay; cross-batch carry is
+    * asserted at the state-function level in StreamingSpec. */
+  def s2StreamAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_asof_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      graft.Tables.eventsInWindow(spark, dir, "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(
+          col("user_id").as("userId"), col("event_id").as("eventId"),
+          unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+          (col("event_type") === "purchase").as("isPurchase"), col("value"))
+        .write.mode("overwrite").parquet(inDir)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+      .as[graft.streaming.StreamingSummary.AttrEvent]
+    val name = "graft_s2_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = graft.streaming.StreamingSummary.attributionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "s2 stream timed out before AvailableNow drained — memory table would be partial")
+    spark.table(name).select(
+      col("purchase_id"), col("user_id"),
+      timestamp_micros(col("purchase_ts_us")).cast("timestamp_ntz").as("purchase_ts"),
+      col("purchase_value"),
+      col("view_id"),
+      timestamp_micros(col("view_ts_us")).cast("timestamp_ntz").as("view_ts"),
+      col("view_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_stream_5min" -> (s1StreamFiveMin _))
+    "s1_stream_5min" -> (s1StreamFiveMin _),
+    "s2_stream_asof" -> (s2StreamAsOf _))
 
   val oracleSql: Map[String, String] = Map(
-    "s1_stream_5min" -> s1Sql)
+    "s1_stream_5min" -> s1Sql,
+    "s2_stream_asof" -> FixtureQueries.q20Sql)
 }

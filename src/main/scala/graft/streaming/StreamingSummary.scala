@@ -176,4 +176,49 @@ object StreamingSummary {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         throttleFn(cooldownMinutes, alertLimit))
   }
+
+  // --- streaming as-of attribution -------------------------------------------
+
+  case class AttrEvent(userId: Long, eventId: Long, tsMicros: Long,
+      isPurchase: Boolean, value: Double)
+  case class LastView(viewId: Long, tsMicros: Long, value: Double)
+  case class AttrOut(purchase_id: Long, user_id: Long, purchase_ts_us: Long,
+      purchase_value: Double, view_id: Option[Long], view_ts_us: Option[Long],
+      view_value: Option[Double])
+
+  /** The streaming twin of graft.ops.AsOfJoin (q20): each purchase attributed
+    * to the user's latest STRICTLY earlier view, as per-key running state
+    * instead of a window scan. State is ONE row per user (the last view seen)
+    * — constant per key, no time-proportional buffering. Within a batch,
+    * events are replayed in the same total order the batch as-of uses
+    * (ts, purchase-before-view at equal ts, event_id); across batches the
+    * watermark discipline delivers event time monotonically, and a
+    * regression guard keeps a stale view from overwriting a newer one. */
+  def attributionFn(userId: Long, rows: Iterator[AttrEvent],
+      state: GroupState[LastView]): Iterator[AttrOut] = {
+    var st = state.getOption
+    val out = rows.toSeq
+      .sortBy(e => (e.tsMicros, if (e.isPurchase) 0 else 1, e.eventId))
+      .flatMap { e =>
+        if (e.isPurchase)
+          Some(AttrOut(e.eventId, userId, e.tsMicros, e.value,
+            st.map(_.viewId), st.map(_.tsMicros), st.map(_.value)))
+        else {
+          if (st.forall(s => s.tsMicros < e.tsMicros ||
+              (s.tsMicros == e.tsMicros && s.viewId <= e.eventId)))
+            st = Some(LastView(e.eventId, e.tsMicros, e.value))
+          None
+        }
+      }
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** Wire attribution into a (streaming or batch) Dataset[AttrEvent]. */
+  def attributionStream(events: Dataset[AttrEvent]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attributionFn)
+  }
 }

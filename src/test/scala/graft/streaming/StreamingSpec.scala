@@ -158,4 +158,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(true, false, true, true, true, true, false, false, true))
     assert(out.last.alertCount === 1)
   }
+
+  test("attribution state function: strict order, equal-ts exclusion, cross-batch carry") {
+    import StreamingSummary._
+    // batch 1: view@10, purchase@20 (-> view 1), purchase@10 equal-ts (strict: NOT the @10 view? no —
+    // the purchase at ts 10 sorts BEFORE the view at ts 10, so it sees no view)
+    class FakeState(var v: Option[LastView]) extends org.apache.spark.sql.streaming.GroupState[LastView] {
+      override def exists: Boolean = v.isDefined
+      override def get: LastView = v.get
+      override def getOption: Option[LastView] = v
+      override def update(s: LastView): Unit = v = Some(s)
+      override def remove(): Unit = v = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val st = new FakeState(None)
+    val b1 = Seq(
+      AttrEvent(7L, 100L, 10L, isPurchase = false, 1.5), // view@10
+      AttrEvent(7L, 101L, 20L, isPurchase = true, 9.0),  // purchase@20 -> view 100
+      AttrEvent(7L, 102L, 10L, isPurchase = true, 8.0))  // purchase@10 (equal ts) -> none (strict)
+    val out1 = attributionFn(7L, b1.iterator, st).toSeq
+    assert(out1.find(_.purchase_id == 101L).get.view_id === Some(100L))
+    assert(out1.find(_.purchase_id == 102L).get.view_id === None)
+    assert(st.v === Some(LastView(100L, 10L, 1.5)))
+    // batch 2: state carries; a purchase with no new view attributes to the
+    // batch-1 view, a newer view then takes over; a stale (older-ts) view
+    // must NOT regress the state
+    val b2 = Seq(
+      AttrEvent(7L, 200L, 30L, isPurchase = true, 1.0),  // -> view 100 (carried)
+      AttrEvent(7L, 201L, 40L, isPurchase = false, 2.5), // view@40
+      AttrEvent(7L, 202L, 50L, isPurchase = true, 1.0))  // -> view 201
+    val out2 = attributionFn(7L, b2.iterator, st).toSeq
+    assert(out2.find(_.purchase_id == 200L).get.view_id === Some(100L))
+    assert(out2.find(_.purchase_id == 202L).get.view_id === Some(201L))
+    val stale = Seq(AttrEvent(7L, 300L, 5L, isPurchase = false, 0.1))
+    attributionFn(7L, stale.iterator, st).toSeq
+    assert(st.v.get.viewId === 201L) // regression guard held
+  }
 }
