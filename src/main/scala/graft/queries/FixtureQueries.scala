@@ -713,6 +713,28 @@ object FixtureQueries {
       |FROM f GROUP BY lang""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q23 — distinct users per event_type × day (daily-active-users shape).
+  // Exact countDistinct: Spark plans it as a two-phase aggregate (map-side
+  // partial dedup of (group, user) pairs, then the count after the shuffle)
+  // — the shuffle carries distinct pairs only, not raw events. At 100 TB the
+  // sketching swap is approx_count_distinct (HLL++, one pass, mergeable
+  // across partitions, fixed-size state); FixtureQueriesSpec asserts the
+  // sketch lands within 5% of this exact result on the fixture.
+  // ---------------------------------------------------------------------------
+  def q23Distinct(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(col("event_type"), yyyymmdd(col("ts")).as("summary_date"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  private val q23Sql =
+    s"""SELECT event_type, CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -736,7 +758,8 @@ object FixtureQueries {
     "q19_sessions" -> (q19Sessions _),
     "q20_asof" -> (q20AsOf _),
     "q21_range_join" -> (q21RangeJoin _),
-    "q22_quantiles" -> (q22Quantiles _))
+    "q22_quantiles" -> (q22Quantiles _),
+    "q23_distinct" -> (q23Distinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -760,5 +783,6 @@ object FixtureQueries {
     "q19_sessions" -> q19Sql,
     "q20_asof" -> q20Sql,
     "q21_range_join" -> q21Sql,
-    "q22_quantiles" -> q22Sql)
+    "q22_quantiles" -> q22Sql,
+    "q23_distinct" -> q23Sql)
 }

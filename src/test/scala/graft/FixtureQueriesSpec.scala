@@ -117,4 +117,23 @@ class FixtureQueriesSpec extends AnyFunSuite {
         s"$name changed bits when shuffle partitions changed")
     }
   }
+
+  test("approx_count_distinct sketch lands within 5% of q23's exact counts") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("q23_distinct")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("summary_date")) ->
+        r.getAs[Long]("n_users")).toMap
+    val approx = graft.Tables.eventsInWindow(spark, sf,
+        "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+      .groupBy(col("event_type"), graft.ops.Cols.yyyymmdd(col("ts")).as("summary_date"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("summary_date")) ->
+        r.getAs[Long]("n_users_approx")).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
 }
