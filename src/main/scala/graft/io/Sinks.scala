@@ -58,6 +58,38 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Compact the small files a micro-batched cascade accumulates: rewrite
+    * the named partitions of a slice-partitioned table into `filesPerPartition`
+    * right-sized files each, preserving rows exactly.
+    *
+    * Why this exists: the 5-min tier commits every trigger, so one day of one
+    * table is up to 288 commits — at 100 TB that is millions of KB-sized
+    * files, and scan planning (footer reads, task scheduling) starts to cost
+    * more than the scan. Compaction reads ONLY the partitions named (pruned
+    * scan), repartitions within each, and swaps them back in with the same
+    * dynamic-partition overwrite the cascade itself uses, so a compaction is
+    * idempotent and concurrent slices stay untouched. localCheckpoint
+    * materializes the rows before the overwrite replaces the files being
+    * read (same read-overwrite hazard as the rtp ledger merge).
+    *
+    * Run it behind the live writer (e.g. compact day D-1 while D streams in)
+    * — partition-granular swaps mean readers never see a partial partition.
+    */
+  def compactSlices(spark: SparkSession, path: String, partitionCol: String,
+      partitionValues: Seq[Any], filesPerPartition: Int = 1): Unit = {
+    require(partitionValues.nonEmpty, "name the partitions to compact")
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    val df = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(partitionValues: _*))
+    // content-derived salt splits a partition into filesPerPartition files
+    // deterministically (constant 0 when filesPerPartition = 1)
+    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition))
+    val slice = df
+      .repartition(filesPerPartition * partitionValues.size, col(partitionCol), salt)
+      .localCheckpoint()
+    overwriteSlices(slice, path, Seq(partitionCol))
+  }
+
   /** S6: existence probe — the reference's `SELECT 1 ... LIMIT 1` upsert
     * predicate (player_ranking…py:77-88). */
   def exists(df: DataFrame): Boolean = !df.limit(1).isEmpty

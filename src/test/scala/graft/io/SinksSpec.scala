@@ -61,4 +61,28 @@ class SinksSpec extends AnyFunSuite {
     assert(df.isEmpty)
     assert(df.schema === graft.etl.Schemas.taskBoard)
   }
+
+  test("compactSlices collapses a partition's small files, preserves rows, leaves other partitions alone") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate many micro-batch commits into day 1 + one commit into day 2
+    (1 to 6).foreach { i =>
+      Sinks.append(Seq((20240101, i.toLong, s"u$i")).toDF("summary_date", "v", "who"),
+        base, Seq("summary_date"))
+    }
+    Sinks.append(Seq((20240102, 99L, "z")).toDF("summary_date", "v", "who"),
+      base, Seq("summary_date"))
+    def files(day: Int) = new java.io.File(s"$base/summary_date=$day")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val day2FilesBefore = files(20240102)
+    assert(files(20240101) >= 6)
+
+    val before = spark.read.parquet(base).as[(Long, String, Int)].collect().toSet
+    Sinks.compactSlices(spark, base, "summary_date", Seq(20240101), filesPerPartition = 1)
+
+    assert(files(20240101) === 1, "day-1 files not compacted to one")
+    assert(files(20240102) === day2FilesBefore, "untouched partition was rewritten")
+    val after = spark.read.parquet(base).as[(Long, String, Int)].collect().toSet
+    assert(after === before, "compaction changed the row set")
+  }
 }
