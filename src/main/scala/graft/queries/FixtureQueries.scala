@@ -735,6 +735,55 @@ object FixtureQueries {
        |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q24 — pivoted daily report: event counts by day with one column per
+  // event_type. The pivot values are DECLARED (not discovered), which keeps
+  // the plan a single aggregate pass — Spark's value-discovering pivot runs
+  // an extra distinct job first, which at 100 TB is a full second scan. The
+  // oracle states the same thing as portable conditional sums.
+  // ---------------------------------------------------------------------------
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .groupBy(yyyymmdd(col("ts")).as("summary_date"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "view", "purchase", "error"))
+
+  private val q24Sql =
+    s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS summary_date,
+       |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+       |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+       |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       |  count(*) FILTER (WHERE event_type = 'error') AS "error"
+       |FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Q25 — multi-dimensional rollup via cube: event counts and decimal-exact
+  // value sums for every combination of (event_type, day-of-week), with
+  // grouping_id distinguishing the aggregation levels (the reporting shape a
+  // cascade of separate GROUP BYs would otherwise recompute from base data
+  // four times — cube shares one scan). Oracle: DuckDB CUBE + GROUPING.
+  // ---------------------------------------------------------------------------
+  def q25Cube(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .withColumn("dow", dayofweek(col("ts")))
+      .cube(col("event_type"), col("dow"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("value_sum"))
+
+  private val q25Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, value
+       |  FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1')
+       |SELECT event_type, dow,
+       |  CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT) AS gid,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+       |FROM e GROUP BY CUBE (event_type, dow)""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -759,7 +808,9 @@ object FixtureQueries {
     "q20_asof" -> (q20AsOf _),
     "q21_range_join" -> (q21RangeJoin _),
     "q22_quantiles" -> (q22Quantiles _),
-    "q23_distinct" -> (q23Distinct _))
+    "q23_distinct" -> (q23Distinct _),
+    "q24_pivot" -> (q24Pivot _),
+    "q25_cube" -> (q25Cube _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -784,5 +835,7 @@ object FixtureQueries {
     "q20_asof" -> q20Sql,
     "q21_range_join" -> q21Sql,
     "q22_quantiles" -> q22Sql,
-    "q23_distinct" -> q23Sql)
+    "q23_distinct" -> q23Sql,
+    "q24_pivot" -> q24Sql,
+    "q25_cube" -> q25Sql)
 }
