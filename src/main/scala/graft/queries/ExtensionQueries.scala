@@ -307,8 +307,10 @@ object ExtensionQueries {
   // x12 — multimodal decode stage (stub codec -> deterministic features).
   // Oracled with NO engine change: FakeCodec is a 31-base rolling hash of the
   // payload bytes seeding one xorshift64* step; the oracle replays both in
-  // HUGEINT mod-2^64 arithmetic (fixture text is ASCII so payload bytes ==
-  // codepoints) down to the same float divide, bit for bit.
+  // HUGEINT mod-2^64 arithmetic down to the same float divide, bit for bit.
+  // Bytes are recovered SIGNED from hex(encode(text)) — Java bytes are
+  // signed, so 0x80+ must fold negative and the mod must re-wrap — which
+  // keeps the oracle valid even if the fixture ever grows non-ASCII text.
   // ---------------------------------------------------------------------------
   def x12MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.decodeFeatures(
@@ -317,14 +319,23 @@ object ExtensionQueries {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
 
   private val x12Sql =
-    """WITH cs AS (
-      |  SELECT doc_id, CAST([unicode(c) FOR c IN string_split(text, '')] AS HUGEINT[]) AS cps
-      |  FROM documents),
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      |bs AS (
+      |  SELECT doc_id, [
+      |    CASE WHEN v >= 128 THEN v - 256 ELSE v END
+      |    FOR v IN [ (strpos('0123456789ABCDEF', h[2*i-1]) - 1) * 16
+      |               + (strpos('0123456789ABCDEF', h[2*i]) - 1)
+      |               FOR i IN range(1, length(h)//2 + 1)]
+      |  ]::HUGEINT[] AS bytes
+      |  FROM hx),
       |sd AS (
-      |  SELECT doc_id, len(cps) > 0 AS ok,
-      |    list_reduce(list_prepend(1125899906842597::HUGEINT, cps),
-      |      (a, c) -> (a * 31 + c) % 18446744073709551616::HUGEINT)::UBIGINT AS seed
-      |  FROM cs),
+      |  SELECT doc_id, len(bytes) > 0 AS ok,
+      |    list_reduce(list_prepend(1125899906842597::HUGEINT, bytes),
+      |      (a, c) -> ((a * 31 + c) % 18446744073709551616::HUGEINT
+      |                 + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT
+      |    )::UBIGINT AS seed
+      |  FROM bs),
       |x1 AS (SELECT doc_id, ok, xor(seed, seed >> 12) AS x FROM sd),
       |x2 AS (SELECT doc_id, ok, xor(x, ((x::HUGEINT * 33554432) % 18446744073709551616::HUGEINT)::UBIGINT) AS x FROM x1),
       |x3 AS (SELECT doc_id, ok, xor(x, x >> 27) AS x FROM x2),
