@@ -784,6 +784,50 @@ object FixtureQueries {
        |FROM e GROUP BY CUBE (event_type, dow)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // Q26 — star join (TPC-H Q5 shape): revenue per region × order priority
+  // through lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with
+  // the co-located-nation condition (customer and supplier in the same
+  // nation). The 100 TB plan shape: ONE shuffle pair for the fact⋈fact
+  // lineitem⋈orders join; customer shuffles to meet it; nation/region (and
+  // at fixture scale supplier) broadcast — the hierarchy dims never shuffle
+  // the fact table. Revenue is decimal-cast before summing for bit
+  // determinism.
+  // ---------------------------------------------------------------------------
+  def q26StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("o_orderpriority"))
+      .agg(
+        sum((money(col("l_extendedprice")) * (lit(new java.math.BigDecimal(1))
+          - money(col("l_discount")))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q26Sql =
+    """SELECT r_name AS region_name, o_orderpriority,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -810,7 +854,8 @@ object FixtureQueries {
     "q22_quantiles" -> (q22Quantiles _),
     "q23_distinct" -> (q23Distinct _),
     "q24_pivot" -> (q24Pivot _),
-    "q25_cube" -> (q25Cube _))
+    "q25_cube" -> (q25Cube _),
+    "q26_star_join" -> (q26StarJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -837,5 +882,6 @@ object FixtureQueries {
     "q22_quantiles" -> q22Sql,
     "q23_distinct" -> q23Sql,
     "q24_pivot" -> q24Sql,
-    "q25_cube" -> q25Sql)
+    "q25_cube" -> q25Sql,
+    "q26_star_join" -> q26Sql)
 }
