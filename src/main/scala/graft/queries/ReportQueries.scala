@@ -147,8 +147,8 @@ object ReportQueries {
        |SELECT platform, site_code, player_name, country,
        |  CAST(sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS DOUBLE) AS trans_in_amount,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_amount,
-       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
-       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  CAST(sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS BIGINT) AS trans_in_count,
+       |  CAST(sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS BIGINT) AS trans_out_count,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_lost_amount,
@@ -237,8 +237,8 @@ object ReportQueries {
        |SELECT platform, site_code, player_name, country,
        |  CAST(sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS DOUBLE) AS trans_in_amount,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_amount,
-       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
-       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  CAST(sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS BIGINT) AS trans_in_count,
+       |  CAST(sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS BIGINT) AS trans_out_count,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_lost_amount,
@@ -281,8 +281,8 @@ object ReportQueries {
        |SELECT platform, site_code, player_name, country,
        |  CAST(sum(CASE WHEN trade_type='IN' THEN value ELSE 0 END) AS DOUBLE) AS trans_in_amount,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_amount,
-       |  sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS trans_in_count,
-       |  sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS trans_out_count,
+       |  CAST(sum(CASE WHEN trade_type='IN' THEN 1 ELSE 0 END) AS BIGINT) AS trans_in_count,
+       |  CAST(sum(CASE WHEN trade_type='OUT' THEN 1 ELSE 0 END) AS BIGINT) AS trans_out_count,
        |  CAST(sum(CASE WHEN trade_type='OUT' THEN before_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN after_value ELSE 0 END)
        |    - sum(CASE WHEN trade_type='OUT' THEN value ELSE 0 END) AS DOUBLE) AS trans_out_lost_amount,

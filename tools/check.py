@@ -83,6 +83,22 @@ def main():
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
+                # The driver hashes typed values: Spark int64 vs a DuckDB
+                # HUGEINT (sum of ints) that pandas renders as float64 is a
+                # hash mismatch even when numerically equal. Surface it.
+                if (
+                    "--exact" in sys.argv
+                    and g.dtype.kind != w.dtype.kind
+                    and {g.dtype.kind, w.dtype.kind} <= {"i", "u", "f"}
+                    and "f" in {g.dtype.kind, w.dtype.kind}
+                ):
+                    print(
+                        f"FAIL {name}.{c}: dtype {g.dtype} vs {w.dtype} "
+                        "(int/float mix — driver hash would differ; "
+                        "CAST the oracle column)"
+                    )
+                    ok = False
+                    break
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
                     if "--exact" in sys.argv:
                         bad = ~((g.isna() & w.isna()) | (g == w))
