@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a sparse edge set — the clustering step of a
+  * near-dedup pipeline: LSH/minhash emits near-dup PAIRS, but keep/drop
+  * decisions need whole CLUSTERS (a~b, b~c => {a,b,c} keeps one doc even
+  * though a~c never scored above threshold).
+  *
+  * Algorithm: min-label propagation with pointer jumping. Every vertex
+  * starts labeled with itself; each round a vertex takes the minimum of
+  *   - its own label,
+  *   - its neighbors' labels (one-hop propagation along edges),
+  *   - its label's label (pointer jumping / path halving).
+  * The jump term contracts label chains geometrically, so convergence is
+  * O(log n) rounds rather than O(component diameter) — the property that
+  * makes this viable on a 1000-executor cluster where a long chain of
+  * near-dups would otherwise serialize into hundreds of shuffle rounds.
+  * Each round is two shuffles (edge join + min-aggregation); lineage is cut
+  * with localCheckpoint so plans stay flat across iterations.
+  *
+  * Labels only ever decrease, so the fixpoint (no label changed) is exact:
+  * every vertex ends labeled with the minimum vertex id of its component.
+  */
+object Cluster {
+
+  /** Component label per vertex: (id, lbl) with lbl = min id reachable.
+    *
+    * `edges` may be directed pairs; they are symmetrized internally.
+    * Vertices absent from `edges` keep their own id (singleton clusters).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var lbl = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaEdge = sym.join(lbl, sym("src") === lbl("id"))
+        .select(sym("dst").as("id"), col("lbl"))
+      val viaJump = lbl.as("a").join(lbl.as("b"), col("a.lbl") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
+      val next = lbl.union(viaEdge).union(viaJump)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n").join(lbl.as("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      lbl = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    lbl
+  }
+
+  /** Cluster assignment for a document set: every doc with its component's
+    * min doc id and the component size. Singletons cluster with themselves
+    * (size 1), so the output is total over `docs`. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // Iterate only over edge-touched vertices: near-dup edges cover a tiny
+    // fraction of a deduped corpus, so the loop's working set is |V(edges)|,
+    // not |docs|. Everything untouched is a singleton labeled with itself,
+    // attached after the fixpoint with one left join.
+    val touched = pairs.select(col(aCol).as("v"))
+      .union(pairs.select(col(bCol).as("v"))).distinct()
+    val lbl = connectedComponents(touched, pairs, "v", aCol, bCol)
+    val all = docs.select(col(idCol))
+      .join(lbl.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+    val sizes = all.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+}

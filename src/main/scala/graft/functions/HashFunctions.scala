@@ -132,6 +132,26 @@ case class SimHash64(child: Expression, md5Bits: Boolean = false)
     copy(child = newChild)
 }
 
+/** Deterministic sampling bucket: string -> md5-low-64 mod `buckets`
+  * (UNSIGNED modulus, matching DuckDB `md5_number_lower(s) % buckets` on
+  * UBIGINT bit for bit). The basis of reproducible stratified sampling:
+  * membership depends only on the key, so a re-run, a backfill, or a second
+  * cluster draws the SAME sample — no RNG state, no seed plumbing.
+  */
+case class Md5Bucket(child: Expression, buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, "buckets must be positive")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.remainderUnsigned(
+      HashKernels.md5Lo64(input.asInstanceOf[UTF8String]), buckets.toLong).toInt
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Distinct word n-gram shingles of a text column (compiled single pass). */
   def word_shingles(text: Column, n: Int = 3): Column =
@@ -148,6 +168,10 @@ object HashFunctions {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column, md5Bits: Boolean = false): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(tokens), md5Bits))
+
+  /** Deterministic sampling bucket in [0, buckets): md5-low-64 unsigned mod. */
+  def md5_bucket(key: Column, buckets: Int): Column =
+    GraftExpressionBridge.column(Md5Bucket(GraftExpressionBridge.expression(key), buckets))
 }
 
 /** Word n-gram shingle set: string -> array<string> of distinct n-grams.

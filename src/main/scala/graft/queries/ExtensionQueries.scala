@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Cluster, Corpus, Dedup, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -360,7 +360,115 @@ object ExtensionQueries {
       .withColumn("cosine", round(col("cosine"), 6))
       .filter(col("cosine") >= 0.4)
 
+  // ---------------------------------------------------------------------------
+  // x16 — near-dup CLUSTERS: connected components over the minhash pair set
+  // (x3's edges). Pairs alone can't drive keep/drop decisions — a~b, b~c
+  // must collapse to one cluster even when a~c never scored. The engine runs
+  // min-label propagation + pointer jumping (O(log n) shuffle rounds,
+  // graft.ext.Cluster); the oracle computes the same fixpoint with a
+  // recursive transitive-closure CTE. Total over all docs: singletons
+  // cluster with themselves.
+  // ---------------------------------------------------------------------------
+  def x16DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Cluster.dupClusters(docs,
+      Dedup.nearDupMinhash(docs, jaccardThreshold).select(col("doc_a"), col("doc_b")))
+  }
+
+  private val x16Sql =
+    s"""WITH RECURSIVE pairs AS ($x2Sql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+       |SELECT id AS doc_id, lbl.cluster_id, sz.cluster_size
+       |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x17 — reproducible stratified sampling: per-language keep rates applied
+  // via md5-bucket membership (pure function of the doc key — the same
+  // sample on every run/cluster/backfill, no RNG state). The oracle replays
+  // the identical arithmetic: md5_number_lower is the same 64 bits as the
+  // engine's md5Lo64, and % on UBIGINT is the engine's unsigned modulus.
+  // ---------------------------------------------------------------------------
+  private val sampleRates = Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2, "es" -> 0.1)
+
+  def x17StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      keyCol = concat(lit("smpl:"), col("doc_id").cast("string")),
+      stratumCol = col("lang"),
+      rates = sampleRates.toMap, defaultRate = 0.05)
+
+  private val x17Sql =
+    s"""SELECT doc_id, lang, bucket FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(md5_number_lower('smpl:' || CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS bucket
+       |  FROM documents)
+       |WHERE bucket < CASE ${sampleRates.map { case (l, r) =>
+             s"WHEN lang = '$l' THEN ${math.round(r * 10000)}" }.mkString(" ")}
+       |  ELSE 500 END""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x18 — token-budget shard packing: contiguous doc_id order, shard_id =
+  // exclusive-prefix-tokens div capacity. The engine computes the prefix sum
+  // with the two-pass distributed scan (graft.ops.PrefixSum — NO global
+  // single-partition window); the oracle is the window formulation, which is
+  // fine at oracle scale and bitwise-identical (integer arithmetic).
+  // ---------------------------------------------------------------------------
+  private val shardCapacity = 2000L
+
+  def x18TokenShards(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packTokenShards(Tables.documents(spark, dir), shardCapacity)
+
+  private val x18Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum // $shardCapacity AS BIGINT) AS shard_id,
+       |  CAST(cum % $shardCapacity AS BIGINT) AS shard_offset
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x19 — corpus top-20 bigrams by document frequency (distinct per doc),
+  // ties broken by the n-gram so the ranking is total. Engine: hash agg +
+  // TakeOrderedAndProject (per-partition heaps, k-element driver merge —
+  // nothing global materializes); rank stamped over the k survivors only.
+  // ---------------------------------------------------------------------------
+  def x19NgramTopk(spark: SparkSession, dir: String): DataFrame =
+    Corpus.topNgrams(Tables.documents(spark, dir), n = 2, k = 20)
+
+  private val x19Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS shset
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+      |cnt AS (
+      |  SELECT ngram, count(*) AS doc_freq
+      |  FROM (SELECT unnest(shset) AS ngram FROM sh) GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, ngram) AS INTEGER) AS rnk,
+      |         ngram, doc_freq
+      |  FROM cnt)
+      |SELECT rnk, ngram, doc_freq FROM r WHERE rnk <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_dup_clusters" -> (x16DupClusters _),
+    "x17_stratified_sample" -> (x17StratifiedSample _),
+    "x18_token_shards" -> (x18TokenShards _),
+    "x19_ngram_topk" -> (x19NgramTopk _),
     "x11_media_budget" -> (x11MediaBudget _),
     "x15_embedding_pairs_lsh" -> (x15EmbeddingPairsLsh _),
     "x12_media_features" -> (x12MediaFeatures _),
@@ -378,6 +486,10 @@ object ExtensionQueries {
     "x10_embedding_pairs" -> (x10EmbeddingPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "x16_dup_clusters" -> x16Sql,
+    "x17_stratified_sample" -> x17Sql,
+    "x18_token_shards" -> x18Sql,
+    "x19_ngram_topk" -> x19Sql,
     "x11_media_budget" -> x11Sql,
     "x12_media_features" -> x12Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -142,11 +142,66 @@ object StreamingQueries {
       col("view_value"))
   }
 
+  /** Streaming replay-dedup end to end (s1's twin under at-least-once
+    * delivery): the staged input contains EVERY event twice — the file
+    * source's model of an upstream that redelivers — and
+    * dropDuplicatesWithinWatermark(event_id) collapses the replays before
+    * the same watermarked 5-min aggregation as s1. Output must equal s1's
+    * oracle bitwise: duplicates removed exactly, sums unaffected. State is
+    * one key per event_id bounded by the watermark — at 100 TB the dedup
+    * state holds only the watermark window, not the stream's history. */
+  def s3StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_dedup_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      val v = graft.ops.Cols.money(col("value"))
+      val vlog = Tables.events(spark, dir).select(
+        col("event_id"),
+        concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+        concat(lit("S"), (col("user_id") % 5).cast("string")).as("site_code"),
+        concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+        concat(lit("C"), (col("user_id") % 4).cast("string")).as("country"),
+        when(col("event_type") === "purchase", "IN")
+          .when(col("event_type") === "view", "OUT").otherwise("XFER").as("trade_type"),
+        v.as("value"),
+        (v * lit(2)).as("before_value"),
+        (v * lit(new java.math.BigDecimal("0.9"))).as("after_value"),
+        when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
+        col("ts").as("trade_time"))
+      vlog.write.mode("overwrite").parquet(inDir)
+      vlog.write.mode("append").parquet(inDir) // the replayed delivery
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val deduped = StreamingSummary
+      .dedupStream(stream, Seq("event_id"), "trade_time")
+      .drop("event_id")
+    val name = "graft_s3_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000),
+      "s3 stream timed out before AvailableNow drained — memory table would be partial")
+    val out = spark.table(name).drop("start_time")
+    Seq("trans_in_amount", "trans_out_amount", "trans_out_lost_amount")
+      .foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("double")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_5min" -> (s1StreamFiveMin _),
-    "s2_stream_asof" -> (s2StreamAsOf _))
+    "s2_stream_asof" -> (s2StreamAsOf _),
+    "s3_stream_dedup" -> (s3StreamDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_stream_5min" -> s1Sql,
-    "s2_stream_asof" -> FixtureQueries.q20Sql)
+    "s2_stream_asof" -> FixtureQueries.q20Sql,
+    "s3_stream_dedup" -> s1Sql) // dedup of the doubled input == s1 bitwise
 }

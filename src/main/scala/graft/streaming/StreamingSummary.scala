@@ -31,7 +31,9 @@ object StreamingSummary {
     valueLog
       .filter(col("trade_status") === "SUCCESS")
       .withColumn("trade_time", col("trade_time").cast("timestamp"))
-      .withWatermark("trade_time", watermark)
+      // empty watermark = the caller already declared one upstream (e.g. a
+      // dedup stage); redefining it on the same column is disallowed
+      .transform(d => if (watermark.isEmpty) d else d.withWatermark("trade_time", watermark))
       .groupBy(
         window(col("trade_time"), "5 minutes").as("slice"),
         col("platform"), col("site_code"), col("player_name"), col("country"))

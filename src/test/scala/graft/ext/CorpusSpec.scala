@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.SparkTestSession
+import graft.ops.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  // --- connected components -------------------------------------------------
+
+  test("connectedComponents: known graph, chains collapse transitively") {
+    // components: {1,2,3,9} (1-2, 2-3, 3-9 chain), {5,7}, singleton 4
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 9L), (7L, 5L)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(vertices, edges, "id", "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 4L -> 4L, 5L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents: long chain converges (pointer jumping, not diameter-bound)") {
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Cluster.connectedComponents(vertices, edges, "id", "src", "dst", maxIters = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("dupClusters is total over docs and consistent with pair edges") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = Dedup.nearDupMinhash(docs, 0.8).select($"doc_a", $"doc_b")
+    val clusters = Cluster.dupClusters(docs, pairs).cache()
+    assert(clusters.count() == docs.count())
+    // every pair ends up in the same cluster
+    val c = clusters.select($"doc_id", $"cluster_id")
+    val violated = pairs
+      .join(c.withColumnsRenamed(Map("doc_id" -> "doc_a", "cluster_id" -> "ca")), "doc_a")
+      .join(c.withColumnsRenamed(Map("doc_id" -> "doc_b", "cluster_id" -> "cb")), "doc_b")
+      .filter($"ca" =!= $"cb").count()
+    assert(violated == 0)
+    // cluster_id is a member of its own cluster
+    val selfLabeled = clusters.filter($"doc_id" === $"cluster_id").count()
+    assert(selfLabeled == clusters.select("cluster_id").distinct().count())
+  }
+
+  // --- prefix sum -----------------------------------------------------------
+
+  test("exclusiveRunningTotal equals the single-partition window formulation") {
+    val df = (1L to 1000L).map(i => (i * 7 % 1013, i % 97)).toDF("k", "v")
+      .dropDuplicates("k")
+    val got = PrefixSum.exclusiveRunningTotal(df, "k", "v", "run", numPartitions = 8)
+    val want = df.withColumn("run",
+      coalesce(sum($"v").over(Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    assert(got.select("k", "run").except(want.select("k", "run")).isEmpty)
+    assert(want.select("k", "run").except(got.select("k", "run")).isEmpty)
+    // a downstream coalesce pipelines several range partitions into one task;
+    // offsets must still come from the range partition, not the task
+    val coalesced = got.coalesce(1)
+    assert(coalesced.select("k", "run").except(want.select("k", "run")).isEmpty)
+  }
+
+  // --- sampling -------------------------------------------------------------
+
+  test("stratifiedSample: deterministic, rate-proportional, pure function of key") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select($"doc_id", $"lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Corpus.stratifiedSample(docs, concat(lit("k:"), $"doc_id"), $"lang", rates)
+    val s2 = Corpus.stratifiedSample(docs, concat(lit("k:"), $"doc_id"), $"lang", rates)
+    assert(s1.collect().toSet == s2.collect().toSet) // same sample every run
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en keeps ~50%: loose CLT bound at n=218
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(enFrac > 0.35 && enFrac < 0.65, s"en fraction $enFrac")
+    assert(!byLang.contains("zh") || byLang("zh") == 0) // default rate 0 drops the rest
+  }
+
+  // --- shard packing --------------------------------------------------------
+
+  test("packTokenShards: shards fill contiguously to capacity in doc order") {
+    val docs = graft.Tables.documents(spark, sf)
+    val cap = 500L
+    val shards = Corpus.packTokenShards(docs, cap).cache()
+    assert(shards.count() == docs.count())
+    // offsets are within [0, cap); shard ids are nondecreasing in doc order
+    assert(shards.filter($"shard_offset" < 0 || $"shard_offset" >= cap).count() == 0)
+    val rows = shards.orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    var cum = 0L
+    rows.foreach { case (_, n, shard, off) =>
+      assert(shard == cum / cap && off == cum % cap)
+      cum += n
+    }
+  }
+
+  // --- top ngrams -----------------------------------------------------------
+
+  test("topNgrams: matches a full-sort ranking, deterministic ties") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Corpus.topNgrams(docs, n = 2, k = 10).as[(Int, String, Long)].collect()
+    val full = docs
+      .select(explode(graft.functions.HashFunctions.word_shingles($"text", 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"ngram").limit(10)
+      .as[(String, Long)].collect()
+    assert(got.map(r => (r._2, r._3)).toSeq == full.toSeq)
+    assert(got.map(_._1).toSeq == (1 to 10))
+  }
+}
