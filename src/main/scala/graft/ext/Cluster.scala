@@ -57,6 +57,43 @@ object Cluster {
     lbl
   }
 
+  /** Scale-adaptive component labeling: near-dup edge sets are a sliver of
+    * the corpus (LSH already pruned), so when the edge count fits comfortably
+    * on the driver, one collect + union-find + broadcast join beats several
+    * distributed shuffle rounds — the same runtime-size reasoning AQE applies
+    * to broadcast joins. Above the threshold, the distributed
+    * [[connectedComponents]] loop takes over. Both produce the identical
+    * min-id labeling. */
+  def componentLabels(vertices: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val nEdges = edges.count()
+    if (nEdges > driverEdgeLimit)
+      return connectedComponents(vertices, edges, idCol, srcCol, dstCol)
+    val spark = vertices.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.select(col(srcCol).cast("long"), col(dstCol).cast("long")).collect().foreach { row =>
+      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(v => labels += ((v, find(v))))
+    import spark.implicits._
+    val lblDf = labels.toSeq.toDF("id", "lbl")
+    // non-root members carry their label; roots and untouched vertices label
+    // themselves. broadcast: the label table is driver-sized by construction.
+    vertices.select(col(idCol).as("id"))
+      .join(broadcast(lblDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+  }
+
   /** Cluster assignment for a document set: every doc with its component's
     * min doc id and the component size. Singletons cluster with themselves
     * (size 1), so the output is total over `docs`. */
@@ -66,9 +103,13 @@ object Cluster {
     // fraction of a deduped corpus, so the loop's working set is |V(edges)|,
     // not |docs|. Everything untouched is a singleton labeled with itself,
     // attached after the fixpoint with one left join.
-    val touched = pairs.select(col(aCol).as("v"))
-      .union(pairs.select(col(bCol).as("v"))).distinct()
-    val lbl = connectedComponents(touched, pairs, "v", aCol, bCol)
+    // Pin the pair set once: it feeds the size probe, the touched-vertex
+    // projection, and the label computation — without this the whole LSH
+    // candidate pipeline would re-run for each.
+    val edges = pairs.select(col(aCol), col(bCol)).localCheckpoint()
+    val touched = edges.select(col(aCol).as("v"))
+      .union(edges.select(col(bCol).as("v"))).distinct()
+    val lbl = componentLabels(touched, edges, "v", aCol, bCol)
     val all = docs.select(col(idCol))
       .join(lbl.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster_id"))

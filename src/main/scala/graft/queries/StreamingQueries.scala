@@ -15,6 +15,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Run `body` (a streaming query start+drain) with shuffle partitions sized
+    * to the STATE, not the CPU count: every stateful operator materializes
+    * one state store per shuffle partition per micro-batch, so a small-state
+    * stream at 32 partitions pays 32x store open/commit overhead for nothing.
+    * On a real cluster this is sized up with state volume; the session value
+    * is restored afterwards either way. */
+  private def withStateSizedShuffle[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** events -> minimal player_value_log shape (mirrors ReportQueries'
     * binding; only the columns the 5min tier needs). */
   private val vlogSql =
@@ -66,11 +79,13 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s1_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = StreamingSummary.transFiveMinStream(stream)
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s1 stream timed out before AvailableNow drained — memory table would be partial")
+    withStateSizedShuffle(spark) {
+      val q = StreamingSummary.transFiveMinStream(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s1 stream timed out before AvailableNow drained — memory table would be partial")
+    }
     val out = spark.table(name).drop("start_time")
     Seq("trans_in_amount", "trans_out_amount", "trans_out_lost_amount")
       .foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("double")))
@@ -128,11 +143,13 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
       .as[graft.streaming.StreamingSummary.AttrEvent]
     val name = "graft_s2_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = graft.streaming.StreamingSummary.attributionStream(stream)
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s2 stream timed out before AvailableNow drained — memory table would be partial")
+    withStateSizedShuffle(spark) {
+      val q = graft.streaming.StreamingSummary.attributionStream(stream)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s2 stream timed out before AvailableNow drained — memory table would be partial")
+    }
     spark.table(name).select(
       col("purchase_id"), col("user_id"),
       timestamp_micros(col("purchase_ts_us")).cast("timestamp_ntz").as("purchase_ts"),
@@ -185,23 +202,106 @@ object StreamingQueries {
       .dedupStream(stream, Seq("event_id"), "trade_time")
       .drop("event_id")
     val name = "graft_s3_" + java.lang.Long.toHexString(System.nanoTime())
-    val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(300000),
-      "s3 stream timed out before AvailableNow drained — memory table would be partial")
+    withStateSizedShuffle(spark) {
+      val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s3 stream timed out before AvailableNow drained — memory table would be partial")
+    }
     val out = spark.table(name).drop("start_time")
     Seq("trans_in_amount", "trans_out_amount", "trans_out_lost_amount")
       .foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("double")))
   }
 
+  /** Stream-stream interval join through the gate: wallet transfers joined
+    * to the same player's game rounds within ±5 minutes, both sides
+    * watermarked so join state is bounded by the tolerance window (state for
+    * a row is dropped once the other side's watermark passes trade_time +
+    * tolerance — at 100 TB/day the state holds minutes, not the day). The
+    * batch oracle is the identical interval predicate in SQL. */
+  def s4StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_ij_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      val v = graft.ops.Cols.money(col("value"))
+      val ev = Tables.events(spark, dir)
+      ev.select(
+        concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+        concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+        when(col("event_type") === "purchase", "IN")
+          .when(col("event_type") === "view", "OUT").otherwise("XFER").as("trade_type"),
+        v.as("value"),
+        when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
+        col("ts").as("trade_time"))
+        .write.mode("overwrite").parquet(stage.resolve("t").toString)
+      ev.select(
+        concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
+        concat(lit("u"), col("user_id").cast("string")).as("player_name"),
+        concat(lit("g"), (col("event_id") % 3).cast("string")).as("game_code"),
+        v.as("bet"),
+        col("ts").as("round_time"),
+        (col("event_id") % 10 === 0).cast("int").as("is_robot"))
+        .write.mode("overwrite").parquet(stage.resolve("r").toString)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+    val tDir = stage.resolve("t").toString
+    val rDir = stage.resolve("r").toString
+    val tStream = spark.readStream.schema(spark.read.parquet(tDir).schema).parquet(tDir)
+    val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema).parquet(rDir)
+    val name = "graft_s4_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s4 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name).select(
+      col("platform"), col("player_name"), col("trade_type"),
+      col("trade_value").cast("double").as("trade_value"),
+      col("trade_time").cast("timestamp_ntz").as("trade_time"),
+      col("game_code"),
+      col("bet").cast("double").as("bet"),
+      col("round_time").cast("timestamp_ntz").as("round_time"))
+  }
+
+  private val s4Sql =
+    """WITH t AS (
+      |  SELECT 'P' || CAST(user_id % 2 AS VARCHAR) AS platform,
+      |         'u' || CAST(user_id AS VARCHAR) AS player_name,
+      |         CASE WHEN event_type='purchase' THEN 'IN'
+      |              WHEN event_type='view' THEN 'OUT' ELSE 'XFER' END AS trade_type,
+      |         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS trade_value,
+      |         ts AS trade_time
+      |  FROM events WHERE event_type <> 'error'),
+      |r AS (
+      |  SELECT 'P' || CAST(user_id % 2 AS VARCHAR) AS platform,
+      |         'u' || CAST(user_id AS VARCHAR) AS player_name,
+      |         'g' || CAST(event_id % 3 AS VARCHAR) AS game_code,
+      |         CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS bet,
+      |         ts AS round_time
+      |  FROM events WHERE event_id % 10 <> 0)
+      |SELECT t.platform, t.player_name, t.trade_type, t.trade_value, t.trade_time,
+      |       r.game_code, r.bet, r.round_time
+      |FROM t JOIN r ON t.platform = r.platform AND t.player_name = r.player_name
+      |  AND r.round_time >= t.trade_time - INTERVAL 5 MINUTE
+      |  AND r.round_time <= t.trade_time + INTERVAL 5 MINUTE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_stream_5min" -> (s1StreamFiveMin _),
     "s2_stream_asof" -> (s2StreamAsOf _),
-    "s3_stream_dedup" -> (s3StreamDedup _))
+    "s3_stream_dedup" -> (s3StreamDedup _),
+    "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "s1_stream_5min" -> s1Sql,
     "s2_stream_asof" -> FixtureQueries.q20Sql,
-    "s3_stream_dedup" -> s1Sql) // dedup of the doubled input == s1 bitwise
+    "s3_stream_dedup" -> s1Sql, // dedup of the doubled input == s1 bitwise
+    "s4_stream_interval_join" -> s4Sql)
 }

@@ -31,6 +31,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.length == n && got.forall(_._2 == 0L))
   }
 
+  test("componentLabels: driver union-find path equals the distributed loop") {
+    val vertices = (0L until 60L).toDF("id")
+    val edges = ((0L until 30L by 3).map(i => (i, i + 3)) ++ Seq((40L, 41L), (41L, 45L)))
+      .toDF("src", "dst")
+    val viaDriver = Cluster.componentLabels(vertices, edges, "id", "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Cluster.componentLabels(vertices, edges, "id", "src", "dst",
+      driverEdgeLimit = 0L).as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(30L) == 0L && viaDriver(45L) == 40L && viaDriver(59L) == 59L)
+  }
+
   test("dupClusters is total over docs and consistent with pair edges") {
     val docs = graft.Tables.documents(spark, sf)
     val pairs = Dedup.nearDupMinhash(docs, 0.8).select($"doc_a", $"doc_b")
