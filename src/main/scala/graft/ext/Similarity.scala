@@ -154,35 +154,43 @@ object Similarity {
   def cosineTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      centroids, "neighbor_id", "c_vec", keep = 1)
+    ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
+  }
 
-    // 1. coarse centroids: the nlist corpus vectors with the smallest
-    //    xxhash64(id) — a deterministic uniform sample.
-    val centroids = corpus
+  /** 1. coarse centroids: the nlist corpus vectors with the smallest
+    * xxhash64(id) — a deterministic uniform sample (no RNG: identical
+    * across runs and executors). */
+  private def ivfCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
         xxhash64(col(idCol)).as("_h"))
       .orderBy(col("_h")).limit(nlist).drop("_h")
 
-    // 2. assignment: nearest centroid per corpus row (broadcast nested-loop
-    //    over nlist rows, then keep the argmax by cosine).
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("_c").desc, col("centroid_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_c", cosine_sim(col(vec), col("centroid_vec")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= keep)
-        .select(col(id), col(vec), col("centroid_id").as("cluster_id"))
-    }
+  /** 2. assignment: nearest `keep` centroids per row (broadcast nested-loop
+    * over nlist rows, argmax by cosine, ties to the lower centroid id). */
+  private def nearestCentroids(df: DataFrame, centroids: DataFrame,
+      id: String, vec: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("_c").desc, col("centroid_id").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("_c", cosine_sim(col(vec), col("centroid_vec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= keep)
+      .select(col(id), col(vec), col("centroid_id").as("cluster_id"))
+  }
 
-    val assigned = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "neighbor_id", "c_vec", keep = 1)
-    // queries probe their nprobe closest clusters
-    val probes = assign(
+  /** 3. exact scoring inside the probed clusters only. */
+  private def ivfScore(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec", keep = nprobe)
-
-    // 3. exact scoring inside the probed clusters only.
+      centroids, "query_id", "q_vec", keep = nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(assigned, Seq("cluster_id"))
@@ -193,5 +201,32 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Build and PERSIST the IVF index: `path/centroids` (nlist rows) and
+    * `path/postings`, the corpus partitioned by cluster_id. Partitioning is
+    * the inverted file: a probe joins postings on cluster_id against a
+    * broadcast probe list, so dynamic partition pruning reads only the
+    * probed clusters' files — |corpus| * nprobe / nlist rows of IO, which is
+    * what makes build-once/probe-many serving work at 100 TB. */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = ivfCentroids(corpus, nlist, idCol, vecCol)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      centroids, "neighbor_id", "c_vec", keep = 1)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/postings")
+  }
+
+  /** Probe a persisted IVF index (see [[buildIvfIndex]]). Same output as
+    * [[cosineTopKIvf]] over the corpus the index was built from. */
+  def cosineTopKIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/postings")
+      .select(col("neighbor_id"), col("c_vec"), col("cluster_id"))
+    ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
   }
 }

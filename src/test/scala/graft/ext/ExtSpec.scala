@@ -109,6 +109,17 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("persisted IVF index probes identically to the inline computation") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    val indexed = Similarity.cosineTopKIvfIndexed(spark, dir, queries, 5, nprobe = 4)
+      .collect().map(_.toString).sorted
+    val inline = Similarity.cosineTopKIvf(emb, queries, 5, nlist = 8, nprobe = 4)
+      .collect().map(_.toString).sorted
+    assert(indexed.sameElements(inline))
+  }
+
   test("embedding LSH near-dup pairs are an exact-scored subset with decent recall") {
     val exact = Similarity.embeddingNearDupPairs(emb, 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
