@@ -85,4 +85,26 @@ class SinksSpec extends AnyFunSuite {
     val after = spark.read.parquet(base).as[(Long, String, Int)].collect().toSet
     assert(after === before, "compaction changed the row set")
   }
+
+  test("bucketed tables join and aggregate with zero exchanges") {
+    import spark.implicits._
+    val fact = (1L to 5000L).map(i => (i % 97, i, s"v$i")).toDF("user_id", "event_id", "payload")
+    val dim = (0L until 97L).map(i => (i, s"tier${i % 3}")).toDF("user_id", "tier")
+    Sinks.writeBucketed(fact, "bkt_fact", Seq("user_id"), 8, sortCols = Seq("user_id"))
+    Sinks.writeBucketed(dim, "bkt_dim", Seq("user_id"), 8)
+    // broadcast would bypass bucketing; force a sort-merge shaped join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_fact").join(spark.table("bkt_dim"), "user_id")
+        .groupBy("user_id", "tier").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg plan still shuffles:\n$plan")
+      assert(joined.count() === 97L * 3 / 3 * 1) // 97 users, one tier each
+      // contrast: the same join over plain (unbucketed) data DOES exchange
+      val plain = fact.join(dim, "user_id").groupBy("user_id", "tier").count()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
