@@ -38,7 +38,9 @@ object GraftFunctions {
       exprs => WinnowingFp(exprs.head, intArg(exprs, 1, 8), intArg(exprs, 2, 4))),
     ("hyperplane_sigs", "hyperplane_sigs(vec[, tables[, bits[, dim]]]) - all LSH table signatures",
       exprs => HyperplaneSigs(exprs.head,
-        intArg(exprs, 1, 16), intArg(exprs, 2, 6), intArg(exprs, 3, 64))))
+        intArg(exprs, 1, 16), intArg(exprs, 2, 6), intArg(exprs, 3, 64))),
+    ("md5_bucket", "md5_bucket(key[, buckets]) - deterministic sampling bucket (md5-low-64 unsigned mod)",
+      exprs => Md5Bucket(exprs.head, intArg(exprs, 1, 10000))))
 
   /** Register into a LIVE session's function registry. */
   def registerAll(spark: SparkSession): Unit =

@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.ext.{Cluster, Corpus, Dedup, TextStats}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation cascade over the documents fixture —
+  * the pipeline a 100 TB pretraining corpus runs, stage by stage:
+  *
+  *   1. exact dedup        (hash groupBy, one 16-byte/row shuffle)
+  *   2. near-dup clusters  (minhash LSH pairs -> connected components ->
+  *                          keep the min-id doc per cluster)
+  *   3. quality filter     (deterministic feature scoring, keep flag)
+  *   4. language sampling  (reproducible md5-bucket stratified rates)
+  *   5. shard packing      (token-budget shards via the distributed scan)
+  *
+  * Every stage is deterministic, so any slice of the output can be
+  * recomputed independently — the property that makes the pipeline safe to
+  * re-run and backfill. Prints per-stage row counts (the curation funnel).
+  *
+  * Usage: runMain graft.tools.RunCurate [sfDir] [outDir]
+  */
+object RunCurate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-curate")
+
+    val docs = Tables.documents(spark, sfDir)
+    val n0 = docs.count()
+    println(s"[curate] input                 : $n0 docs")
+
+    // 1. exact dedup: keep the min doc_id of every identical-text group
+    val exact = Dedup.dedupExact(docs).localCheckpoint()
+    println(s"[curate] after exact dedup     : ${exact.count()}")
+
+    // 2. near-dup clusters over the survivors; keep each cluster's min id
+    val pairs = Dedup.nearDupMinhash(exact, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Cluster.dupClusters(exact, pairs)
+    val nearDeduped = exact.join(
+        clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    println(s"[curate] after near-dup dedup  : ${nearDeduped.count()}")
+
+    // 3. quality filter
+    val kept = TextStats.qualityScore(nearDeduped).filter(col("keep") === 1)
+      .select(nearDeduped.columns.map(col): _*).localCheckpoint()
+    println(s"[curate] after quality filter  : ${kept.count()}")
+
+    // 4. reproducible stratified sampling by language
+    val sampled = Corpus.stratifiedSample(
+        kept, concat(lit("curate:"), col("doc_id").cast("string")), col("lang"),
+        rates = Map("en" -> 0.9, "de" -> 0.7, "fr" -> 0.7, "es" -> 0.7),
+        defaultRate = 0.5)
+      .drop("bucket").localCheckpoint()
+    println(s"[curate] after lang sampling   : ${sampled.count()}")
+
+    // 5. pack into token-budget shards and write partitioned by shard
+    val shards = Corpus.packTokenShards(sampled, capacity = 2000L)
+    val out = sampled.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(s"$outDir/corpus")
+    val written = spark.read.parquet(s"$outDir/corpus")
+    val nShards = written.select("shard_id").distinct().count()
+    println(s"[curate] packed                : ${written.count()} docs into $nShards shards at $outDir/corpus")
+
+    // determinism receipt: the same pipeline re-run must produce the same set
+    val again = Corpus.stratifiedSample(
+      kept, concat(lit("curate:"), col("doc_id").cast("string")), col("lang"),
+      rates = Map("en" -> 0.9, "de" -> 0.7, "fr" -> 0.7, "es" -> 0.7),
+      defaultRate = 0.5).drop("bucket")
+    require(again.exceptAll(sampled).isEmpty && sampled.exceptAll(again).isEmpty,
+      "curation pipeline is not deterministic")
+    println("[curate] determinism check     : PASS")
+    spark.stop()
+  }
+}

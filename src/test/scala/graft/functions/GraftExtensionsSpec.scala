@@ -23,13 +23,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |              array(cast(4.0 as float), cast(5.0 as float))) AS dot,
         |  size(minhash_sig(array('a b c', 'b c d'), 16)) AS sig_len,
         |  simhash64(array('x', 'y')) IS NOT NULL AS sim_ok,
-        |  word_shingles('a b c d', 3) AS sh
+        |  word_shingles('a b c d', 3) AS sh,
+        |  md5_bucket('smpl:3') AS bkt
         |""".stripMargin).head
     assert(math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("dot") - 23.0) < 1e-12)
     assert(r.getAs[Int]("sig_len") === 16)
     assert(r.getAs[Boolean]("sim_ok"))
     assert(r.getAs[collection.Seq[String]]("sh") === Seq("a b c", "b c d"))
+    // 3415 = DuckDB md5_number_lower('smpl:3') % 10000 (oracle parity pin)
+    assert(r.getAs[Int]("bkt") === 3415)
   }
 
   test("the build-time extensions class wires every function builder") {
@@ -37,6 +40,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // injection (the SQL behavior of the builders is covered above).
     val ext = new SparkSessionExtensions
     (new GraftExtensions)(ext)
-    assert(GraftFunctions.all.map(_._1).distinct.size === 7)
+    assert(GraftFunctions.all.map(_._1).distinct.size === 8)
   }
 }

@@ -90,6 +90,13 @@ class SinksSpec extends AnyFunSuite {
     import spark.implicits._
     val fact = (1L to 5000L).map(i => (i % 97, i, s"v$i")).toDF("user_id", "event_id", "payload")
     val dim = (0L until 97L).map(i => (i, s"tier${i % 3}")).toDF("user_id", "tier")
+    // a previous JVM's warehouse files survive while the in-memory catalog
+    // forgets the tables — drop both layers or saveAsTable refuses
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bkt_fact", "bkt_dim").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
     Sinks.writeBucketed(fact, "bkt_fact", Seq("user_id"), 8, sortCols = Seq("user_id"))
     Sinks.writeBucketed(dim, "bkt_dim", Seq("user_id"), 8)
     // broadcast would bypass bucketing; force a sort-merge shaped join
