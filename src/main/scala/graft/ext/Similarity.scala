@@ -89,9 +89,11 @@ object Similarity {
     // Score BEFORE deduplicating multi-table collisions: the cosine is 64
     // fused mult-adds, far cheaper than shuffling the embedding arrays
     // through the dedup exchange — post-score rows are 3 scalars.
+    // Rounded to 6dp BEFORE the rank cut (cross-engine-stable ordering,
+    // same rationale as the brute-force harness query).
     val scored = qs.join(cs, Seq("table_id", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", round(cosine_sim(col("q_vec"), col("c_vec")), 6))
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
 
@@ -162,13 +164,15 @@ object Similarity {
   }
 
   /** 1. coarse centroids: the nlist corpus vectors with the smallest
-    * xxhash64(id) — a deterministic uniform sample (no RNG: identical
-    * across runs and executors). */
+    * md5-low-64 of 'ivf:'||id — a deterministic uniform sample (no RNG:
+    * identical across runs and executors, and bit-replayable by a SQL
+    * oracle via md5_number_lower). */
   private def ivfCentroids(corpus: DataFrame, nlist: Int,
       idCol: String, vecCol: String): DataFrame =
     corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"),
-        xxhash64(col(idCol)).as("_h"))
+        graft.functions.HashFunctions.md5_lo64(
+          concat(lit("ivf:"), col(idCol).cast("string"))).as("_h"))
       .orderBy(col("_h")).limit(nlist).drop("_h")
 
   /** 2. assignment: nearest `keep` centroids per row (broadcast nested-loop
@@ -184,7 +188,10 @@ object Similarity {
       .select(col(id), col(vec), col("centroid_id").as("cluster_id"))
   }
 
-  /** 3. exact scoring inside the probed clusters only. */
+  /** 3. exact scoring inside the probed clusters only. The cosine is
+    * rounded to 6dp BEFORE the rank cut (same rationale as the brute-force
+    * harness query: cross-engine-stable ordering — an oracle reproduces the
+    * identical ranking because ulp noise can no longer flip ranks). */
   private def ivfScore(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String, vecCol: String): DataFrame = {
@@ -195,7 +202,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(assigned, Seq("cluster_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", round(cosine_sim(col("q_vec"), col("c_vec")), 6))
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))

@@ -40,7 +40,9 @@ object GraftFunctions {
       exprs => HyperplaneSigs(exprs.head,
         intArg(exprs, 1, 16), intArg(exprs, 2, 6), intArg(exprs, 3, 64))),
     ("md5_bucket", "md5_bucket(key[, buckets]) - deterministic sampling bucket (md5-low-64 unsigned mod)",
-      exprs => Md5Bucket(exprs.head, intArg(exprs, 1, 10000))))
+      exprs => Md5Bucket(exprs.head, intArg(exprs, 1, 10000))),
+    ("md5_lo64", "md5_lo64(key) - md5-low-64 as signed long (DuckDB md5_number_lower bit parity)",
+      exprs => Md5Lo64(exprs.head)))
 
   /** Register into a LIVE session's function registry. */
   def registerAll(spark: SparkSession): Unit =

@@ -132,6 +132,23 @@ case class SimHash64(child: Expression, md5Bits: Boolean = false)
     copy(child = newChild)
 }
 
+/** md5-low-64 of a string as a signed long — the same 64 bits DuckDB's
+  * `md5_number_lower` yields (as UBIGINT). Used where a deterministic,
+  * oracle-replayable hash ORDER is needed (e.g. IVF centroid sampling):
+  * the oracle converts its UBIGINT to signed two's-complement and sorts the
+  * same. */
+case class Md5Lo64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5Lo64(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Deterministic sampling bucket: string -> md5-low-64 mod `buckets`
   * (UNSIGNED modulus, matching DuckDB `md5_number_lower(s) % buckets` on
   * UBIGINT bit for bit). The basis of reproducible stratified sampling:
@@ -172,6 +189,10 @@ object HashFunctions {
   /** Deterministic sampling bucket in [0, buckets): md5-low-64 unsigned mod. */
   def md5_bucket(key: Column, buckets: Int): Column =
     GraftExpressionBridge.column(Md5Bucket(GraftExpressionBridge.expression(key), buckets))
+
+  /** md5-low-64 as a signed long (DuckDB md5_number_lower bit parity). */
+  def md5_lo64(key: Column): Column =
+    GraftExpressionBridge.column(Md5Lo64(GraftExpressionBridge.expression(key)))
 }
 
 /** Word n-gram shingle set: string -> array<string> of distinct n-grams.

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * query (LSH miss probability at j>=0.8 with 16 bands of 4 is
   * (1-j^4)^16 < 4e-8); x4 votes on md5-low-64 (= DuckDB md5_number_lower);
   * x12/x14 replay the engine's integer hash arithmetic in HUGEINT mod-2^64
-  * SQL. Only the ANN paths (x9/x13) and hyperplane LSH (x15) stay rows-only:
-  * their candidate sets are approximation-defined, so specs assert recall
-  * against the exact twins (x8/x10) instead.
+  * SQL; x9/x15 replay the hyperplane LCG (java.util.Random) in a recursive
+  * CTE and rebuild every sign bit with order-preserving double sums; x13's
+  * centroid sample is md5-low-64 ordered so the whole IVF path replays.
+  * EVERY query is bitwise-oracled — approximation-defined candidate sets
+  * included, because the approximations themselves are deterministic.
   */
 object ExtensionQueries {
 
@@ -195,17 +197,77 @@ object ExtensionQueries {
       |QUALIFY rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // x9 — LSH ANN top-5 (QX3 scale path; engine-hash planes: rows-only check;
-  // recall vs x8 asserted in ScalaTest).
+  // x9 — LSH ANN top-5 (QX3 scale path). Bitwise-oracled: the hyperplanes
+  // come from a JVM LCG (java.util.Random via scala.util.Random), and the
+  // oracle REPLAYS that LCG in a recursive CTE — seed scramble, two mod-2^48
+  // steps per nextDouble, float32 rounding of 2d-1 — then rebuilds every
+  // sign bit with an ORDER BY-ed double sum (the engine accumulates dims in
+  // index order), so both sides enumerate the identical candidate set.
+  // Scoring is rounded to 6dp before the rank cut on both sides (x8's
+  // cross-engine-stable-ordering trick).
   // ---------------------------------------------------------------------------
   def x9KnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** The LSH plane + signature replay shared by x9/x15: java.util.Random
+    * LCG per table (seed 0xC0FFEE + t*7919), 384 nextDouble draws -> 6
+    * planes x 64 dims as float32, sign bits from in-order double dots. */
+  private val lshSigsCte =
+    """RECURSIVE lcg(t, step, seed) AS (
+      |  SELECT t, 0, CAST(xor(CAST(12648430 + t*7919 AS BIGINT),
+      |                        CAST(25214903917 AS BIGINT)) & 281474976710655 AS BIGINT)
+      |  FROM range(16) r(t)
+      |  UNION ALL
+      |  SELECT t, step + 1,
+      |    CAST((CAST(seed AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT)
+      |  FROM lcg WHERE step < 768
+      |),
+      |pw AS (
+      |  SELECT h.t, CAST((h.step - 1) / 2 AS INTEGER) // 64 AS b,
+      |         CAST((h.step - 1) / 2 AS INTEGER) % 64 AS i,
+      |    CAST((((h.seed >> 22) * 134217728 + (l.seed >> 21))
+      |          / 9007199254740992.0) * 2 - 1 AS REAL) AS w
+      |  FROM lcg h JOIN lcg l ON l.t = h.t AND l.step = h.step + 1
+      |  WHERE h.step % 2 = 1
+      |),
+      |dots AS (
+      |  SELECT e.vec_id, p.t, p.b,
+      |    sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * CAST(p.w AS DOUBLE) ORDER BY p.i) AS dot
+      |  FROM embeddings e JOIN pw p ON true
+      |  GROUP BY 1, 2, 3
+      |),
+      |sigs AS (
+      |  SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM dots GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val x9Sql =
+    s"""WITH $lshSigsCte,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                 CAST(ce.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM scored QUALIFY rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------------
   // x13 — IVF ANN top-5 (QX3 alternative scale path: coarse quantizer +
-  // cluster-probed exact scoring; rows-only check, recall asserted in spec).
+  // cluster-probed exact scoring). Bitwise-oracled: centroid sampling is
+  // md5-low-64 ordered (the oracle sorts md5_number_lower as signed two's-
+  // complement), assignment/probing replay the argmax-cosine with the same
+  // (cosine DESC, centroid_id) tie order, scoring is rounded pre-rank.
   // ---------------------------------------------------------------------------
   def x13KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     // Build-once/probe-many: the index (centroids + cluster-partitioned
@@ -218,7 +280,7 @@ object ExtensionQueries {
         java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis
       catch { case _: Throwable => 0L }
     val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_index_v1",
+      System.getProperty("java.io.tmpdir"), "graft_ivf_index_v2",
       java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
     if (!java.nio.file.Files.exists(stage.resolve("_built"))) {
       Similarity.buildIvfIndex(emb, stage.toString)
@@ -227,6 +289,49 @@ object ExtensionQueries {
     Similarity.cosineTopKIvfIndexed(spark, stage.toString,
       emb.filter(col("vec_id") < 10), k = 5)
   }
+
+  private val x13Sql =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      |  FROM embeddings
+      |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
+      |                     >= 9223372036854775808
+      |            THEN CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |                 - 18446744073709551616
+      |            ELSE CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |            END
+      |  LIMIT 16),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c
+      |    WHERE e.vec_id < 10)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |                                 CAST(a.c_vec AS DOUBLE[])), 6) AS cosine
+      |  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM scored QUALIFY rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x14 — winnowing containment pairs (rolling k-gram fingerprints, window
@@ -368,13 +473,28 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------------------
   // x15 — embedding near-dup pairs via hyperplane LSH (the scale path for
-  // x10's exact quadratic scan; engine-hash planes -> rows-only check, recall
-  // vs x10 asserted in ScalaTest).
+  // x10's exact quadratic scan). Bitwise-oracled via the same LCG plane
+  // replay as x9: candidates are (a < b) pairs sharing a signature in any
+  // table, scored rounded, thresholded at 0.4.
   // ---------------------------------------------------------------------------
   def x15EmbeddingPairsLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairsLsh(Tables.embeddings(spark, dir), threshold = 0.0)
       .withColumn("cosine", round(col("cosine"), 6))
       .filter(col("cosine") >= 0.4)
+
+  private val x15Sql =
+    s"""WITH $lshSigsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                               CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = vec_a
+       |JOIN embeddings eb ON eb.vec_id = vec_b
+       |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                   CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x16 — near-dup CLUSTERS: connected components over the minhash pair set
@@ -555,6 +675,9 @@ object ExtensionQueries {
     "x10_embedding_pairs" -> (x10EmbeddingPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "x9_knn_lsh" -> x9Sql,
+    "x13_knn_ivf" -> x13Sql,
+    "x15_embedding_pairs_lsh" -> x15Sql,
     "x20_quality_filter" -> x20Sql,
     "x16_dup_clusters" -> x16Sql,
     "x17_stratified_sample" -> x17Sql,

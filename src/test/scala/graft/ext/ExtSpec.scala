@@ -85,7 +85,7 @@ class ExtSpec extends AnyFunSuite {
     // every LSH hit that brute force also ranked must carry the same cosine
     lsh.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
-      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-6))
     }
     // determinism: run twice, same rows
     val again = Similarity.cosineTopKLsh(emb, emb.filter(col("vec_id") < 10), 5).collect()
@@ -100,7 +100,7 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     ivf.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
-      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-6))
     }
     // probing half the clusters should recover a majority of true neighbors
     val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
