@@ -293,13 +293,69 @@ object StreamingQueries {
       |  AND r.round_time >= t.trade_time - INTERVAL 5 MINUTE
       |  AND r.round_time <= t.trade_time + INTERVAL 5 MINUTE""".stripMargin
 
+  /** The stateful alert throttle through the gate: per-user hourly value
+    * totals become AlertInput rows (risky = hour total >= 100, exact
+    * decimal), and the SAME state function that flatMapGroupsWithState runs
+    * in production (cooldown -> cap -> bump -> stamp, non-risky resets)
+    * replays them in batch. The oracle walks the identical state machine
+    * with a recursive CTE — one transition per (key, seq) row — so every
+    * send/suppress decision and running count matches bitwise. */
+  def s5AlertThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inputs = Tables.events(spark, dir)
+      .groupBy(
+        concat(lit("u"), col("user_id").cast("string")).as("key"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(graft.ops.Cols.money(col("value"))).as("v"))
+      .select(
+        col("key"),
+        unix_millis(col("h").cast("timestamp")).as("eventTimeMillis"),
+        (col("v") >= 100).as("isRisky"))
+      .as[StreamingSummary.AlertInput]
+    StreamingSummary.throttleAlerts(inputs, cooldownMinutes = 90.0, alertLimit = 3)
+      .toDF()
+      .select(
+        col("key"),
+        col("eventTimeMillis").as("event_time_ms"),
+        col("sendAlert").as("send_alert"),
+        col("alertCount").as("alert_count"))
+  }
+
+  private val s5Sql =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+      |    epoch_ms(date_trunc('hour', ts)) AS t,
+      |    (sum(CAST(value AS DECIMAL(12,2))) >= 100) AS risky
+      |  FROM events GROUP BY 1, 2),
+      |seqd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY t) AS seq FROM hourly),
+      |walk(key, seq, cnt, last_ms, send) AS (
+      |  SELECT key, 0, 0, CAST(0 AS BIGINT), NULL::BOOLEAN
+      |  FROM (SELECT DISTINCT key FROM seqd)
+      |  UNION ALL
+      |  SELECT w.key, CAST(s.seq AS INTEGER),
+      |    CASE WHEN NOT s.risky THEN 0
+      |         WHEN (s.t - w.last_ms) / 60000.0 >= 90.0 AND w.cnt < 3 THEN w.cnt + 1
+      |         ELSE w.cnt END,
+      |    CASE WHEN NOT s.risky THEN CAST(0 AS BIGINT)
+      |         WHEN (s.t - w.last_ms) / 60000.0 >= 90.0 AND w.cnt < 3 THEN s.t
+      |         ELSE w.last_ms END,
+      |    CASE WHEN NOT s.risky THEN false
+      |         ELSE (s.t - w.last_ms) / 60000.0 >= 90.0 AND w.cnt < 3 END
+      |  FROM walk w JOIN seqd s ON s.key = w.key AND s.seq = w.seq + 1)
+      |SELECT w.key, s.t AS event_time_ms, w.send AS send_alert, w.cnt AS alert_count
+      |FROM walk w JOIN seqd s ON s.key = w.key AND s.seq = w.seq
+      |WHERE w.seq >= 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_alert_throttle" -> (s5AlertThrottle _),
     "s1_stream_5min" -> (s1StreamFiveMin _),
     "s2_stream_asof" -> (s2StreamAsOf _),
     "s3_stream_dedup" -> (s3StreamDedup _),
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s5_alert_throttle" -> s5Sql,
     "s1_stream_5min" -> s1Sql,
     "s2_stream_asof" -> FixtureQueries.q20Sql,
     "s3_stream_dedup" -> s1Sql, // dedup of the doubled input == s1 bitwise
