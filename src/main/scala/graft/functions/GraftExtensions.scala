@@ -52,13 +52,16 @@ object GraftFunctions {
     }
 }
 
-/** Build-time SparkSessionExtensions wrapper over [[GraftFunctions]]. */
+/** Build-time SparkSessionExtensions wrapper: [[GraftFunctions]] plus the
+  * engine's planner strategies (the native as-of merge join). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoinStrategy)
+  }
 }

@@ -617,6 +617,25 @@ object FixtureQueries {
       strict = true, tieBreak = Seq("view_id"))
   }
 
+  /** q20's shape through the NATIVE sort-merge as-of exec
+    * (graft.plans.AsOfMergeJoin: custom LogicalPlan -> SparkStrategy ->
+    * BinaryExecNode, a single forward merge per co-partitioned sorted
+    * partition). Shares q20's oracle: same semantics, different physical
+    * plan — the harness proves the custom operator path end to end. */
+  def q27AsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsInWindow(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"), col("value").as("view_value"))
+    graft.plans.AsOfMergeJoin.asOfLeft(purchases, views, Seq("user_id"),
+      leftTime = "purchase_ts", rightTime = "view_ts",
+      payload = Seq("view_id", "view_ts", "view_value"),
+      strict = true, tieBreak = Seq("view_id"))
+  }
+
   // shared with the streaming twin s2_stream_asof (StreamingQueries)
   private[queries] val q20Sql =
     s"""WITH e AS (
@@ -855,7 +874,8 @@ object FixtureQueries {
     "q23_distinct" -> (q23Distinct _),
     "q24_pivot" -> (q24Pivot _),
     "q25_cube" -> (q25Cube _),
-    "q26_star_join" -> (q26StarJoin _))
+    "q26_star_join" -> (q26StarJoin _),
+    "q27_asof_native" -> (q27AsOfNative _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -883,5 +903,6 @@ object FixtureQueries {
     "q23_distinct" -> q23Sql,
     "q24_pivot" -> q24Sql,
     "q25_cube" -> q25Sql,
-    "q26_star_join" -> q26Sql)
+    "q26_star_join" -> q26Sql,
+    "q27_asof_native" -> q20Sql)
 }
