@@ -37,6 +37,53 @@ object Sinks {
     }
   }
 
+  /** Key-level delete-before-insert (upsert): replace exactly the rows whose
+    * `keyCols` match an incoming row, keep every other row of the touched
+    * partitions, leave untouched partitions alone.
+    *
+    * Why it exists: `overwriteSlices` is partition-granular, which is correct
+    * only when the writer always supplies a COMPLETE partition. An update-mode
+    * streaming aggregation emits just the groups a micro-batch changed, so a
+    * late row that updates one group of an already-written slice must not
+    * wipe the slice's other groups — that is the reference's row-level
+    * DELETE WHERE keys / INSERT semantics
+    * (task-executor/trans_summary/trans_summary_5min.py:104-128), and without
+    * Delta-style MERGE support in the environment, read-merge-overwrite over
+    * the PRUNED set of touched partitions is the Spark-native equivalent
+    * (same shape as RiskCtrl.rtpLedgerMerge).
+    *
+    * Scale shape: the incoming batch is small (only changed groups), so its
+    * key set broadcasts; the existing-side read is pruned to the partitions
+    * the batch touches (partition filter → listing prunes); cost is one
+    * rewrite of the touched slices, identical to the reference's
+    * delete+insert. localCheckpoint materializes the merge before the
+    * overwrite deletes the files it was read from.
+    */
+  def upsertSlices(batch: DataFrame, path: String, partitionCols: Seq[String],
+      keyCols: Seq[String]): Unit = {
+    require(partitionCols.forall(keyCols.contains),
+      "partition columns must be part of the upsert key")
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint() // batch may come off a streaming plan
+    val touched = b.select(partitionCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val existing =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = existing match {
+      case None => b
+      case Some(old) =>
+        val partFilter = touched.map(r => partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)).reduce(_ || _)
+        val survivors = old.filter(partFilter)
+          .join(broadcast(b.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+        survivors.select(b.columns.map(col): _*).unionByName(b)
+    }
+    overwriteSlices(merged.localCheckpoint(), path, partitionCols)
+  }
+
   /** S3: plain append (task publication, first write of a table). */
   def append(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Append)

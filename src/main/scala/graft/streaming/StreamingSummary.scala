@@ -55,10 +55,16 @@ object StreamingSummary {
         col("trans_in_count"), col("trans_out_count"), col("trans_out_lost_amount"))
 
   /** Start the streaming 5-min tier writing into the report table via
-    * foreachBatch + dynamic partition overwrite — the streaming equivalent
-    * of the delete-before-insert slice writes (each micro-batch replaces
-    * exactly the summary_date partitions it touches, so replays after a
-    * checkpoint recovery are idempotent). */
+    * foreachBatch + KEY-level upsert — the streaming equivalent of the
+    * reference's delete-before-insert. Update mode emits only the groups a
+    * micro-batch changed, so the sink must replace matching group rows
+    * without wiping the slice's unchanged groups (partition-granular
+    * overwrite would): `Sinks.upsertSlices` reads back just the touched
+    * summary_date partitions, anti-joins on the full group key, and swaps
+    * the partitions atomically. Replays after a checkpoint recovery re-upsert
+    * the same keys with the same values — idempotent, so the sink is
+    * effectively exactly-once end to end (asserted across a real stop/restart
+    * in StreamRecoverySpec). */
   def startTransFiveMin(valueLog: DataFrame, tablePath: String, checkpoint: String,
       watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
     transFiveMinStream(valueLog, watermark).writeStream
@@ -66,7 +72,10 @@ object StreamingSummary {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          graft.io.Sinks.overwriteSlices(batch.toDF(), tablePath, Seq("summary_date"))
+          graft.io.Sinks.upsertSlices(batch.toDF(), tablePath,
+            partitionCols = Seq("summary_date"),
+            keyCols = Seq("summary_date", "hours", "mins",
+              "platform", "site_code", "player_name", "country"))
         }
       }
       .start()
