@@ -63,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfMergeJoinPushdown)
   }
 }

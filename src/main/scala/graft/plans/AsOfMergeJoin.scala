@@ -199,10 +199,12 @@ case class AsOfMergeJoinExec(
   * signature and semantics, planned through the native exec. */
 object AsOfMergeJoin {
 
-  /** Idempotently register the strategy in a LIVE session (extensions only
-    * apply to sessions built with them). */
-  def ensurePlanned(spark: SparkSession): Unit =
+  /** Idempotently register the strategy + pushdown rule in a LIVE session
+    * (extensions only apply to sessions built with them). */
+  def ensurePlanned(spark: SparkSession): Unit = {
     GraftPlanBridge.addStrategy(spark, AsOfMergeJoinStrategy)
+    GraftPlanBridge.addOptimization(spark, AsOfMergeJoinPushdown)
+  }
 
   def asOfLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule restoring the pushdowns Catalyst's generic rules cannot
+  * see through a custom node (ColumnPruning / LimitPushDown pattern-match
+  * only the built-in operators):
+  *
+  *  - **Column pruning through the left side.** The as-of join passes every
+  *    left column through untouched, so any column a parent projection
+  *    doesn't need — beyond the join keys and the left time — can be pruned
+  *    BELOW the node, where the V1 parquet planning collapses it into the
+  *    scan's ReadSchema. At 100 TB this is the difference between shuffling
+  *    a 3-column and a 30-column left side. (The right side needs no rule:
+  *    the API already prunes it to keys+time+payload before the node.)
+  *
+  *  - **Limit pushdown into the left side.** The join emits exactly one row
+  *    per left row, so a LocalLimit above it bounds the left input the same
+  *    way LimitPushDown treats the streamed side of a left-outer join: keep
+  *    the outer limit, insert a copy below on the left.
+  *
+  * Registered alongside the strategy: `injectOptimizerRule` at build time
+  * (runs inside the operator-optimization batch), or
+  * `experimental.extraOptimizations` on a live session (fixed-point user
+  * batch) via [[AsOfMergeJoin.ensurePlanned]]. Both cases are guarded to a
+  * single rewrite so the fixed point converges.
+  */
+object AsOfMergeJoinPushdown extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfMergeJoinPlan) =>
+      val needed = p.references ++ AttributeSet(j.leftKeys :+ j.leftTime)
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.size < j.left.output.size)
+        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
+      else p
+
+    case ll @ LocalLimit(limitExpr, j: AsOfMergeJoinPlan) =>
+      j.left match {
+        case LocalLimit(e, _) if e.semanticEquals(limitExpr) => ll // already pushed
+        case _ => ll.copy(child = j.copy(left = LocalLimit(limitExpr, j.left)))
+      }
+  }
+}

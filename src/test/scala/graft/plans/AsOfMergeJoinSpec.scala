@@ -127,6 +127,32 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(m === Map("A" -> 3L, "B" -> 1L))
   }
 
+  test("pushdown rule: unused left columns are pruned into the parquet ReadSchema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_prune").toString
+    trades.withColumn("fat_a", lit("x")).withColumn("fat_b", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/trades")
+    val fatTrades = spark.read.parquet(s"$dir/trades")
+    val df = AsOfMergeJoin.asOfLeft(fatTrades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("quote_id", "px"), strict = true)
+      .select("trade_id", "quote_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(!plan.contains("fat_a") && !plan.contains("fat_b"),
+      s"unused left columns must not reach the scan:\n$plan")
+    assert(df.collect().length === 4)
+  }
+
+  test("pushdown rule: a limit above the join bounds the left side below it") {
+    val df = AsOfMergeJoin.asOfLeft(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("quote_id", "px"), strict = true).limit(2)
+    val opt = df.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst { case j: AsOfMergeJoinPlan => j }.get
+    assert(joinNode.left.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalLimit],
+      s"limit must be copied below the join's left side:\n$opt")
+    assert(df.collect().length === 2)
+  }
+
   test("empty right side: all left rows survive with null payload") {
     val got = AsOfMergeJoin.asOfLeft(trades, quotes.filter($"sym" === "none"),
       Seq("sym"), "trade_ts", "quote_ts", Seq("quote_id", "px"))
