@@ -56,17 +56,7 @@ object Dedup {
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double, numHashes: Int = 64,
       bands: Int = 16, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = graft.ops.Par.fanOut(docs)
-      .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val banded = sig.select(
-      col("doc_id"), col("sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
-        .as(Seq("band_id", "band_hash")))
+    val banded = bandedSignatures(docs, numHashes, bands, textCol, idCol)
 
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -82,6 +72,76 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Shared LSH banding: (doc_id, shingle set, band_id, band_hash) — one
+    * compiled MinHash pass per doc, one row per (doc, band). */
+  private[ext] def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int,
+      textCol: String, idCol: String): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    graft.ops.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .select(
+        col("doc_id"), col("sh"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band_id", "band_hash")))
+  }
+
+  /** 3. INCREMENTAL dedup: build-once/probe-many against a persisted corpus
+    * index — the shape a 100 TB ingestion pipeline actually runs (the corpus
+    * is deduped once; every new batch is checked against it, not against
+    * itself re-shingled).
+    *
+    * The index is the corpus's banded signatures BUCKETED by `band_key`
+    * (band id folded into the hash so the join key is a single column):
+    * probing shuffles ONLY the new batch into the index's bucketing — the
+    * corpus side, the 100 TB side, is never reshuffled or rehashed. Matches
+    * are exact-verified with true jaccard like the self-join path, so the
+    * bands only prune.
+    */
+  def buildMinhashIndex(corpus: DataFrame, table: String, numHashes: Int = 64,
+      bands: Int = 16, numBuckets: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): Unit =
+    graft.io.Sinks.writeBucketed(
+      bandedSignatures(corpus, numHashes, bands, textCol, idCol)
+        .withColumn("band_key", xxhash64(col("band_id"), col("band_hash")))
+        .select("band_key", "doc_id", "sh"),
+      table, bucketCols = Seq("band_key"), numBuckets = numBuckets,
+      sortCols = Seq("band_key"))
+
+  /** Probe a persisted MinHash index: (doc_new, doc_corpus, jaccard) for
+    * every new-batch doc whose true jaccard with an indexed doc reaches
+    * `threshold`. Parameters must match the build. */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val probe = bandedSignatures(newDocs, numHashes, bands, textCol, idCol)
+      .withColumn("band_key", xxhash64(col("band_id"), col("band_hash")))
+      .select(col("band_key"), col("doc_id").as("doc_new"), col("sh").as("sh_new"))
+    spark.table(table)
+      .select(col("band_key"), col("doc_id").as("doc_corpus"), col("sh").as("sh_corpus"))
+      .join(probe, Seq("band_key"))
+      .select("doc_new", "doc_corpus", "sh_new", "sh_corpus")
+      .dropDuplicates("doc_new", "doc_corpus")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_new"), col("sh_corpus"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_corpus"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_new", "doc_corpus", "jaccard")
+  }
+
+  /** The admission decision: new-batch docs that matched NOTHING in the
+    * index (these are safe to append to the corpus). */
+  def dedupNewBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    newDocs.join(
+      dedupAgainstIndex(spark, table, newDocs, threshold, numHashes, bands, textCol, idCol)
+        .select(col("doc_new").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** 4. Exact n-gram Jaccard pairs (ground truth; small scale / verification
     * only). Explodes shingles and self-joins — mirrors the DuckDB oracle. */

@@ -66,6 +66,46 @@ object ExtensionQueries {
     Dedup.nearDupMinhash(Tables.documents(spark, dir), jaccardThreshold)
 
   // ---------------------------------------------------------------------------
+  // x21 — INCREMENTAL dedup: the 90% of docs with doc_id % 10 != 0 play the
+  // persisted corpus (banded MinHash index, bucketed by band_key so probes
+  // never reshuffle the corpus side); the other 10% play the incoming batch.
+  // Output: every (new, corpus) pair at true jaccard >= threshold. Oracle is
+  // the exact cross-side jaccard — the band join only prunes, survivors are
+  // exact-verified, and the band parameters are x3's, whose total recall at
+  // fixture scale is established bitwise by x3 == x2.
+  // ---------------------------------------------------------------------------
+  def x21IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val table = "graft_minhash_idx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (!spark.catalog.tableExists(table)) {
+      // a previous JVM's warehouse dir may survive the in-memory catalog
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, table))
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 =!= 0), table)
+    }
+    Dedup.dedupAgainstIndex(spark, table,
+      docs.filter(col("doc_id") % 10 === 0), jaccardThreshold)
+  }
+
+  private val x21Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0),
+       |pairs AS (
+       |  SELECT b.doc_id AS doc_new, a.doc_id AS doc_corpus, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shset) AS n FROM sh)
+       |SELECT doc_new, doc_corpus, inter * 1.0 / (sb.n + sa.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON doc_corpus = sa.doc_id
+       |JOIN sizes sb ON doc_new = sb.doc_id
+       |WHERE inter * 1.0 / (sb.n + sa.n - inter) >= $jaccardThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x4 — SimHash near-dup candidates at hamming <= 3. The token hash is
   // md5-low-64 (= DuckDB md5_number_lower) so the oracle rebuilds the exact
   // fingerprint: per-bit votes over token hashes, fp bit set when votes > 0,
@@ -664,6 +704,7 @@ object ExtensionQueries {
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),
     "x3_minhash_pairs" -> (x3MinhashPairs _),
+    "x21_incremental_dedup" -> (x21IncrementalDedup _),
     "x4_simhash_pairs" -> (x4SimhashPairs _),
     "x5_text_stats" -> (x5TextStats _),
     "x6_lang_id" -> (x6LangId _),
@@ -688,6 +729,7 @@ object ExtensionQueries {
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)
+    "x21_incremental_dedup" -> x21Sql,
     "x4_simhash_pairs" -> x4Sql,
     "x5_text_stats" -> x5Sql,
     "x6_lang_id" -> x6Sql,
