@@ -77,6 +77,34 @@ class StreamRecoverySpec extends AnyFunSuite {
       .doubleValue === 142.0)
   }
 
+  test("RocksDB state store: the stateful stream runs on the spillable provider with identical output") {
+    // At scale, streaming state (open windows, dedup keys, join buffers)
+    // outgrows executor heap; RocksDB is the provider that spills. The
+    // pipeline must produce the same bits on it as on the default in-memory
+    // provider — provider choice is an ops knob, not a semantics knob.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+      toVlog(Seq(
+        vrow("alice", "2024-01-01 10:01:00", 10.0),
+        vrow("bob", "2024-01-01 10:02:00", 20.0),
+        vrow("alice", "2024-01-01 10:33:00", 5.0)
+      )).write.parquet(s"$dir/in")
+      runUntilDrained(s"$dir/in", s"$dir/table", s"$dir/ckpt")
+      val got = spark.read.parquet(s"$dir/table")
+        .groupBy("player_name").agg(sum($"trans_in_amount").as("amt"))
+        .collect().map(r => r.getString(0) ->
+          r.getAs[java.math.BigDecimal]("amt").doubleValue).toMap
+      assert(got === Map("alice" -> 15.0, "bob" -> 20.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("upsertSlices directly: replaces matched keys, keeps siblings, leaves other partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val t = s"$dir/t"
