@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *   3. quality filter     (deterministic feature scoring, keep flag)
   *   4. language sampling  (reproducible md5-bucket stratified rates)
   *   5. shard packing      (token-budget shards via the distributed scan)
+  *   6. incremental admission (a later batch probed against the curated
+  *                          corpus's persisted MinHash index — steady-state
+  *                          ingestion never re-pairs the corpus)
   *
   * Every stage is deterministic, so any slice of the output can be
   * recomputed independently — the property that makes the pipeline safe to
@@ -75,6 +78,27 @@ object RunCurate {
     require(again.exceptAll(sampled).isEmpty && sampled.exceptAll(again).isEmpty,
       "curation pipeline is not deterministic")
     println("[curate] determinism check     : PASS")
+
+    // 6. steady state: persist the curated corpus's band index once, then
+    // admit a simulated "tomorrow's crawl" (the curated docs themselves,
+    // re-keyed — worst case: everything is a dup) plus genuinely new text.
+    val idx = "graft_curate_idx"
+    if (spark.catalog.tableExists(idx)) spark.sql(s"DROP TABLE $idx")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, idx))
+    Dedup.buildMinhashIndex(sampled, idx)
+    val replayed = sampled.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val fresh = spark.range(3).select(
+      (col("id") + lit(20000000L)).as("doc_id"),
+      concat(lit("genuinely new document number "), col("id").cast("string"),
+        lit(" with previously unseen token content entirely")).as("text"))
+    val batch = replayed.unionByName(fresh)
+    val admitted = Dedup.dedupNewBatch(spark, idx, batch, threshold = 0.8)
+    val nAdmitted = admitted.count()
+    println(s"[curate] incremental admission : ${batch.count()} probed -> " +
+      s"$nAdmitted admitted (replayed corpus rejected, fresh docs pass)")
+    require(nAdmitted == 3, s"expected only the 3 fresh docs, got $nAdmitted")
     spark.stop()
   }
 }
