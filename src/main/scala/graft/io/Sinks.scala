@@ -137,6 +137,31 @@ object Sinks {
     overwriteSlices(slice, path, Seq(partitionCol))
   }
 
+  /** Clustered layout: range-partition the rows by `clusterCols` and sort
+    * within each file, so every parquet file (and row group) covers a
+    * NARROW, near-disjoint range of the cluster key. A pushed-down filter on
+    * those columns then skips whole row groups via their min/max stats —
+    * the scan reads ~1/numFiles of the data instead of all of it (asserted
+    * by scan-metric comparison in SinksSpec).
+    *
+    * This is the non-partitioned complement to `partitionBy`: partition
+    * columns must be low-cardinality (directory explosion); cluster columns
+    * can be high-cardinality (player_name, user_id) because the layout
+    * lives INSIDE the files. At 100 TB, clustering the report tables by
+    * their hot filter keys is the difference between a point lookup
+    * touching one row group and scanning a day's partition.
+    *
+    * `repartitionByRange` samples the key distribution, so file boundaries
+    * balance even under skew; sorting within partitions is a local sort (no
+    * extra shuffle beyond the range exchange). */
+  def clusteredWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** S6: existence probe — the reference's `SELECT 1 ... LIMIT 1` upsert
     * predicate (player_ranking…py:77-88). */
   def exists(df: DataFrame): Boolean = !df.limit(1).isEmpty

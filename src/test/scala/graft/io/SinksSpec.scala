@@ -114,4 +114,29 @@ class SinksSpec extends AnyFunSuite {
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("clusteredWrite: a point filter on the cluster key skips row groups " +
+      "the shuffled layout has to read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    // ids shuffled so the natural write has every id range in every file
+    val rnd = new scala.util.Random(3)
+    val rows = rnd.shuffle((1L to 40000L).toVector)
+      .map(i => (i, s"payload_$i")).toDF("user_id", "payload")
+
+    Sinks.clusteredWrite(rows, s"$dir/clustered", Seq("user_id"), numFiles = 8)
+    rows.repartition(8).write.parquet(s"$dir/scattered")
+
+    // rows the SCAN produced (post row-group pruning), not rows returned
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter($"user_id" === 12345L)
+      assert(df.count() === 1)
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+      scans.flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val clustered = scanRows(s"$dir/clustered")
+    val scattered = scanRows(s"$dir/scattered")
+    assert(clustered * 4 <= scattered,
+      s"clustered layout must skip most row groups: read $clustered vs $scattered rows")
+  }
 }
