@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeMergeJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfMergeJoinPushdown)
   }
 }

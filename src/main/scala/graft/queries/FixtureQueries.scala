@@ -684,6 +684,29 @@ object FixtureQueries {
       coalesce(col("_sum").cast("double"), lit(0.0)).as("view_value_10m"))
   }
 
+  /** q21's shape through the NATIVE range-merge exec
+    * (graft.plans.RangeMergeJoin: merge scan with a sliding per-key window
+    * buffer — no left-side bucket explosion, each right row visited once).
+    * Shares q21's oracle: same semantics, different physical plan. */
+  def q28RangeNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsInWindow(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+    val pairs = graft.plans.RangeMergeJoin.precedingPairs(purchases, views,
+      Seq("user_id"), "purchase_ts", "view_ts", lookbackSec = 600,
+      payload = Seq("view_value"))
+    val agg = pairs.groupBy(col("purchase_id")).agg(
+      count(lit(1)).as("views_10m"),
+      sum(money(col("view_value"))).as("_sum"))
+    purchases.join(agg, Seq("purchase_id"), "left").select(
+      col("purchase_id"), col("user_id"), col("purchase_ts"),
+      coalesce(col("views_10m"), lit(0L)).as("views_10m"),
+      coalesce(col("_sum").cast("double"), lit(0.0)).as("view_value_10m"))
+  }
+
   private val q21Sql =
     s"""WITH e AS (
        |  SELECT event_id, ts, user_id, event_type, value FROM events
@@ -875,7 +898,8 @@ object FixtureQueries {
     "q24_pivot" -> (q24Pivot _),
     "q25_cube" -> (q25Cube _),
     "q26_star_join" -> (q26StarJoin _),
-    "q27_asof_native" -> (q27AsOfNative _))
+    "q27_asof_native" -> (q27AsOfNative _),
+    "q28_range_native" -> (q28RangeNative _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -904,5 +928,6 @@ object FixtureQueries {
     "q24_pivot" -> q24Sql,
     "q25_cube" -> q25Sql,
     "q26_star_join" -> q26Sql,
-    "q27_asof_native" -> q20Sql)
+    "q27_asof_native" -> q20Sql,
+    "q28_range_native" -> q21Sql)
 }
