@@ -21,8 +21,11 @@ import org.apache.spark.sql.DataFrame
 object Par {
 
   /** Repartition `df` to the session default parallelism if (and only if) its
-    * current plan yields fewer partitions. */
+    * current plan yields fewer partitions. Streaming frames pass through
+    * untouched (no RDD to inspect pre-execution; micro-batch sizing already
+    * follows the source's file splits). */
   def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -74,21 +74,32 @@ object ExtensionQueries {
   // exact-verified, and the band parameters are x3's, whose total recall at
   // fixture scale is established bitwise by x3 == x2.
   // ---------------------------------------------------------------------------
-  def x21IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Build (once per session+fixture) the corpus-side MinHash index over the
+    * docs with doc_id % 10 != 0; returns the table name. Shared by x21 and
+    * the streaming admission probe s6. */
+  private[queries] def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
     val table = "graft_minhash_idx_" +
       java.lang.Integer.toHexString(dir.hashCode)
     if (!spark.catalog.tableExists(table)) {
       // a previous JVM's warehouse dir may survive the in-memory catalog
       val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, table))
-      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 =!= 0), table)
+      Dedup.buildMinhashIndex(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0), table)
     }
-    Dedup.dedupAgainstIndex(spark, table,
-      docs.filter(col("doc_id") % 10 === 0), jaccardThreshold)
+    table
   }
 
-  private val x21Sql =
+  private[queries] val minhashThreshold = jaccardThreshold
+
+  def x21IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureMinhashIndex(spark, dir)
+    Dedup.dedupAgainstIndex(spark, table,
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+      jaccardThreshold)
+  }
+
+  private[queries] val x21Sql =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(
        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset

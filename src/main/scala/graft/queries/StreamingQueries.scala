@@ -347,8 +347,45 @@ object StreamingQueries {
       |FROM walk w JOIN seqd s ON s.key = w.key AND s.seq = w.seq
       |WHERE w.seq >= 1""".stripMargin
 
+  /** Streaming corpus admission: the incoming batch arrives as a STREAM and
+    * is probed against the persisted corpus MinHash index (stream-static
+    * join — the index is the static side, never reshuffled). Same pipeline
+    * as x21 (banding expressions are stateless, dedup of candidate pairs is
+    * the only state), so it shares x21's exact cross-side jaccard oracle:
+    * streaming/batch unification for the curation path. */
+  def s6StreamAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_adm_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      graft.Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(inDir)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+    val table = ExtensionQueries.ensureMinhashIndex(spark, dir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val probe = graft.ext.Dedup.dedupAgainstIndex(
+      spark, table, stream, ExtensionQueries.minhashThreshold)
+    val name = "graft_s6_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      val q = probe.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s6 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_alert_throttle" -> (s5AlertThrottle _),
+    "s6_stream_admission" -> (s6StreamAdmission _),
     "s1_stream_5min" -> (s1StreamFiveMin _),
     "s2_stream_asof" -> (s2StreamAsOf _),
     "s3_stream_dedup" -> (s3StreamDedup _),
@@ -356,6 +393,8 @@ object StreamingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s5_alert_throttle" -> s5Sql,
+    "s6_stream_admission" -> ExtensionQueries.x21Sql, // same pipeline, streamed
+
     "s1_stream_5min" -> s1Sql,
     "s2_stream_asof" -> FixtureQueries.q20Sql,
     "s3_stream_dedup" -> s1Sql, // dedup of the doubled input == s1 bitwise
