@@ -36,6 +36,16 @@ object AsOfMergeJoinPushdown extends Rule[LogicalPlan] {
         p.copy(child = j.copy(left = Project(keptLeft, j.left)))
       else p
 
+    // same passthrough argument for the range join's left side; its LIMIT
+    // must NOT be pushed (a left row emits zero or many rows, so bounding
+    // the input does not bound the output)
+    case p @ Project(_, j: RangeMergeJoinPlan) =>
+      val needed = p.references ++ AttributeSet(j.leftKeys :+ j.leftTime)
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.size < j.left.output.size)
+        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
+      else p
+
     case ll @ LocalLimit(limitExpr, j: AsOfMergeJoinPlan) =>
       j.left match {
         case LocalLimit(e, _) if e.semanticEquals(limitExpr) => ll // already pushed

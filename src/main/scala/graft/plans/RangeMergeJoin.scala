@@ -183,8 +183,10 @@ case class RangeMergeJoinExec(
   * [[graft.ops.RangeJoin.precedingPairs]], planned through the native exec. */
 object RangeMergeJoin {
 
-  def ensurePlanned(spark: SparkSession): Unit =
+  def ensurePlanned(spark: SparkSession): Unit = {
     GraftPlanBridge.addStrategy(spark, RangeMergeJoinStrategy)
+    GraftPlanBridge.addOptimization(spark, AsOfMergeJoinPushdown)
+  }
 
   def precedingPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, lookbackSec: Long,

@@ -53,6 +53,8 @@ object CompareAsOf {
     }
     measure("union+window", fullWork("q20_asof"))
     measure("native merge", fullWork("q27_asof_native"))
+    measure("banded range", fullWork("q21_range_join"))
+    measure("native range", fullWork("q28_range_native"))
     spark.stop()
   }
 }

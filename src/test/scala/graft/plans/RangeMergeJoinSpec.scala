@@ -73,6 +73,21 @@ class RangeMergeJoinSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
   }
 
+  test("pushdown rule: unused left columns pruned into the parquet ReadSchema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_prune").toString
+    Seq(("A", ts("2024-01-01 10:10:00"), 1L, "wide", 9.9))
+      .toDF("k", "lt", "lid", "fat_a", "fat_b")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = Seq(("A", ts("2024-01-01 10:05:00"), 10L)).toDF("k", "rt", "rid")
+    val df = RangeMergeJoin.precedingPairs(l, r, Seq("k"), "lt", "rt", 600, Seq("rid"))
+      .select("lid", "rid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("fat_a") && !plan.contains("fat_b"),
+      s"unused left columns must not reach the scan:\n$plan")
+    assert(df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === Set((1L, 10L)))
+  }
+
   test("null left times match nothing; empty right side yields empty output") {
     val l = Seq(("A", Option(ts("2024-01-01 10:10:00")), 1L),
       ("A", Option.empty[java.sql.Timestamp], 2L)).toDF("k", "lt", "lid")
