@@ -490,6 +490,36 @@ object ExtensionQueries {
       .select(col("media_id"), col("kind"), col("feature_dim"), col("decode_ok"),
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
 
+  // ---------------------------------------------------------------------------
+  // x22 — video frame sampling: one row per evenly-strided pseudo-frame of
+  // each video payload (the Spark-side plumbing of Multimodal.sampleVideoFrames
+  // with the stub codec). Byte-exact oracle without blob surgery: frames are
+  // compared as HEX STRINGS, so DuckDB replays the slicing as pure string
+  // arithmetic on hex(encode(text)).
+  // ---------------------------------------------------------------------------
+  def x22FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir))
+    graft.ext.Multimodal.sampleVideoFrames(media, n = 4).select(
+      col("media_id"), col("source_doc_id"),
+      length(col("payload")).as("frame_len"),
+      hex(col("payload")).as("frame_hex"))
+  }
+
+  private val x22Sql =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, doc_id AS source_doc_id,
+      |    hex(encode(text)) AS h, octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id, source_doc_id, h, len, greatest(1, len // 4) AS stride,
+      |    unnest(range(0, least(4, len))) AS i
+      |  FROM v)
+      |SELECT media_id, source_doc_id,
+      |  CAST(least(i * stride + stride, len) - i * stride AS INTEGER) AS frame_len,
+      |  substr(h, i * stride * 2 + 1,
+      |    (least(i * stride + stride, len) - i * stride) * 2) AS frame_hex
+      |FROM f""".stripMargin
+
   private val x12Sql =
     """WITH hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents),
@@ -712,6 +742,7 @@ object ExtensionQueries {
     "x11_media_budget" -> (x11MediaBudget _),
     "x15_embedding_pairs_lsh" -> (x15EmbeddingPairsLsh _),
     "x12_media_features" -> (x12MediaFeatures _),
+    "x22_frame_sample" -> (x22FrameSample _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),
     "x3_minhash_pairs" -> (x3MinhashPairs _),
@@ -737,6 +768,7 @@ object ExtensionQueries {
     "x19_ngram_topk" -> x19Sql,
     "x11_media_budget" -> x11Sql,
     "x12_media_features" -> x12Sql,
+    "x22_frame_sample" -> x22Sql,
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)
