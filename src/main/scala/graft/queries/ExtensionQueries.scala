@@ -520,6 +520,29 @@ object ExtensionQueries {
       |    (least(i * stride + stride, len) - i * stride) * 2) AS frame_hex
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x23 — image resize stage (stub codec: content-bounded byte clamp standing
+  // in for re-encoding; real plumbing — kind filter, payload rewrite, metadata
+  // stamp). Same hex-string oracle technique as x22.
+  // ---------------------------------------------------------------------------
+  def x23Resize(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir))
+    graft.ext.Multimodal.resizeImages(media, w = 32, h = 32).select(
+      col("media_id"), col("width"), col("height"),
+      length(col("payload")).as("resized_len"),
+      hex(col("payload")).as("resized_hex"))
+  }
+
+  private val x23Sql =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT media_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+      |  CAST(least(len, 16) AS INTEGER) AS resized_len,
+      |  substr(h, 1, least(len, 16) * 2) AS resized_hex
+      |FROM img""".stripMargin
+
   private val x12Sql =
     """WITH hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents),
@@ -743,6 +766,7 @@ object ExtensionQueries {
     "x15_embedding_pairs_lsh" -> (x15EmbeddingPairsLsh _),
     "x12_media_features" -> (x12MediaFeatures _),
     "x22_frame_sample" -> (x22FrameSample _),
+    "x23_resize" -> (x23Resize _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),
     "x3_minhash_pairs" -> (x3MinhashPairs _),
@@ -769,6 +793,7 @@ object ExtensionQueries {
     "x11_media_budget" -> x11Sql,
     "x12_media_features" -> x12Sql,
     "x22_frame_sample" -> x22Sql,
+    "x23_resize" -> x23Sql,
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)
