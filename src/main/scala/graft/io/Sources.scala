@@ -42,6 +42,14 @@ object Sources {
     (good, bad)
   }
 
+  /** ORC interchange (the other columnar format large pipelines exchange —
+    * Hive-era lakes land ORC): declared-schema read so a drifting upstream
+    * writer surfaces as an analysis error, not silently-null columns. Writes
+    * are plain `df.write.orc` — predicate pushdown/column pruning work as
+    * with parquet (ORC is a first-class Spark V1 source). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Same discipline for CSV drops (header'd, declared schema). */
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): (DataFrame, DataFrame) = {

@@ -48,4 +48,18 @@ class SourcesSpec extends AnyFunSuite {
     val raws = bad.collect().map(_.getString(0))
     assert(raws.length === 1 && raws.head.startsWith("2,b"))
   }
+
+  test("ORC round-trip: schema-declared read, pushdown reaches the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = (1L to 1000L).map(i => (i, s"u$i", i * 1.5)).toDF("id", "name", "v")
+    df.write.orc(s"$dir/t")
+    val back = Sources.orc(spark, s"$dir/t", df.schema)
+    assert(back.count() === 1000)
+    val filtered = back.filter($"id" === 7L).select("name")
+    assert(filtered.collect().map(_.getString(0)).toSeq === Seq("u7"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,7)"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
 }
