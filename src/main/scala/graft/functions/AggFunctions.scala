@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Custom aggregate functions (Catalyst `TypedImperativeAggregate`: real
+  * partial aggregation — the buffer combines map-side, serializes across the
+  * shuffle, and merges reduce-side).
+  *
+  * [[TopKPairs]] is the canonical scale case: exact per-group top-k WITHOUT
+  * sorting the group. The naive formulation (`row_number()` over a window,
+  * filter rank<=k) shuffles and sorts EVERY row of every group; the bounded
+  * aggregate ships at most k pairs per group per map task — at 100 TB the
+  * difference between sorting a terabyte-scale group history and merging
+  * kilobyte-sized heaps. Determinism: ordering is (score DESC, item ASC),
+  * so ties resolve identically on any partitioning — the result is
+  * bit-stable and oracle-comparable (x24).
+  */
+object AggFunctions {
+
+  /** exact top-k (score, item) pairs per group, largest score first, ties to
+    * the smaller item id. Output: array<struct<score:bigint,item:bigint>>. */
+  def topk_pairs(score: Column, item: Column, k: Int): Column =
+    column(TopKPairs(expression(score), expression(item), k)
+      .toAggregateExpression())
+}
+
+case class TopKPairs(
+    scoreExpr: Expression,
+    itemExpr: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long)]] {
+
+  require(k > 0, "topk_pairs needs k > 0")
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
+
+  // (score desc, item asc): the pair that WINS sorts first
+  private def winsOver(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def children: Seq[Expression] = Seq(scoreExpr, itemExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("item", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  // Amortized bound: accumulate to 4k, then compact to the best k. Each map
+  // task therefore holds O(k) state per group and ships at most k pairs.
+  private def compact(buf: Buf): Buf = {
+    if (buf.length > k) {
+      val top = buf.sortWith(winsOver).take(k)
+      buf.clear(); buf ++= top
+    }
+    buf
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val s = scoreExpr.eval(input)
+    val i = itemExpr.eval(input)
+    if (s != null && i != null) {
+      buf += ((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      if (buf.length >= 4 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { a ++= b; compact(a) }
+
+  override def eval(buf: Buf): Any = {
+    val top = buf.sortWith(winsOver).take(k)
+    new GenericArrayData(top.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i)) }.toArray[Any])
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val best = compact(buf)
+    val bb = ByteBuffer.allocate(4 + best.length * 16)
+    bb.putInt(best.length)
+    best.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var j = 0
+    while (j < n) { buf += ((bb.getLong, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(scoreExpr = newChildren(0), itemExpr = newChildren(1))
+  override def prettyName: String = "topk_pairs"
+}

@@ -42,7 +42,9 @@ object GraftFunctions {
     ("md5_bucket", "md5_bucket(key[, buckets]) - deterministic sampling bucket (md5-low-64 unsigned mod)",
       exprs => Md5Bucket(exprs.head, intArg(exprs, 1, 10000))),
     ("md5_lo64", "md5_lo64(key) - md5-low-64 as signed long (DuckDB md5_number_lower bit parity)",
-      exprs => Md5Lo64(exprs.head)))
+      exprs => Md5Lo64(exprs.head)),
+    ("topk_pairs", "topk_pairs(score, item[, k]) - exact per-group top-k pairs without a group sort",
+      exprs => TopKPairs(exprs(0), exprs(1), intArg(exprs, 2, 10))))
 
   /** Register into a LIVE session's function registry. */
   def registerAll(spark: SparkSession): Unit =

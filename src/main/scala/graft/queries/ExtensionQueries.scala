@@ -543,6 +543,26 @@ object ExtensionQueries {
       |  substr(h, 1, least(len, 16) * 2) AS resized_hex
       |FROM img""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x24 — exact per-group top-k via the custom TypedImperativeAggregate
+  // (graft.functions.TopKPairs): bounded partial aggregation instead of a
+  // whole-group window sort. Deterministic ties (score DESC, item ASC) make
+  // it oracle-comparable against the window formulation.
+  // ---------------------------------------------------------------------------
+  def x24TopkAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(graft.functions.AggFunctions.topk_pairs(
+        col("n_chars").cast("long"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.score").as("n_chars"), col("t.item").as("doc_id"))
+
+  private val x24Sql =
+    """SELECT lang, n_chars, doc_id FROM (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM documents) WHERE rn <= 3""".stripMargin
+
   private val x12Sql =
     """WITH hx AS (
       |  SELECT doc_id, hex(encode(text)) AS h FROM documents),
@@ -767,6 +787,7 @@ object ExtensionQueries {
     "x12_media_features" -> (x12MediaFeatures _),
     "x22_frame_sample" -> (x22FrameSample _),
     "x23_resize" -> (x23Resize _),
+    "x24_topk_agg" -> (x24TopkAgg _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),
     "x3_minhash_pairs" -> (x3MinhashPairs _),
@@ -794,6 +815,7 @@ object ExtensionQueries {
     "x12_media_features" -> x12Sql,
     "x22_frame_sample" -> x22Sql,
     "x23_resize" -> x23Sql,
+    "x24_topk_agg" -> x24Sql,
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TopKPairs (TypedImperativeAggregate): equality with the window
+  * formulation on random data under FORCED partial aggregation (many input
+  * partitions -> map-side combine + serialized merge), tie determinism,
+  * short groups, null handling, and SQL registration. */
+class AggFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def flat(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("g"), explode(col("top")).as("t"))
+    .select(col("g"), col("t.score"), col("t.item"))
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("equals the window-sort formulation under forced partial aggregation") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 5000).map(i => ("g" + rnd.nextInt(7), rnd.nextInt(50).toLong, i.toLong))
+    // 64 partitions over ~714 rows/group forces many partial buffers/merges
+    val df = rows.toDF("g", "s", "i").repartition(64)
+    val got = flat(df.groupBy("g")
+      .agg(AggFunctions.topk_pairs(col("s"), col("i"), 5).as("top")))
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("i").asc)
+    val want = rows.toDF("g", "s", "i")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("g", "s", "i")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("groups smaller than k, ties to the smaller item, nulls skipped") {
+    val df = Seq(
+      ("a", Some(10L), 1L), ("a", Some(10L), 2L), // tie -> both, order by item
+      ("b", Some(5L), 3L),                        // short group
+      ("b", None, 4L)                             // null score ignored
+    ).toDF("g", "s", "i")
+    val got = df.groupBy("g")
+      .agg(AggFunctions.topk_pairs(col("s"), col("i"), 3).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))).toMap
+    assert(got("a") === Seq((10L, 1L), (10L, 2L))) // winner first, tie by item asc
+    assert(got("b") === Seq((5L, 3L)))
+  }
+
+  test("registered in SQL as topk_pairs") {
+    GraftFunctions.registerAll(spark)
+    Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("g", "s", "i")
+      .createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      "SELECT g, topk_pairs(s, i, 1) AS top FROM topk_in GROUP BY g")
+      .select(explode(col("top"))).collect()
+    assert(out.length === 1 && out(0).getStruct(0).getLong(0) === 2L)
+  }
+}

@@ -40,6 +40,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // injection (the SQL behavior of the builders is covered above).
     val ext = new SparkSessionExtensions
     (new GraftExtensions)(ext)
-    assert(GraftFunctions.all.map(_._1).distinct.size === 9)
+    assert(GraftFunctions.all.map(_._1).distinct.size === 10)
   }
 }
