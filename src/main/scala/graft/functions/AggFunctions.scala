@@ -42,6 +42,20 @@ case class TopKPairs(
 
   require(k > 0, "topk_pairs needs k > 0")
 
+  // any integral input is accepted (widened to long in update); anything
+  // else fails analysis cleanly instead of ClassCastException-ing on
+  // executors via the SQL-registered path
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs expects integral (score, item) columns, got " +
+        s"${scoreExpr.dataType} / ${itemExpr.dataType}")
+  }
+
   private type Buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]
 
   // (score desc, item asc): the pair that WINS sorts first
@@ -70,7 +84,7 @@ case class TopKPairs(
     val s = scoreExpr.eval(input)
     val i = itemExpr.eval(input)
     if (s != null && i != null) {
-      buf += ((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      buf += ((s.asInstanceOf[Number].longValue, i.asInstanceOf[Number].longValue))
       if (buf.length >= 4 * k) compact(buf)
     }
     buf

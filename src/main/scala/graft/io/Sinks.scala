@@ -74,11 +74,17 @@ object Sinks {
     val merged = existing match {
       case None => b
       case Some(old) =>
+        // Null-SAFE equality throughout: a group key or partition value of
+        // NULL is legal (e.g. an unknown country), and `===` would let the
+        // stale NULL-key row survive the anti-join (duplicate groups) or
+        // turn the partition filter into all-null (wiping siblings).
         val partFilter = touched.map(r => partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
           .reduce(_ && _)).reduce(_ || _)
-        val survivors = old.filter(partFilter)
-          .join(broadcast(b.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+        val bKeys = b.select(keyCols.map(col): _*).distinct().alias("bk")
+        val anti = keyCols.map(c => col(s"old.$c") <=> col(s"bk.$c")).reduce(_ && _)
+        val survivors = old.filter(partFilter).alias("old")
+          .join(broadcast(bKeys), anti, "left_anti")
         survivors.select(b.columns.map(col): _*).unionByName(b)
     }
     overwriteSlices(merged.localCheckpoint(), path, partitionCols)

@@ -216,26 +216,25 @@ object AsOfMergeJoin {
     val spark = left.sparkSession
     ensurePlanned(spark)
 
-    // Re-alias every referenced column: fresh ExprIds per side, so a
-    // self-join (q20: views vs purchases off the same scan) can't alias the
-    // two sides' attributes to each other. Also prunes the right side to
-    // keys+time+payload before the shuffle.
-    def freshen(df: DataFrame, cols: Seq[String]): DataFrame =
-      df.select(cols.map(c => col(c).as(c)): _*)
-    val lPlan = freshen(left, left.columns.toSeq).queryExecution.analyzed
-    val rPlan = freshen(
+    // Fresh ExprIds per side (self-join safety) via PlanResolve; the right
+    // side is also pruned to keys+time+payload before the shuffle.
+    import PlanResolve.attr
+    val lPlan = PlanResolve.freshened(left, left.columns.toSeq)
+    val rPlan = PlanResolve.freshened(
       right.filter(col(rightTime).isNotNull),
-      (keys ++ Seq(rightTime) ++ payload).distinct).queryExecution.analyzed
+      (keys ++ Seq(rightTime) ++ payload).distinct)
 
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-
+    val lKeys = keys.map(attr(lPlan, _)); val rKeys = keys.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime); val rt = attr(rPlan, rightTime)
+    // the merge compares raw values across sides — mismatched types would
+    // order garbage instead of failing
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key ${a.name} type mismatch: ${a.dataType} vs ${b.dataType}") }
     val node = AsOfMergeJoinPlan(
-      lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      lPlan, rPlan, lKeys, rKeys, lt, rt,
       payload.map(attr(rPlan, _)), strict, tieBreak.map(attr(rPlan, _)))
     GraftPlanBridge.ofRows(spark, node)
   }

@@ -28,23 +28,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * single rewrite so the fixed point converges.
   */
 object AsOfMergeJoinPushdown extends Rule[LogicalPlan] {
+
+  /** Shared pruning body: keep only the left columns the parent projection
+    * (plus the node's own keys/time) references, rebuilt via `withLeft`. */
+  private def pruneLeft(p: Project, left: LogicalPlan,
+      leftKeys: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      leftTime: org.apache.spark.sql.catalyst.expressions.Attribute,
+      withLeft: LogicalPlan => LogicalPlan): LogicalPlan = {
+    val needed = p.references ++ AttributeSet(leftKeys :+ leftTime)
+    val keptLeft = left.output.filter(needed.contains)
+    if (keptLeft.size < left.output.size)
+      p.copy(child = withLeft(Project(keptLeft, left)))
+    else p
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(_, j: AsOfMergeJoinPlan) =>
-      val needed = p.references ++ AttributeSet(j.leftKeys :+ j.leftTime)
-      val keptLeft = j.left.output.filter(needed.contains)
-      if (keptLeft.size < j.left.output.size)
-        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
-      else p
+      pruneLeft(p, j.left, j.leftKeys, j.leftTime, l => j.copy(left = l))
 
     // same passthrough argument for the range join's left side; its LIMIT
     // must NOT be pushed (a left row emits zero or many rows, so bounding
     // the input does not bound the output)
     case p @ Project(_, j: RangeMergeJoinPlan) =>
-      val needed = p.references ++ AttributeSet(j.leftKeys :+ j.leftTime)
-      val keptLeft = j.left.output.filter(needed.contains)
-      if (keptLeft.size < j.left.output.size)
-        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
-      else p
+      pruneLeft(p, j.left, j.leftKeys, j.leftTime, l => j.copy(left = l))
 
     case ll @ LocalLimit(limitExpr, j: AsOfMergeJoinPlan) =>
       j.left match {

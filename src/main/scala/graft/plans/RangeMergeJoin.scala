@@ -196,19 +196,21 @@ object RangeMergeJoin {
     val spark = left.sparkSession
     ensurePlanned(spark)
 
-    def freshen(df: DataFrame, cols: Seq[String]): DataFrame =
-      df.select(cols.map(c => col(c).as(c)): _*)
-    val lPlan = freshen(left, left.columns.toSeq).queryExecution.analyzed
-    val rPlan = freshen(
+    import PlanResolve.attr
+    val lPlan = PlanResolve.freshened(left, left.columns.toSeq)
+    val rPlan = PlanResolve.freshened(
       right.filter(col(rightTime).isNotNull),
-      (keys ++ Seq(rightTime) ++ payload).distinct).queryExecution.analyzed
+      (keys ++ Seq(rightTime) ++ payload).distinct)
 
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-
-    val lt = attr(lPlan, leftTime)
+    val lKeys = keys.map(attr(lPlan, _)); val rKeys = keys.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime); val rt = attr(rPlan, rightTime)
+    // both sides are read as raw longs in one unit — a type (or unit)
+    // mismatch must fail here, not order garbage
+    require(lt.dataType == rt.dataType,
+      s"range time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"range key ${a.name} type mismatch: ${a.dataType} vs ${b.dataType}") }
     val lookback = lt.dataType match {
       case TimestampType | TimestampNTZType => lookbackSec * 1000000L
       case LongType => lookbackSec
@@ -216,9 +218,7 @@ object RangeMergeJoin {
         s"range-merge join needs a long-backed time column, got $other")
     }
     val node = RangeMergeJoinPlan(
-      lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      lt, attr(rPlan, rightTime),
+      lPlan, rPlan, lKeys, rKeys, lt, rt,
       payload.map(attr(rPlan, _)), lookback)
     // output = left.* ++ payload, matching RangeJoin.precedingPairs
     GraftPlanBridge.ofRows(spark, node)

@@ -78,8 +78,16 @@ object ExtensionQueries {
     * docs with doc_id % 10 != 0; returns the table name. Shared by x21 and
     * the streaming admission probe s6. */
   private[queries] def ensureMinhashIndex(spark: SparkSession, dir: String): String = {
+    // key the table by (dir, fixture mtime) like the streaming stage dirs:
+    // a regenerated fixture must invalidate the index, not silently probe
+    // stale corpus signatures
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Throwable => 0L }
     val table = "graft_minhash_idx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(srcMtime)
     if (!spark.catalog.tableExists(table)) {
       // a previous JVM's warehouse dir may survive the in-memory catalog
       val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath

@@ -603,7 +603,12 @@ object FixtureQueries {
   // total order (ts, purchase-before-view at equal ts, event_id) with
   // last_value IGNORE NULLS.
   // ---------------------------------------------------------------------------
-  def q20AsOf(spark: SparkSession, dir: String): DataFrame = {
+  /** One body, two physical formulations (q20 union+window / q27 native
+    * merge exec) sharing one oracle: the pair-producing function is the only
+    * difference, so the shared-oracle invariant can't drift. */
+  private def asOfShape(spark: SparkSession, dir: String,
+      asOf: (DataFrame, DataFrame, Seq[String], String, String, Seq[String],
+        Boolean, Seq[String]) => DataFrame): DataFrame = {
     val ev = eventsInWindow(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase").select(
       col("event_id").as("purchase_id"), col("user_id"),
@@ -611,30 +616,20 @@ object FixtureQueries {
     val views = ev.filter(col("event_type") === "view").select(
       col("user_id"), col("event_id").as("view_id"),
       col("ts").as("view_ts"), col("value").as("view_value"))
-    graft.ops.AsOfJoin.asOfLeft(purchases, views, Seq("user_id"),
-      leftTime = "purchase_ts", rightTime = "view_ts",
-      payload = Seq("view_id", "view_ts", "view_value"),
-      strict = true, tieBreak = Seq("view_id"))
+    asOf(purchases, views, Seq("user_id"), "purchase_ts", "view_ts",
+      Seq("view_id", "view_ts", "view_value"), true, Seq("view_id"))
   }
+
+  def q20AsOf(spark: SparkSession, dir: String): DataFrame =
+    asOfShape(spark, dir, graft.ops.AsOfJoin.asOfLeft)
 
   /** q20's shape through the NATIVE sort-merge as-of exec
     * (graft.plans.AsOfMergeJoin: custom LogicalPlan -> SparkStrategy ->
     * BinaryExecNode, a single forward merge per co-partitioned sorted
     * partition). Shares q20's oracle: same semantics, different physical
     * plan — the harness proves the custom operator path end to end. */
-  def q27AsOfNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsInWindow(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase").select(
-      col("event_id").as("purchase_id"), col("user_id"),
-      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
-    val views = ev.filter(col("event_type") === "view").select(
-      col("user_id"), col("event_id").as("view_id"),
-      col("ts").as("view_ts"), col("value").as("view_value"))
-    graft.plans.AsOfMergeJoin.asOfLeft(purchases, views, Seq("user_id"),
-      leftTime = "purchase_ts", rightTime = "view_ts",
-      payload = Seq("view_id", "view_ts", "view_value"),
-      strict = true, tieBreak = Seq("view_id"))
-  }
+  def q27AsOfNative(spark: SparkSession, dir: String): DataFrame =
+    asOfShape(spark, dir, graft.plans.AsOfMergeJoin.asOfLeft)
 
   // shared with the streaming twin s2_stream_asof (StreamingQueries)
   private[queries] val q20Sql =
@@ -665,16 +660,19 @@ object FixtureQueries {
   // interval join). Sum is decimal-cast before aggregation so the result is
   // bit-deterministic at any parallelism.
   // ---------------------------------------------------------------------------
-  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** One body, two pair producers (q21 banded / q28 native merge exec)
+    * sharing one oracle — only the range-join call differs. */
+  private def rangeShape(spark: SparkSession, dir: String,
+      preceding: (DataFrame, DataFrame, Seq[String], String, String, Long,
+        Seq[String]) => DataFrame): DataFrame = {
     val ev = eventsInWindow(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase").select(
       col("event_id").as("purchase_id"), col("user_id"),
       col("ts").as("purchase_ts"))
     val views = ev.filter(col("event_type") === "view").select(
       col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
-    val pairs = graft.ops.RangeJoin.precedingPairs(purchases, views,
-      Seq("user_id"), "purchase_ts", "view_ts", lookbackSec = 600,
-      payload = Seq("view_value"))
+    val pairs = preceding(purchases, views,
+      Seq("user_id"), "purchase_ts", "view_ts", 600L, Seq("view_value"))
     val agg = pairs.groupBy(col("purchase_id")).agg(
       count(lit(1)).as("views_10m"),
       sum(money(col("view_value"))).as("_sum"))
@@ -684,28 +682,15 @@ object FixtureQueries {
       coalesce(col("_sum").cast("double"), lit(0.0)).as("view_value_10m"))
   }
 
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeShape(spark, dir, graft.ops.RangeJoin.precedingPairs)
+
   /** q21's shape through the NATIVE range-merge exec
     * (graft.plans.RangeMergeJoin: merge scan with a sliding per-key window
     * buffer — no left-side bucket explosion, each right row visited once).
     * Shares q21's oracle: same semantics, different physical plan. */
-  def q28RangeNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsInWindow(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase").select(
-      col("event_id").as("purchase_id"), col("user_id"),
-      col("ts").as("purchase_ts"))
-    val views = ev.filter(col("event_type") === "view").select(
-      col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
-    val pairs = graft.plans.RangeMergeJoin.precedingPairs(purchases, views,
-      Seq("user_id"), "purchase_ts", "view_ts", lookbackSec = 600,
-      payload = Seq("view_value"))
-    val agg = pairs.groupBy(col("purchase_id")).agg(
-      count(lit(1)).as("views_10m"),
-      sum(money(col("view_value"))).as("_sum"))
-    purchases.join(agg, Seq("purchase_id"), "left").select(
-      col("purchase_id"), col("user_id"), col("purchase_ts"),
-      coalesce(col("views_10m"), lit(0L)).as("views_10m"),
-      coalesce(col("_sum").cast("double"), lit(0.0)).as("view_value_10m"))
-  }
+  def q28RangeNative(spark: SparkSession, dir: String): DataFrame =
+    rangeShape(spark, dir, graft.plans.RangeMergeJoin.precedingPairs)
 
   private val q21Sql =
     s"""WITH e AS (

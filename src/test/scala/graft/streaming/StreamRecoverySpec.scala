@@ -105,6 +105,26 @@ class StreamRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("upsertSlices: NULL group keys upsert exactly like non-null ones (null-safe equality)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString
+    val t = s"$dir/t"
+    val schema = StructType(Seq(StructField("d", IntegerType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    def df(rows: Seq[(Int, String, Double)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3))), schema)
+    graft.io.Sinks.upsertSlices(
+      df(Seq((20240101, null, 1.0), (20240101, "b", 2.0))), t, Seq("d"), Seq("d", "k"))
+    // re-emit the NULL-key group with a new value: must REPLACE, not duplicate
+    graft.io.Sinks.upsertSlices(
+      df(Seq((20240101, null, 9.0))), t, Seq("d"), Seq("d", "k"))
+    val got = spark.read.parquet(t).select("k", "v").collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getDouble(1)).toMap
+    assert(got === Map("<null>" -> 9.0, "b" -> 2.0))
+    assert(spark.read.parquet(t).count() === 2, "null-key group must not duplicate")
+  }
+
   test("upsertSlices directly: replaces matched keys, keeps siblings, leaves other partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val t = s"$dir/t"
