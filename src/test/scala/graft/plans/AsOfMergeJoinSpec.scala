@@ -153,6 +153,34 @@ class AsOfMergeJoinSpec extends AnyFunSuite {
     assert(df.collect().length === 2)
   }
 
+  test("bucketed inputs: the as-of join plans with ZERO exchanges") {
+    // Both sides pre-bucketed on the join key satisfy the exec's required
+    // clustering — at 100 TB this is a shuffle-FREE point-in-time join over
+    // co-located tables (sorts remain, but they are partition-local).
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("asof_bkt_trades", "asof_bkt_quotes").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
+    graft.io.Sinks.writeBucketed(trades, "asof_bkt_trades", Seq("sym"), 4,
+      sortCols = Seq("sym", "trade_ts"))
+    graft.io.Sinks.writeBucketed(quotes, "asof_bkt_quotes", Seq("sym"), 4,
+      sortCols = Seq("sym", "quote_ts"))
+    val df = AsOfMergeJoin.asOfLeft(
+      spark.table("asof_bkt_trades"), spark.table("asof_bkt_quotes"),
+      Seq("sym"), "trade_ts", "quote_ts", Seq("quote_id", "px"),
+      strict = true, tieBreak = Seq("quote_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join must not shuffle:\n$plan")
+    // and results equal the shuffling plain-input plan
+    val plain = AsOfMergeJoin.asOfLeft(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("quote_id", "px"),
+      strict = true, tieBreak = Seq("quote_id"))
+    assert(sortedRows(df) === sortedRows(plain))
+  }
+
   test("empty right side: all left rows survive with null payload") {
     val got = AsOfMergeJoin.asOfLeft(trades, quotes.filter($"sym" === "none"),
       Seq("sym"), "trade_ts", "quote_ts", Seq("quote_id", "px"))

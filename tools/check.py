@@ -68,7 +68,24 @@ def main():
     for name in sorted(oracle):
         try:
             got = canon(pd.read_parquet(OUT / name))
-            want = canon(con.sql(oracle[name]).df())
+            # The heavy recursive-CTE oracles can transiently OOM in DuckDB
+            # right after the Spark JVM exits (page-cache pressure). Retry a
+            # few times with a fresh connection before calling it a failure.
+            want = None
+            for attempt in range(4):
+                try:
+                    want = canon(con.sql(oracle[name]).df())
+                    break
+                except duckdb.OutOfMemoryException:
+                    if attempt == 3:
+                        raise
+                    import time
+                    time.sleep(5 * (attempt + 1))
+                    con = duckdb.connect()
+                    for t in TABLES:
+                        p = f"{SF}/{t}.parquet"
+                        if Path(p).exists():
+                            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
