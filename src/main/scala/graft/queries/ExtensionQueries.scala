@@ -565,7 +565,7 @@ object ExtensionQueries {
       .select(col("lang"), explode(col("top")).as("t"))
       .select(col("lang"), col("t.score").as("n_chars"), col("t.item").as("doc_id"))
 
-  private val x24Sql =
+  private[queries] val x24Sql =
     """SELECT lang, n_chars, doc_id FROM (
       |  SELECT lang, CAST(n_chars AS BIGINT) AS n_chars, doc_id,
       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn

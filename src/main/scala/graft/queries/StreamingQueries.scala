@@ -383,9 +383,46 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** The custom TypedImperativeAggregate under streaming state: complete-mode
+    * groupBy(lang) with topk_pairs over a streamed documents drop — the
+    * typed buffer serializes into the state store and merges across
+    * micro-batches. Shares x24's window-formulation oracle bitwise. */
+  def s7StreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_topk_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      graft.Tables.documents(spark, dir)
+        .select(col("lang"), col("n_chars").cast("long").as("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(inDir)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s7_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      val q = stream.groupBy(col("lang"))
+        .agg(graft.functions.AggFunctions.topk_pairs(
+          col("n_chars"), col("doc_id"), 3).as("top"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s7 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.score").as("n_chars"), col("t.item").as("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_alert_throttle" -> (s5AlertThrottle _),
     "s6_stream_admission" -> (s6StreamAdmission _),
+    "s7_stream_topk" -> (s7StreamTopk _),
     "s1_stream_5min" -> (s1StreamFiveMin _),
     "s2_stream_asof" -> (s2StreamAsOf _),
     "s3_stream_dedup" -> (s3StreamDedup _),
@@ -394,6 +431,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "s5_alert_throttle" -> s5Sql,
     "s6_stream_admission" -> ExtensionQueries.x21Sql, // same pipeline, streamed
+    "s7_stream_topk" -> ExtensionQueries.x24Sql, // same aggregate, streamed
 
     "s1_stream_5min" -> s1Sql,
     "s2_stream_asof" -> FixtureQueries.q20Sql,
