@@ -48,6 +48,32 @@ class AggFunctionsSpec extends AnyFunSuite {
     assert(got("b") === Seq((5L, 3L)))
   }
 
+  test("streaming restart: the typed buffer deserializes from the checkpoint and keeps merging") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString
+    val in = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    def run(table: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema).parquet(in)
+        .groupBy("g").agg(AggFunctions.topk_pairs(col("s"), col("i"), 2).as("top"))
+        .writeStream.outputMode("complete").format("memory").queryName(table)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    // run 1: the eventual winners are NOT yet present
+    Seq(("a", 10L, 1L), ("a", 20L, 2L)).toDF("g", "s", "i").write.parquet(in)
+    run("topk_r1")
+    // run 2 (fresh query, same checkpoint): recovery must DESERIALIZE run 1's
+    // buffer and merge the new rows into it
+    Seq(("a", 30L, 3L), ("a", 15L, 4L)).toDF("g", "s", "i")
+      .write.mode("append").parquet(in)
+    run("topk_r2")
+    val top = spark.table("topk_r2").select(explode(col("top"))).collect()
+      .map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1))).toSet
+    assert(top === Set((30L, 3L), (20L, 2L)), "top-2 must span both runs' rows")
+  }
+
   test("registered in SQL as topk_pairs") {
     GraftFunctions.registerAll(spark)
     Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("g", "s", "i")
