@@ -27,6 +27,32 @@ object TextStats {
         lit(0),
         (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
 
+  /** Per-doc top-k salient terms (keyword extraction): score =
+    * tf / (df + 1) — term frequency penalized by corpus document frequency.
+    * Deliberately division-only (no ln as in classic tf-idf): tf and df are
+    * exact integers and a single IEEE division produces identical bits on
+    * any engine, so the ranking is oracle-comparable; ln differs in ulps
+    * across libm implementations and could flip ranks at ties.
+    *
+    * Scale: one shuffle for tf, one small term-level df aggregate joined
+    * back, one per-doc rank. Ties resolve (salience desc, term asc). */
+  def topTerms(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = graft.ops.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("salience").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("salience",
+        col("tf").cast("double") / (col("df") + lit(1)).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "salience", "rank")
+  }
+
   /** Simple quality features (ratios in [0,1]). */
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -125,6 +125,30 @@ object ExtensionQueries {
        |WHERE inter * 1.0 / (sb.n + sa.n - inter) >= $jaccardThreshold""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x25 — per-doc top-3 salient terms (keyword extraction). Salience is
+  // tf/(df+1), division-only so the doubles match DuckDB bit for bit (ln
+  // would differ in ulps across libm implementations); ties resolve
+  // (salience desc, term asc).
+  // ---------------------------------------------------------------------------
+  def x25TopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextStats.topTerms(Tables.documents(spark, dir), k = 3)
+
+  private val x25Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS salience
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df, salience, rank FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY salience DESC, term ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x4 — SimHash near-dup candidates at hamming <= 3. The token hash is
   // md5-low-64 (= DuckDB md5_number_lower) so the oracle rebuilds the exact
   // fingerprint: per-bit votes over token hashes, fp bit set when votes > 0,
@@ -796,6 +820,7 @@ object ExtensionQueries {
     "x22_frame_sample" -> (x22FrameSample _),
     "x23_resize" -> (x23Resize _),
     "x24_topk_agg" -> (x24TopkAgg _),
+    "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
     "x2_jaccard_pairs" -> (x2JaccardPairs _),
     "x3_minhash_pairs" -> (x3MinhashPairs _),
@@ -824,6 +849,7 @@ object ExtensionQueries {
     "x22_frame_sample" -> x22Sql,
     "x23_resize" -> x23Sql,
     "x24_topk_agg" -> x24Sql,
+    "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,
     "x2_jaccard_pairs" -> x2Sql,
     "x3_minhash_pairs" -> x2Sql, // identical by construction (exact verify step)

@@ -186,4 +186,21 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("topTerms: rare repeated terms outrank common ones; at most k per doc") {
+    // "zebra" appears twice in doc 1 and nowhere else (tf=2, df=1 -> 1.0);
+    // "the" is everywhere (df=3 -> score <= tf/4)
+    val df = Seq(
+      ("the zebra saw the zebra", 1L),
+      ("the cat sat", 2L),
+      ("the dog ran far away today", 3L)).toDF("text", "doc_id")
+    val top = TextStats.topTerms(df, k = 2)
+    val byDoc = top.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 2))
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term"))
+    assert(d1.head === "zebra")
+    // deterministic under repetition
+    assert(top.collect().map(_.toString).sorted.toSeq ===
+      TextStats.topTerms(df, k = 2).collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -72,15 +72,15 @@ def main():
             # right after the Spark JVM exits (page-cache pressure). Retry a
             # few times with a fresh connection before calling it a failure.
             want = None
-            for attempt in range(4):
+            for attempt in range(6):
                 try:
                     want = canon(con.sql(oracle[name]).df())
                     break
-                except duckdb.OutOfMemoryException:
-                    if attempt == 3:
+                except Exception as e:
+                    if "Out of Memory" not in str(e) or attempt == 5:
                         raise
                     import time
-                    time.sleep(5 * (attempt + 1))
+                    time.sleep(10 * (attempt + 1))
                     con = duckdb.connect()
                     for t in TABLES:
                         p = f"{SF}/{t}.parquet"
