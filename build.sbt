@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through verbatim. The default
+// LoggedOutput strategy prefixes every line with "[info] ", which corrupts
+// Bench's one-line JSON contract for anything that parses sbt's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own "[success] Total time" trailer so the JSON line is
+// the last meaningful thing on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
