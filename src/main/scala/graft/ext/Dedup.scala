@@ -143,6 +143,53 @@ object Dedup {
         .select(col("doc_new").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** 0. Bloom-prefiltered exact admission: admit the new-batch docs whose
+    * normalized fingerprint does NOT already exist in the corpus.
+    *
+    * The naive plan is a full anti-join of the batch against the corpus — at
+    * 100 TB that shuffles the corpus's fingerprints every batch. Instead the
+    * corpus fingerprints are folded ONCE into a Bloom filter (built with a
+    * distributed tree aggregation — `stat.bloomFilter` merges per-partition
+    * filters on the executors; only the final bitset reaches the driver) and
+    * broadcast. The batch is then routed by a membership probe:
+    *   - `mightContain == false` → definitively new (Bloom filters have no
+    *     false negatives) — admitted with NO join at all;
+    *   - `mightContain == true` → candidate duplicate (rate = real dups +
+    *     fpp) — only this sliver pays the exact anti-join.
+    * The union of both branches is bitwise equal to the plain anti-join, so
+    * the approximation changes the PLAN, never the result.
+    *
+    * Sizing: ~1.2 GiB per 10^9 corpus keys at 1% fpp — broadcastable to
+    * every executor up to corpus sizes where even the fingerprint anti-join
+    * side would be prohibitive; beyond that, shard the filter by fingerprint
+    * prefix and probe the matching shard. (Spark's runtime bloom-join
+    * pruning — spark.sql.optimizer.runtime.bloomFilter.* — applies the same
+    * idea automatically inside one query; this is the cross-query, persisted
+    * form a curation pipeline needs.)
+    */
+  def bloomAdmit(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01,
+      expectedKeys: Long = -1L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Spark sizes the filter as -n*ln(fpp)/ln(2)^2 bits, truncating: a loose
+    // fpp over a tiny corpus truncates to ZERO bits and fails analysis
+    require(fpp > 0 && fpp <= 0.1, s"fpp must be in (0, 0.1], got $fpp")
+    def withFp(d: DataFrame) = d.withColumn("norm_fp",
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+    val corpusFp = withFp(corpus).select("norm_fp")
+    // table stats would supply the count on a real catalog; one cheap
+    // count-aggregate otherwise (scans only the text column)
+    val n = if (expectedKeys > 0) expectedKeys else math.max(1L, corpusFp.count())
+    val bloom = corpusFp.stat.bloomFilter("norm_fp", n, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
+    val batchFp = withFp(batch).select(col(idCol), col("norm_fp"))
+    val fresh = batchFp.filter(!mightContain(col("norm_fp")))
+    val candidates = batchFp.filter(mightContain(col("norm_fp")))
+      .join(corpusFp, Seq("norm_fp"), "left_anti")
+      .select(col(idCol), col("norm_fp"))
+    fresh.unionByName(candidates)
+  }
+
   /** 4. Exact n-gram Jaccard pairs (ground truth; small scale / verification
     * only). Explodes shingles and self-joins — mirrors the DuckDB oracle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,

@@ -54,6 +54,10 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     /** video frame sampling: n evenly-spaced pseudo-frames. */
     def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** audio segmentation: split into n contiguous chunks covering the
+      * payload exactly (stub: proportional byte ranges standing in for
+      * sample-accurate cuts). */
+    def segment(payload: Array[Byte], n: Int): Seq[Array[Byte]]
   }
 
   /** Deterministic stand-in codec: features are seeded by a rolling hash of
@@ -88,6 +92,15 @@ object Multimodal {
       val stride = math.max(1, payload.length / n)
       (0 until math.min(n, payload.length)).map { i =>
         payload.slice(i * stride, math.min(i * stride + stride, payload.length))
+      }
+    }
+    override def segment(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.isEmpty || n <= 0) return Seq.empty
+      val len = payload.length.toLong
+      // contiguous cover: segment i is [len*i/n, len*(i+1)/n) — boundaries by
+      // integer division so an oracle can replay them as pure arithmetic
+      (0 until n).map { i =>
+        payload.slice((len * i / n).toInt, (len * (i + 1) / n).toInt)
       }
     }
   }
@@ -143,6 +156,29 @@ object Multimodal {
       .withColumn("frame", explode(sample(col("payload"))))
       .select(col("media_id"), lit("image").as("kind"), col("frame").as("payload"),
         col("source_doc_id"))
+  }
+
+  /** Audio segmentation: split each audio payload into fixed-duration
+    * windows (the training-pipeline stage that turns long recordings into
+    * model-sized clips). Segment count = ceil(duration / segMs); the stub
+    * codec cuts proportional byte ranges where a real codec would cut at
+    * sample boundaries. One row per segment with its time window stamped. */
+  def segmentAudio(media: DataFrame, segMs: Long, codec: MediaCodec = FakeCodec): DataFrame = {
+    require(segMs > 0, "segMs must be positive")
+    val cut = udf((payload: Array[Byte], durationMs: java.lang.Long) => {
+      val dur = if (durationMs == null) 0L else durationMs.longValue
+      val n = math.max(1L, (dur + segMs - 1) / segMs).toInt
+      codec.segment(payload, n).zipWithIndex.map { case (b, i) => (i, b) }
+    })
+    media.filter(col("kind") === "audio")
+      .withColumn("seg", explode(cut(col("payload"), col("duration_ms"))))
+      .select(
+        col("media_id"), col("source_doc_id"),
+        col("seg._1").as("seg_index"),
+        (col("seg._1").cast("long") * lit(segMs)).as("seg_start_ms"),
+        least(col("seg._1").cast("long") * lit(segMs) + lit(segMs),
+          coalesce(col("duration_ms"), lit(0L))).as("seg_end_ms"),
+        col("seg._2").as("payload"))
   }
 
   /** Build a synthetic media table from the documents fixture (payload =

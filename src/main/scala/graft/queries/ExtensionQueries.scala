@@ -576,6 +576,66 @@ object ExtensionQueries {
       |FROM img""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x26 — audio segmentation: each audio payload cut into 1-second windows
+  // (segment count = ceil(duration/1s); stub codec cuts proportional byte
+  // ranges at integer-division boundaries). Byte-exact hex-string oracle
+  // like x22/x23 — the boundaries are pure arithmetic DuckDB can replay.
+  // ---------------------------------------------------------------------------
+  def x26AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticMedia(spark, Tables.documents(spark, dir))
+    graft.ext.Multimodal.segmentAudio(media, segMs = 1000).select(
+      col("media_id"), col("source_doc_id"), col("seg_index"),
+      col("seg_start_ms"), col("seg_end_ms"),
+      length(col("payload")).as("seg_len"),
+      hex(col("payload")).as("seg_hex"))
+  }
+
+  private val x26Sql =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id, doc_id AS source_doc_id,
+      |    hex(encode(text)) AS h, octet_length(encode(text)) AS len,
+      |    CAST(n_chars AS BIGINT) * 10 AS dur
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT *, greatest(1, (dur + 999) // 1000) AS n FROM a WHERE len > 0),
+      |e AS (
+      |  SELECT media_id, source_doc_id, h, len, dur, n, unnest(range(0, n)) AS i
+      |  FROM s)
+      |SELECT media_id, source_doc_id, CAST(i AS INTEGER) AS seg_index,
+      |  CAST(i * 1000 AS BIGINT) AS seg_start_ms,
+      |  CAST(least((i + 1) * 1000, dur) AS BIGINT) AS seg_end_ms,
+      |  CAST((len * (i + 1)) // n - (len * i) // n AS INTEGER) AS seg_len,
+      |  substr(h, ((len * i) // n) * 2 + 1,
+      |    ((len * (i + 1)) // n - (len * i) // n) * 2) AS seg_hex
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x27 — Bloom-prefiltered exact admission: new-batch docs (doc_id % 10 = 0)
+  // whose normalized fingerprint is absent from the corpus (the other 90%).
+  // The broadcast Bloom filter routes the batch — provably-new rows skip the
+  // join entirely; only might-contain candidates pay the exact anti-join.
+  // No false negatives means the union is bitwise equal to the plain
+  // anti-join the oracle runs: the approximation changes the plan, not the
+  // result.
+  // ---------------------------------------------------------------------------
+  def x27BloomAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.bloomAdmit(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      batch = docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  private val x27Sql =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp
+      |  FROM documents)
+      |SELECT b.doc_id, b.norm_fp
+      |FROM fp b
+      |WHERE b.doc_id % 10 = 0
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.norm_fp = b.norm_fp)""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -819,6 +879,8 @@ object ExtensionQueries {
     "x12_media_features" -> (x12MediaFeatures _),
     "x22_frame_sample" -> (x22FrameSample _),
     "x23_resize" -> (x23Resize _),
+    "x26_audio_segments" -> (x26AudioSegments _),
+    "x27_bloom_admit" -> (x27BloomAdmit _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -848,6 +910,8 @@ object ExtensionQueries {
     "x12_media_features" -> x12Sql,
     "x22_frame_sample" -> x22Sql,
     "x23_resize" -> x23Sql,
+    "x26_audio_segments" -> x26Sql,
+    "x27_bloom_admit" -> x27Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -55,6 +55,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitted === Seq(3L, 5L)) // 4 is a dup of indexed 2
   }
 
+  test("bloom-prefiltered admission equals the plain anti-join bitwise") {
+    val corpus = docs.filter($"doc_id" <= 2)
+    val batch = docs.filter($"doc_id" >= 3)
+    val got = Dedup.bloomAdmit(corpus, batch)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    def fp(d: org.apache.spark.sql.DataFrame) = d.withColumn("norm_fp",
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+    val want = fp(batch).join(fp(corpus).select("norm_fp"), Seq("norm_fp"), "left_anti")
+      .select("doc_id", "norm_fp")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === want)
+    // doc 4 is an exact dup of corpus doc 2 — the filter must catch it
+    assert(!got.map(_._1).contains(4L))
+    assert(got.map(_._1).toSeq === Seq(3L, 5L))
+  }
+
+  test("bloom admission result is independent of fpp (false positives only re-route)") {
+    val corpus = docs.filter($"doc_id" <= 2)
+    val batch = docs.filter($"doc_id" >= 3)
+    // loose fpp pushes more rows down the candidate/anti-join branch; tight
+    // fpp sends true-new rows down the no-join branch — the admitted SET
+    // must not move
+    val loose = Dedup.bloomAdmit(corpus, batch, fpp = 0.1)
+      .select("doc_id").as[Long].collect().sorted
+    val tight = Dedup.bloomAdmit(corpus, batch, fpp = 0.0001)
+      .select("doc_id").as[Long].collect().sorted
+    assert(loose === tight)
+    assert(loose === Seq(3L, 5L))
+  }
+
   test("bucketed index: the probe join does not reshuffle the corpus side") {
     // force the sort-merge shape (at scale BOTH sides exceed any broadcast
     // threshold — a tiny test batch would broadcast and hide the bucketing)

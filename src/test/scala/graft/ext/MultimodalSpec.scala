@@ -39,6 +39,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.filter(col("width") =!= 32 || col("height") =!= 32).isEmpty)
   }
 
+  test("audio segmentation covers the payload exactly in duration-derived chunks") {
+    val segs = Multimodal.segmentAudio(media, segMs = 1000).cache()
+    assert(segs.select(countDistinct("media_id")).head.getLong(0) ===
+      media.filter(col("kind") === "audio" && length(col("payload")) > 0).count())
+    // segment count per clip = ceil(duration_ms / 1000)
+    val badCount = segs.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(media.select(col("media_id"), col("duration_ms")), "media_id")
+      .filter(col("n") =!= greatest(lit(1L), ceil(col("duration_ms") / 1000.0).cast("long")))
+    assert(badCount.isEmpty)
+    // concatenating the segments in order reconstructs the payload bitwise
+    val rebuilt = segs.groupBy("media_id")
+      .agg(array_sort(collect_list(struct(col("seg_index"), col("payload")))).as("parts"))
+      .select(col("media_id"),
+        expr("aggregate(parts, cast('' as binary), (acc, p) -> concat(acc, p.payload))").as("joined"))
+    val mismatch = rebuilt.join(media, "media_id")
+      .filter(col("joined") =!= col("payload"))
+    assert(mismatch.isEmpty)
+    segs.unpersist()
+  }
+
   test("frame sampling explodes videos into frame rows") {
     val frames = Multimodal.sampleVideoFrames(media, 4)
     val videos = media.filter(col("kind") === "video").count()
