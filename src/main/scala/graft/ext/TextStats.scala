@@ -88,6 +88,28 @@ object TextStats {
           .when(col("quality_score") >= 0.5, 1)
           .otherwise(0))
 
+  /** PII scrubbing: replace email addresses, IPv4 literals, and long digit
+    * runs (phone/account-number shaped) with typed placeholder tokens, and
+    * count each class. One compiled regex pass per class per row — no
+    * shuffle, no UDF; RE2-compatible patterns so external engines (and the
+    * DuckDB oracle) replay the rewrite byte for byte. Order matters and is
+    * fixed: emails first (they contain digits and dots), then IPv4, then
+    * bare digit runs — each later pass sees the earlier pass's output. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val longNum = "\\b\\d{7,}\\b"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4, "<IP>")
+    val t3 = regexp_replace(t2, longNum, "<NUM>")
+    docs
+      .withColumn("n_emails", regexp_count(t0, lit(email)))
+      .withColumn("n_ips", regexp_count(t1, lit(ipv4)))
+      .withColumn("n_longnums", regexp_count(t2, lit(longNum)))
+      .withColumn("text_redacted", t3)
+  }
+
   /** Language-ID by stopword markers — a deterministic n-gram/stopword
     * heuristic with a fixed precedence order (zh by CJK presence first, then
     * the marker-count argmax, ties broken by the fixed language order). */

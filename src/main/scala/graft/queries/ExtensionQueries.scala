@@ -636,6 +636,36 @@ object ExtensionQueries {
       |    SELECT 1 FROM fp c WHERE c.doc_id % 10 <> 0 AND c.norm_fp = b.norm_fp)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x28 — PII scrubbing: emails -> <EMAIL>, IPv4 -> <IP>, 7+-digit runs ->
+  // <NUM>, with per-class counts. RE2-compatible patterns and a fixed pass
+  // order make the rewrite replayable byte for byte; the output carries the
+  // md5 of the redacted text so the compare is sensitive to every byte
+  // without shipping the full text.
+  // ---------------------------------------------------------------------------
+  def x28Redact(spark: SparkSession, dir: String): DataFrame =
+    TextStats.redactPii(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_longnums"),
+        length(col("text_redacted")).as("redacted_len"),
+        md5(col("text_redacted")).as("redacted_fp"))
+
+  private val x28Sql =
+    """WITH r AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM documents),
+      |r2 AS (
+      |  SELECT *, regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2 FROM r),
+      |r3 AS (
+      |  SELECT *, regexp_replace(t2, '\b\d{7,}\b', '<NUM>', 'g') AS t3 FROM r2)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
+      |  CAST(len(regexp_extract_all(t2, '\b\d{7,}\b')) AS INTEGER) AS n_longnums,
+      |  CAST(length(t3) AS INTEGER) AS redacted_len,
+      |  md5(t3) AS redacted_fp
+      |FROM r3""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -881,6 +911,7 @@ object ExtensionQueries {
     "x23_resize" -> (x23Resize _),
     "x26_audio_segments" -> (x26AudioSegments _),
     "x27_bloom_admit" -> (x27BloomAdmit _),
+    "x28_redact" -> (x28Redact _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -912,6 +943,7 @@ object ExtensionQueries {
     "x23_resize" -> x23Sql,
     "x26_audio_segments" -> x26Sql,
     "x27_bloom_admit" -> x27Sql,
+    "x28_redact" -> x28Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

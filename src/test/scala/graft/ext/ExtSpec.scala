@@ -203,4 +203,29 @@ class ExtSpec extends AnyFunSuite {
     assert(top.collect().map(_.toString).sorted.toSeq ===
       TextStats.topTerms(df, k = 2).collect().map(_.toString).sorted.toSeq)
   }
+
+  test("redactPii: class counts, pass order, and non-PII text untouched") {
+    val df = Seq(
+      (1L, "mail bob@example.com or alice@test.org from 10.0.0.1 call 12345678"),
+      (2L, "server at 192.168.1.254 port 8080"),   // 8080 is too short for <NUM>
+      (3L, "no pii in this sentence at all"),
+      (4L, "edge: 1234567 exactly seven digits")).toDF("doc_id", "text")
+    val r = TextStats.redactPii(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("text_redacted") ===
+      "mail <EMAIL> or <EMAIL> from <IP> call <NUM>")
+    assert((r(1L).getAs[Int]("n_emails"), r(1L).getAs[Int]("n_ips"),
+      r(1L).getAs[Int]("n_longnums")) === ((2, 1, 1)))
+    assert(r(2L).getAs[String]("text_redacted") === "server at <IP> port 8080")
+    assert(r(3L).getAs[String]("text_redacted") === r(3L).getAs[String]("text"))
+    assert(r(4L).getAs[String]("text_redacted") === "edge: <NUM> exactly seven digits")
+    // the digit pass must not re-match digits inside an already-redacted
+    // email/IP (pass order) — counts come from the PREVIOUS pass's output
+    val tricky = Seq((9L, "acct 99887766 of u12345678@bank.example from 203.0.113.77"))
+      .toDF("doc_id", "text")
+    val t = TextStats.redactPii(tricky).head
+    assert(t.getAs[String]("text_redacted") === "acct <NUM> of <EMAIL> from <IP>")
+    assert((t.getAs[Int]("n_emails"), t.getAs[Int]("n_ips"), t.getAs[Int]("n_longnums"))
+      === ((1, 1, 1)))
+  }
 }
