@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation cascade over the documents fixture —
   * the pipeline a 100 TB pretraining corpus runs, stage by stage:
   *
+  *   0. PII scrubbing      (compiled regex passes: emails/IPs/digit runs ->
+  *                          typed placeholders, before anything hashes text)
   *   1. exact dedup        (hash groupBy, one 16-byte/row shuffle)
   *   2. near-dup clusters  (minhash LSH pairs -> connected components ->
   *                          keep the min-id doc per cluster)
   *   3. quality filter     (deterministic feature scoring, keep flag)
   *   4. language sampling  (reproducible md5-bucket stratified rates)
   *   5. shard packing      (token-budget shards via the distributed scan)
-  *   6. incremental admission (a later batch probed against the curated
-  *                          corpus's persisted MinHash index — steady-state
-  *                          ingestion never re-pairs the corpus)
+  *   6. incremental admission (a later batch: broadcast-Bloom exact-dup
+  *                          pre-drop, then the survivors probed against the
+  *                          curated corpus's persisted MinHash index —
+  *                          steady-state ingestion never re-pairs the corpus)
   *
   * Every stage is deterministic, so any slice of the output can be
   * recomputed independently — the property that makes the pipeline safe to
@@ -31,9 +34,18 @@ object RunCurate {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-curate")
 
-    val docs = Tables.documents(spark, sfDir)
-    val n0 = docs.count()
+    val raw = Tables.documents(spark, sfDir)
+    val n0 = raw.count()
     println(s"[curate] input                 : $n0 docs")
+
+    // 0. PII scrubbing before any text hashing (a fingerprint of unscrubbed
+    // text would differ from the corpus the shards actually ship)
+    val withPii = TextStats.redactPii(raw)
+    val nTouched = withPii
+      .filter(col("n_emails") + col("n_ips") + col("n_longnums") > 0).count()
+    val docs = withPii.withColumn("text", col("text_redacted"))
+      .select(raw.columns.map(col): _*).localCheckpoint()
+    println(s"[curate] PII scrubbed          : $nTouched docs touched")
 
     // 1. exact dedup: keep the min doc_id of every identical-text group
     val exact = Dedup.dedupExact(docs).localCheckpoint()
@@ -94,9 +106,16 @@ object RunCurate {
       concat(lit("genuinely new document number "), col("id").cast("string"),
         lit(" with previously unseen token content entirely")).as("text"))
     val batch = replayed.unionByName(fresh)
-    val admitted = Dedup.dedupNewBatch(spark, idx, batch, threshold = 0.8)
+    // 6a. exact-dup pre-drop: the broadcast Bloom route kills byte-identical
+    // re-crawls (the overwhelmingly common case) before anything shingles
+    val bloomPass = Dedup.bloomAdmit(sampled, batch).select("doc_id")
+    val preDropped = batch.join(bloomPass, Seq("doc_id"), "left_semi")
+    println(s"[curate] bloom exact pre-drop  : ${batch.count()} probed -> " +
+      s"${preDropped.count()} survive to the near-dup probe")
+    // 6b. near-dup probe of the survivors against the persisted band index
+    val admitted = Dedup.dedupNewBatch(spark, idx, preDropped, threshold = 0.8)
     val nAdmitted = admitted.count()
-    println(s"[curate] incremental admission : ${batch.count()} probed -> " +
+    println(s"[curate] incremental admission : " +
       s"$nAdmitted admitted (replayed corpus rejected, fresh docs pass)")
     require(nAdmitted == 3, s"expected only the 3 fresh docs, got $nAdmitted")
     spark.stop()
