@@ -55,6 +55,41 @@ object Corpus {
         (col("running_total") % capacity).as("shard_offset"))
   }
 
+  /** Chunk each document into overlapping fixed-size token windows — the
+    * stage that turns variable-length documents into model-context-sized
+    * training sequences. Chunk i covers tokens [i*stride, i*stride+window);
+    * the last chunk is short rather than padded; a document shorter than one
+    * window yields exactly one chunk. Number of chunks =
+    * 1 + max(0, ceil((n - window) / stride)), so every token is covered and
+    * consecutive chunks share (window - stride) tokens of context.
+    *
+    * Pure built-ins end to end (split -> sequence -> explode -> slice):
+    * narrow, codegen'd, no shuffle — chunking composes with the scan. All
+    * boundary arithmetic is integer, so an external engine replays the
+    * chunking bit for bit. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("chunk_index",
+        explode(sequence(lit(0),
+          // div yields LONG; the chunk count fits an int by construction
+          greatest(expr(s"(n_toks - $window + $stride - 1) div $stride"), lit(0L)).cast("int"))))
+      .select(
+        col("doc_id"),
+        col("chunk_index"),
+        (col("chunk_index").cast("long") * stride).as("chunk_start"),
+        expr(s"slice(toks, chunk_index * $stride + 1, $window)").as("chunk_toks"))
+      .select(
+        col("doc_id"), col("chunk_index"), col("chunk_start"),
+        size(col("chunk_toks")).as("chunk_tokens"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
+  }
+
   /** Top-k word n-grams by document frequency (distinct per doc), ties
     * broken by the n-gram itself so the ranking is total and deterministic.
     *

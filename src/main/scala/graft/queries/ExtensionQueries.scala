@@ -666,6 +666,31 @@ object ExtensionQueries {
       |FROM r3""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x29 — context-window chunking: every doc cut into overlapping 64-token
+  // windows at stride 48 (chunk i covers tokens [48i, 48i+64); last chunk
+  // short, short docs yield one chunk). Pure integer boundary arithmetic —
+  // DuckDB replays it exactly; the chunk fingerprint is md5 of the re-joined
+  // window so the compare sees every token.
+  // ---------------------------------------------------------------------------
+  def x29Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.chunkDocs(Tables.documents(spark, dir), window = 64, stride = 48)
+
+  private val x29Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
+      |e AS (
+      |  SELECT doc_id, toks, n_toks,
+      |    unnest(range(0, 1 + greatest((n_toks - 64 + 47) // 48, 0))) AS i
+      |  FROM n)
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+      |  CAST(i * 48 AS BIGINT) AS chunk_start,
+      |  CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS INTEGER) AS chunk_tokens,
+      |  md5(array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -912,6 +937,7 @@ object ExtensionQueries {
     "x26_audio_segments" -> (x26AudioSegments _),
     "x27_bloom_admit" -> (x27BloomAdmit _),
     "x28_redact" -> (x28Redact _),
+    "x29_chunks" -> (x29Chunks _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -944,6 +970,7 @@ object ExtensionQueries {
     "x26_audio_segments" -> x26Sql,
     "x27_bloom_admit" -> x27Sql,
     "x28_redact" -> x28Sql,
+    "x29_chunks" -> x29Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -123,4 +123,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(r => (r._2, r._3)).toSeq == full.toSeq)
     assert(got.map(_._1).toSeq == (1 to 10))
   }
+
+  test("chunkDocs: full coverage, correct overlap, short docs yield one chunk") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(100)), // 64 + 52 with 16-token overlap -> 2 chunks
+      (2L, mk(10)),  // shorter than one window -> 1 chunk
+      (3L, mk(64)),  // exactly one window -> 1 chunk
+      (4L, mk(65)),  // one token over -> 2 chunks
+      (5L, "   ")    // blank -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(docs, window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0, 0L, 64), (1L, 1, 48L, 52),
+      (2L, 0, 0L, 10),
+      (3L, 0, 0L, 64),
+      (4L, 0, 0L, 64), (4L, 1, 48L, 17)))
+    // coverage: last chunk reaches the last token of every doc
+    assert(got.groupBy(_._1).forall { case (_, cs) =>
+      val (_, _, start, len) = cs.maxBy(_._2)
+      val nToks = Map(1L -> 100, 2L -> 10, 3L -> 64, 4L -> 65)(cs.head._1)
+      start + len == nToks
+    })
+    // chunk fingerprints are pure functions of the tokens (stable re-run)
+    val fps = Corpus.chunkDocs(docs, 64, 48).select("chunk_fp").collect().map(_.getString(0))
+    val fps2 = Corpus.chunkDocs(docs, 64, 48).select("chunk_fp").collect().map(_.getString(0))
+    assert(fps.sorted.toSeq === fps2.sorted.toSeq)
+  }
 }
