@@ -190,6 +190,37 @@ object Dedup {
     fresh.unionByName(candidates)
   }
 
+  /** Eval-set contamination scan: (eval doc, corpus doc) pairs sharing at
+    * least `minShared` distinct word n-grams, with containment = shared /
+    * |eval doc's n-gram set| (1.0 = the eval doc's n-grams all appear in
+    * that corpus doc — verbatim leakage).
+    *
+    * Asymmetry is the scale lever: eval benchmarks are tiny next to a
+    * 100 TB corpus, so the EVAL side's exploded n-grams are broadcast and
+    * the corpus side stays a narrow scan — no corpus shuffle, no corpus
+    * self-pairing, one aggregation over the (rare) matches. Long n-grams
+    * (default 8) make coincidental sharing vanishingly unlikely, so the
+    * match list is small enough to eyeball or join into a drop list. */
+  def contaminationScan(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      minShared: Long = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evSh = evalDocs
+      .select(col(idCol).as("eval_doc"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evSizes = evSh.select(col("eval_doc"), size(col("sh")).as("eval_ngrams"))
+    val evEx = evSh.select(col("eval_doc"), explode(col("sh")).as("s"))
+    val coEx = graft.ops.Par.fanOut(corpus)
+      .select(col(idCol).as("corpus_doc"), explode(shingles(textCol, n)).as("s"))
+    coEx.join(broadcast(evEx), Seq("s"))
+      .groupBy(col("eval_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(broadcast(evSizes), "eval_doc")
+      .withColumn("containment",
+        col("shared_ngrams").cast("double") / col("eval_ngrams"))
+      .select("eval_doc", "corpus_doc", "shared_ngrams", "containment")
+  }
+
   /** 4. Exact n-gram Jaccard pairs (ground truth; small scale / verification
     * only). Explodes shingles and self-joins — mirrors the DuckDB oracle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,

@@ -691,6 +691,36 @@ object ExtensionQueries {
       |FROM e""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x30 — eval-set contamination scan: docs with doc_id % 10 = 0 play the
+  // eval benchmark; pairs sharing >= 3 distinct word 8-grams are flagged
+  // with containment = shared / |eval doc's 8-gram set|. The eval side is
+  // broadcast — the corpus side never shuffles (see Dedup.contaminationScan).
+  // ---------------------------------------------------------------------------
+  def x30Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationScan(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      evalDocs = docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  private val x30Sql =
+    """WITH w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS shset
+      |  FROM w0 WHERE len(w) >= 8),
+      |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+      |pairs AS (
+      |  SELECT e.doc_id AS eval_doc, c.doc_id AS corpus_doc, count(*) AS shared_ngrams
+      |  FROM ex e JOIN ex c ON e.s = c.s AND e.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shset) AS n_ev FROM sh)
+      |SELECT eval_doc, corpus_doc, shared_ngrams,
+      |  shared_ngrams * 1.0 / n_ev AS containment
+      |FROM pairs JOIN sz ON eval_doc = sz.doc_id
+      |WHERE shared_ngrams >= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -938,6 +968,7 @@ object ExtensionQueries {
     "x27_bloom_admit" -> (x27BloomAdmit _),
     "x28_redact" -> (x28Redact _),
     "x29_chunks" -> (x29Chunks _),
+    "x30_contamination" -> (x30Contamination _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -971,6 +1002,7 @@ object ExtensionQueries {
     "x27_bloom_admit" -> x27Sql,
     "x28_redact" -> x28Sql,
     "x29_chunks" -> x29Sql,
+    "x30_contamination" -> x30Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

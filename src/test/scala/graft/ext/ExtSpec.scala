@@ -204,6 +204,31 @@ class ExtSpec extends AnyFunSuite {
       TextStats.topTerms(df, k = 2).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("contaminationScan: verbatim leak scores 1.0, partial overlap scored, noise excluded") {
+    val mk = (s: String) => s.trim
+    val evalSet = Seq(
+      (100L, mk("alpha beta gamma delta epsilon zeta eta theta iota kappa")), // 10 toks, 3 8-grams
+      (200L, mk("one two three four five six seven eight"))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // full copy of eval 100 -> containment 1.0
+      (1L, mk("alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+      // shares only the first 8 tokens of eval 100 -> 1 of its 3 8-grams (< minShared)
+      (2L, mk("alpha beta gamma delta epsilon zeta eta theta DIFFERENT TAIL")),
+      // unrelated
+      (3L, mk("totally unrelated words that never overlap with anything here"))
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScan(corpus, evalSet, n = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((100L, 1L)) === ((3L, 1.0)))
+    assert(got((100L, 2L)) === ((1L, 1.0 / 3)))
+    assert(!got.keySet.exists(_._2 == 3L))
+    // minShared floor drops the single-ngram pair
+    val floored = Dedup.contaminationScan(corpus, evalSet, n = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(floored === Set((100L, 1L)))
+  }
+
   test("redactPii: class counts, pass order, and non-PII text untouched") {
     val df = Seq(
       (1L, "mail bob@example.com or alice@test.org from 10.0.0.1 call 12345678"),
