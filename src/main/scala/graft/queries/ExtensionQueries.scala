@@ -675,7 +675,7 @@ object ExtensionQueries {
   def x29Chunks(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Corpus.chunkDocs(Tables.documents(spark, dir), window = 64, stride = 48)
 
-  private val x29Sql =
+  private[queries] val x29Sql =
     """WITH t AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |  FROM documents WHERE length(trim(text)) > 0),

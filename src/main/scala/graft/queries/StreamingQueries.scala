@@ -419,7 +419,40 @@ object StreamingQueries {
       .select(col("lang"), col("t.score").as("n_chars"), col("t.item").as("doc_id"))
   }
 
+  /** Stateless curation transforms run unchanged as streams: the
+    * context-window chunker (split -> sequence -> explode -> slice -> md5,
+    * all narrow) applied to a streamed documents drop. No watermark, no
+    * state, append mode — at 100 TB/day this is the shape of on-the-fly
+    * chunking during ingestion, and it shares x29's oracle bitwise. */
+  def s8StreamChunks(spark: SparkSession, dir: String): DataFrame = {
+    val srcMtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Throwable => 0L }
+    val stage = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_stage_chunks_v1",
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
+    val inDir = stage.resolve("in").toString
+    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+      graft.Tables.documents(spark, dir).select("doc_id", "text")
+        .write.mode("overwrite").parquet(inDir)
+      java.nio.file.Files.createFile(stage.resolve("_staged"))
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s8_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      val q = graft.ext.Corpus.chunkDocs(stream, window = 64, stride = 48)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s8 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_stream_chunks" -> (s8StreamChunks _),
     "s5_alert_throttle" -> (s5AlertThrottle _),
     "s6_stream_admission" -> (s6StreamAdmission _),
     "s7_stream_topk" -> (s7StreamTopk _),
@@ -429,6 +462,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s8_stream_chunks" -> ExtensionQueries.x29Sql, // same transform, streamed
     "s5_alert_throttle" -> s5Sql,
     "s6_stream_admission" -> ExtensionQueries.x21Sql, // same pipeline, streamed
     "s7_stream_topk" -> ExtensionQueries.x24Sql, // same aggregate, streamed
