@@ -721,6 +721,27 @@ object ExtensionQueries {
       |WHERE shared_ngrams >= 3""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x31 — salted two-stage aggregation through the gate: the hot-key
+  // mitigation (group on (key, salt), then merge partials on the key) must
+  // be INVISIBLE in the result — and over exact decimals it is, bitwise,
+  // because decimal addition is associative where float addition is not.
+  // The oracle is the plain one-stage GROUP BY.
+  // ---------------------------------------------------------------------------
+  def x31SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), graft.ops.Cols.money(col("value")).as("v"))
+    graft.ops.Skew.saltedAgg(base, Seq("user_id"), buckets = 8)(
+        sums = Seq("v"), counts = Seq(("v", "n")))
+      .select(col("user_id"), col("v").cast("double").as("total_value"), col("n"))
+  }
+
+  private val x31Sql =
+    """SELECT user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  count(value) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -969,6 +990,7 @@ object ExtensionQueries {
     "x28_redact" -> (x28Redact _),
     "x29_chunks" -> (x29Chunks _),
     "x30_contamination" -> (x30Contamination _),
+    "x31_salted_agg" -> (x31SaltedAgg _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1003,6 +1025,7 @@ object ExtensionQueries {
     "x28_redact" -> x28Sql,
     "x29_chunks" -> x29Sql,
     "x30_contamination" -> x30Sql,
+    "x31_salted_agg" -> x31Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -152,4 +152,28 @@ class CorpusSpec extends AnyFunSuite {
     val fps2 = Corpus.chunkDocs(docs, 64, 48).select("chunk_fp").collect().map(_.getString(0))
     assert(fps.sorted.toSeq === fps2.sorted.toSeq)
   }
+
+  test("property: chunking tiles every doc length exactly — stride spacing, full cover, no empties") {
+    val lengths = Seq(1, 2, 7, 9, 10, 11, 25, 63, 64, 65, 100, 173, 300)
+    val docs = lengths.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((w, s) <- Seq((64, 48), (10, 10), (8, 3), (1, 1))) {
+      val byDoc = Corpus.chunkDocs(docs, w, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .groupBy(_._1)
+      for (n <- lengths) {
+        val cs = byDoc(n.toLong).sortBy(_._2)
+        val expected = 1 + math.max(0, (n - w + s - 1) / s)
+        assert(cs.length === expected, s"n=$n w=$w s=$s count")
+        cs.foreach { case (_, i, start, len) =>
+          assert(start === i.toLong * s, s"n=$n w=$w s=$s start of chunk $i")
+          assert(len === math.min(w, n - i * s), s"n=$n w=$w s=$s len of chunk $i")
+          assert(len >= 1, s"n=$n w=$w s=$s empty chunk $i")
+        }
+        val (_, _, lastStart, lastLen) = cs.last
+        assert(lastStart + lastLen === n.toLong, s"n=$n w=$w s=$s cover")
+      }
+    }
+  }
 }
