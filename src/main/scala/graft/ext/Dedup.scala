@@ -263,20 +263,28 @@ object Dedup {
       graft.functions.HashFunctions.winnowing_fp(col(textCol)).as("fps"))
       .filter(size(col("fps")) > 0)
     val ex = fp.select(col("doc_id"), explode(col("fps")).as("f"))
-    // Document-frequency cap: fingerprints shared corpus-wide (common
-    // substrings of the domain vocabulary) carry no dedup signal but cause
-    // quadratic join fanout — at sf0.1 the uncapped join cost 38 s vs ~1 s
-    // capped. Sizes are recomputed AFTER the cap so identical documents
-    // still score containment 1.0 over their rare fingerprints.
-    val rare = ex.groupBy(col("f")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("f")
-    val exRare = ex.join(rare, "f")
-    val sizes = exRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    exRare.alias("a").join(exRare.alias("b"),
-        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
+    // ONE aggregation keyed by fingerprint: the (distinct-by-construction)
+    // doc list per fp. The document-frequency cap drops fingerprints shared
+    // corpus-wide (common substrings of the domain vocabulary — no dedup
+    // signal, quadratic fanout: at sf0.1 the uncapped pairing cost 38 s vs
+    // ~1 s capped). Everything downstream derives from `groups`, so the
+    // winnowing kernel runs ONCE and its shuffle is reused — the earlier
+    // self-join formulation recomputed the kernel on each side and paid a
+    // two-phase countDistinct besides (2.3 s -> this shape).
+    val groups = ex.groupBy(col("f")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDocFreq)
+    // per-doc rare-fp counts AFTER the cap, so identical documents still
+    // score containment 1.0 over their rare fingerprints
+    val sizes = groups.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // ordered pairs within each fp's doc list: the pair SET is independent
+    // of collect_list's order (y > x membership test), so the result stays
+    // deterministic at any parallelism
+    val pairs = groups.select(explode(expr(
+        "flatten(transform(ds, x -> transform(filter(ds, y -> y > x), y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fps"))
+    pairs
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), "doc_a")
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), "doc_b")
       .withColumn("containment", col("shared_fps") / least(col("na"), col("nb")))
