@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the scale-critical PHYSICAL plan shapes. These
+  * queries are correct under any plan — what this spec pins down is the
+  * plan property that makes each one survive a 100x scale-up: pushdown
+  * reaching the scan, narrow stages staying shuffle-free, dimension/eval
+  * sides broadcasting instead of shuffling the big side. A refactor that
+  * silently breaks one of these still passes the value gate; it fails here.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
+
+  test("events time window is pushed into the parquet scan (q1)") {
+    val p = plan("q1_trans_summary")
+    // Tables.eventsInWindow pushes the raw-ns range predicate; an empty
+    // PushedFilters here means every query re-reads the whole month
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), s"no filters reached the scan:\n$p")
+  }
+
+  test("context-window chunking is fully narrow — zero exchanges (x29)") {
+    val p = plan("x29_chunks")
+    assert(!p.contains("Exchange"), s"chunking must compose with the scan:\n$p")
+  }
+
+  test("bloom admission: the residual anti-join broadcasts the fingerprint side (x27)") {
+    val p = plan("x27_bloom_admit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), s"anti-join must not sort-merge at this size:\n$p")
+  }
+
+  test("contamination scan: eval side broadcasts, corpus side never pre-shuffles (x30)") {
+    val p = plan("x30_contamination")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the join:\n$p")
+    assert(count(p, "BroadcastExchange") >= 2, s"both eval-side joins should broadcast:\n$p")
+    // the only hash-shuffles are the two aggregations (pair counts, eval sizes
+    // pre-broadcast); anything more means a join started moving the corpus
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("star join: all three dims broadcast (q26)") {
+    val p = plan("q26_star_join")
+    assert(count(p, "BroadcastExchange") >= 3, s"supplier/nation/region must broadcast:\n$p")
+  }
+
+  test("salted aggregation is exactly two hash-shuffles — salt stage + merge stage (x31)") {
+    val p = plan("x31_salted_agg")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+}
