@@ -55,6 +55,33 @@ object Corpus {
         (col("running_total") % capacity).as("shard_offset"))
   }
 
+  /** Deterministic fractional upsampling — the corpus-MIXING stage that
+    * turns per-source weights (epochs) into physical copies: weight 2.25
+    * means every doc twice plus a reproducible 25% of docs a third time.
+    * The fractional copy reuses the md5-bucket membership of
+    * [[stratifiedSample]], so which docs get the extra copy is a pure
+    * function of the key — re-runs, backfills, and a second cluster mint
+    * the identical mixture. copy_id disambiguates the physical copies so a
+    * downstream shuffle/pack stage can treat them as distinct rows.
+    * Narrow end to end (bucket expr + explode, no shuffle). */
+  def upsample(df: DataFrame, keyCol: Column, stratumCol: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      buckets: Int = 10000): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0), "weights must be >= 0")
+    def base(w: Double): Int = math.floor(w).toInt
+    def thr(w: Double): Int = math.round((w - math.floor(w)) * buckets).toInt
+    val baseCol = weights.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, w)) => acc.when(stratumCol === s, lit(base(w)))
+    }.otherwise(lit(base(defaultWeight)))
+    val thrCol = weights.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, w)) => acc.when(stratumCol === s, lit(thr(w)))
+    }.otherwise(lit(thr(defaultWeight)))
+    df.withColumn("bucket", HashFunctions.md5_bucket(keyCol, buckets))
+      .withColumn("n_copies", baseCol + when(col("bucket") < thrCol, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1), col("n_copies"))))
+  }
+
   /** Chunk each document into overlapping fixed-size token windows — the
     * stage that turns variable-length documents into model-context-sized
     * training sequences. Chunk i covers tokens [i*stride, i*stride+window);

@@ -862,6 +862,41 @@ object ExtensionQueries {
       stratumCol = col("lang"),
       rates = sampleRates.toMap, defaultRate = 0.05)
 
+  // ---------------------------------------------------------------------------
+  // x32 — corpus mixing (fractional upsampling): per-language weights become
+  // physical copies — floor(w) guaranteed + one reproducible md5-bucket
+  // fractional copy. The oracle replays the bucket arithmetic
+  // (md5_number_lower % buckets) and the per-stratum (base, threshold) pair.
+  // ---------------------------------------------------------------------------
+  private val mixWeights = Seq("en" -> 1.5, "de" -> 2.0, "fr" -> 0.25)
+  private val mixDefault = 1.0
+
+  def x32CorpusMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.upsample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      keyCol = concat(lit("mix:"), col("doc_id").cast("string")),
+      stratumCol = col("lang"),
+      weights = mixWeights.toMap, defaultWeight = mixDefault)
+
+  private val x32Sql = {
+    def base(w: Double) = math.floor(w).toInt
+    def thr(w: Double) = math.round((w - math.floor(w)) * 10000).toInt
+    val baseCase = s"CASE ${mixWeights.map { case (l, w) =>
+      s"WHEN lang = '$l' THEN ${base(w)}" }.mkString(" ")} ELSE ${base(mixDefault)} END"
+    val thrCase = s"CASE ${mixWeights.map { case (l, w) =>
+      s"WHEN lang = '$l' THEN ${thr(w)}" }.mkString(" ")} ELSE ${thr(mixDefault)} END"
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS bucket
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, CAST($baseCase + CASE WHEN bucket < $thrCase THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+       |  FROM b)
+       |SELECT doc_id, lang, bucket, n_copies,
+       |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_id
+       |FROM c WHERE n_copies > 0""".stripMargin
+  }
+
   private val x17Sql =
     s"""SELECT doc_id, lang, bucket FROM (
        |  SELECT doc_id, lang,
@@ -991,6 +1026,7 @@ object ExtensionQueries {
     "x29_chunks" -> (x29Chunks _),
     "x30_contamination" -> (x30Contamination _),
     "x31_salted_agg" -> (x31SaltedAgg _),
+    "x32_corpus_mix" -> (x32CorpusMix _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1026,6 +1062,7 @@ object ExtensionQueries {
     "x29_chunks" -> x29Sql,
     "x30_contamination" -> x30Sql,
     "x31_salted_agg" -> x31Sql,
+    "x32_corpus_mix" -> x32Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -153,6 +153,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(fps.sorted.toSeq === fps2.sorted.toSeq)
   }
 
+  test("upsample: weights become copy counts — floor guaranteed, fraction reproducible") {
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val mixed = Corpus.upsample(docs,
+      concat(lit("t:"), $"doc_id".cast("string")), $"lang",
+      weights = Map("en" -> 2.5, "fr" -> 0.5), defaultWeight = 1.0).cache()
+    val perDoc = mixed.groupBy("doc_id", "lang", "n_copies")
+      .agg(count(lit(1)).as("rows"), countDistinct("copy_id").as("ids"))
+    // copy_id enumerates the copies exactly
+    assert(perDoc.filter($"rows" =!= $"n_copies" || $"ids" =!= $"n_copies").isEmpty)
+    // en docs get 2 or 3 copies, fr 0 or 1 (0-copy docs absent), others exactly 1
+    assert(mixed.filter($"lang" === "en" && ($"n_copies" < 2 || $"n_copies" > 3)).isEmpty)
+    assert(mixed.filter($"lang" === "fr" && $"n_copies" =!= 1).isEmpty)
+    assert(mixed.filter(!$"lang".isin("en", "fr") && $"n_copies" =!= 1).isEmpty)
+    // the fractional copy hits roughly its rate (md5 buckets are uniform)
+    val en = docs.filter($"lang" === "en").count().toDouble
+    val en3 = mixed.filter($"lang" === "en" && $"n_copies" === 3)
+      .select("doc_id").distinct().count().toDouble
+    assert(en3 / en > 0.3 && en3 / en < 0.7, s"got ${en3 / en}")
+    // pure function of the key: identical mixture on re-run
+    val again = Corpus.upsample(docs,
+      concat(lit("t:"), $"doc_id".cast("string")), $"lang",
+      weights = Map("en" -> 2.5, "fr" -> 0.5), defaultWeight = 1.0)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    mixed.unpersist()
+  }
+
   test("property: chunking tiles every doc length exactly — stride spacing, full cover, no empties") {
     val lengths = Seq(1, 2, 7, 9, 10, 11, 25, 63, 64, 65, 100, 173, 300)
     val docs = lengths.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
