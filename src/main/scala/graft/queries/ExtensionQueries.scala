@@ -742,6 +742,29 @@ object ExtensionQueries {
       |FROM events GROUP BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x33 — int8 embedding quantization: per-vector symmetric scale
+  // (127/max|x|), every quantized coordinate replayed by the oracle (both
+  // engines do the identical double-precision multiply+round), flattened to
+  // a CSV string so the hash compare sees every value.
+  // ---------------------------------------------------------------------------
+  def x33QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.quantizeInt8(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("max_abs"), col("scale"),
+        expr("array_join(transform(q, v -> cast(v as string)), ',')").as("q_csv"))
+
+  private val x33Sql =
+    """WITH d AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vd
+      |  FROM embeddings WHERE len(embedding) > 0),
+      |m AS (
+      |  SELECT vec_id, vd, list_max([abs(x) FOR x IN vd]) AS max_abs FROM d)
+      |SELECT vec_id, max_abs, 127.0 / max_abs AS scale,
+      |  array_to_string(
+      |    [CAST(CAST(round(x * (127.0 / max_abs)) AS BIGINT) AS VARCHAR) FOR x IN vd],
+      |    ',') AS q_csv
+      |FROM m WHERE max_abs > 0""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -1027,6 +1050,7 @@ object ExtensionQueries {
     "x30_contamination" -> (x30Contamination _),
     "x31_salted_agg" -> (x31SaltedAgg _),
     "x32_corpus_mix" -> (x32CorpusMix _),
+    "x33_quantize_int8" -> (x33QuantizeInt8 _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1063,6 +1087,7 @@ object ExtensionQueries {
     "x30_contamination" -> x30Sql,
     "x31_salted_agg" -> x31Sql,
     "x32_corpus_mix" -> x32Sql,
+    "x33_quantize_int8" -> x33Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -204,6 +204,26 @@ class ExtSpec extends AnyFunSuite {
       TextStats.topTerms(df, k = 2).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("quantizeInt8: range, scale, reconstruction bound, zero vectors dropped") {
+    val q = Similarity.quantizeInt8(emb).cache()
+    // every coordinate lands in [-127, 127]
+    assert(q.filter(expr("exists(q, v -> v < -127 OR v > 127)")).isEmpty)
+    // some coordinate must hit +/-127 (the max-abs one, by construction)
+    assert(q.filter(expr("exists(q, v -> abs(v) = 127)")).count() === q.count())
+    // reconstruction: |x - q/scale| <= 0.5/scale per coordinate
+    val bad = Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .filter(expr(
+        """exists(zip_with(embedding, q, (x, v) ->
+          |  abs(cast(x as double) - v / scale) > 0.5 / scale + 1e-12), b -> b)""".stripMargin))
+    assert(bad.isEmpty)
+    // zero/empty vectors are dropped, everything else kept
+    val kept = emb.filter(expr(
+      "size(embedding) > 0 AND exists(embedding, x -> x <> 0.0)")).count()
+    assert(q.count() === kept)
+    q.unpersist()
+  }
+
   test("contaminationScan: verbatim leak scores 1.0, partial overlap scored, noise excluded") {
     val mk = (s: String) => s.trim
     val evalSet = Seq(
