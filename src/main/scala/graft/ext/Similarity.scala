@@ -41,6 +41,32 @@ object Similarity {
       .select(col(idCol), col("max_abs"), col("scale"),
         expr("transform(vd, x -> cast(round(x * scale) as int))").as("q"))
 
+  /** Top-k cosine over the QUANTIZED vectors — the search path of an int8
+    * ANN index. Scoring is integer dot products (exact, order-independent)
+    * normalized by one sqrt of the exact norm product, so unlike float
+    * cosine the score needs NO rounding to be cross-engine stable: every
+    * bit of the ranking is reproducible anywhere. Queries broadcast; the
+    * quantized corpus streams. */
+  def cosineTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(d: DataFrame, id: String, q: String) =
+      quantizeInt8(d, idCol, vecCol)
+        .select(col(idCol).as(id), col("q").as(q),
+          expr("aggregate(q, 0L, (acc, v) -> acc + cast(v as bigint) * v)").as(s"n_$id"))
+    val c = graft.ops.Par.fanOut(prep(corpus, "neighbor_id", "qc"))
+    val qs = prep(queries, "query_id", "qq")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    c.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qq, qc, (x, y) -> cast(x as bigint) * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt((col("n_query_id") * col("n_neighbor_id")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Exact cosine for every (query, corpus) pair except self-matches —
     * the scoring stage of [[cosineTopK]], exposed so callers can rank on a
     * transformed score (e.g. rounded for cross-engine-stable ordering)

@@ -765,6 +765,39 @@ object ExtensionQueries {
       |FROM m WHERE max_abs > 0""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x34 — ANN search over the int8-quantized index: integer dot products
+  // (exact in any order) normalized by one sqrt of the exact norm product.
+  // No rounding anywhere — quantization makes the whole ranking bit-exact
+  // across engines, where float cosine (x8) needs the round-to-6dp trick.
+  // rank int to match the window output.
+  // ---------------------------------------------------------------------------
+  def x34QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ext.Similarity.cosineTopKQuantized(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  private val x34Sql =
+    """WITH d AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vd
+      |  FROM embeddings WHERE len(embedding) > 0),
+      |m AS (SELECT vec_id, vd, list_max([abs(x) FOR x IN vd]) AS mx FROM d),
+      |qz AS (
+      |  SELECT vec_id,
+      |    [CAST(round(x * (127.0 / mx)) AS BIGINT) FOR x IN vd] AS q
+      |  FROM m WHERE mx > 0),
+      |nz AS (SELECT vec_id, q, list_sum([x * x FOR x IN q]) AS nrm FROM qz),
+      |sc AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
+      |      / sqrt(CAST(a.nrm * b.nrm AS DOUBLE)) AS score
+      |  FROM nz a JOIN nz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, neighbor_id, score,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM sc
+      |QUALIFY rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -1051,6 +1084,7 @@ object ExtensionQueries {
     "x31_salted_agg" -> (x31SaltedAgg _),
     "x32_corpus_mix" -> (x32CorpusMix _),
     "x33_quantize_int8" -> (x33QuantizeInt8 _),
+    "x34_quantized_knn" -> (x34QuantizedKnn _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1088,6 +1122,7 @@ object ExtensionQueries {
     "x31_salted_agg" -> x31Sql,
     "x32_corpus_mix" -> x32Sql,
     "x33_quantize_int8" -> x33Sql,
+    "x34_quantized_knn" -> x34Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

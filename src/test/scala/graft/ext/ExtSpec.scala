@@ -224,6 +224,23 @@ class ExtSpec extends AnyFunSuite {
     q.unpersist()
   }
 
+  test("quantized knn: high top-5 overlap with exact cosine ranking") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.cosineTopKQuantized(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"int8 quantization degraded recall to $overlap")
+    // deterministic re-run
+    val again = Similarity.cosineTopKQuantized(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === quant)
+  }
+
   test("contaminationScan: verbatim leak scores 1.0, partial overlap scored, noise excluded") {
     val mk = (s: String) => s.trim
     val evalSet = Seq(
