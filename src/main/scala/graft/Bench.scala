@@ -50,8 +50,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // stop BEFORE printing: the JSON line must be the last thing on the
+    // merged stdout/stderr so a line-oriented parser can't trip over a
+    // stop-time warning trailing it
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }
