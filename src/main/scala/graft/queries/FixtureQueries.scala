@@ -855,6 +855,31 @@ object FixtureQueries {
       |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q29 — correlated LATERAL join through the spark.sql surface: top-2
+  // customers by account balance per nation. Exercises the SQL entry point
+  // (temp views + ANSI LATERAL) rather than the DataFrame API; Catalyst
+  // plans the correlated limit as a per-key top-k. Ties impossible (c_name
+  // unique), so the 2-row cut is deterministic on both engines.
+  // ---------------------------------------------------------------------------
+  def q29Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT n.n_name AS nation_name, c.c_name AS customer_name, c.bal
+        |FROM g_nation n, LATERAL (
+        |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM g_customer WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY bal DESC, c_name LIMIT 2) c""".stripMargin)
+  }
+
+  private val q29Sql =
+    """SELECT n.n_name AS nation_name, c.c_name AS customer_name, c.bal
+      |FROM nation n JOIN LATERAL (
+      |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY bal DESC, c_name LIMIT 2) c ON true""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -884,7 +909,8 @@ object FixtureQueries {
     "q25_cube" -> (q25Cube _),
     "q26_star_join" -> (q26StarJoin _),
     "q27_asof_native" -> (q27AsOfNative _),
-    "q28_range_native" -> (q28RangeNative _))
+    "q28_range_native" -> (q28RangeNative _),
+    "q29_lateral" -> (q29Lateral _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -914,5 +940,6 @@ object FixtureQueries {
     "q25_cube" -> q25Sql,
     "q26_star_join" -> q26Sql,
     "q27_asof_native" -> q20Sql,
-    "q28_range_native" -> q21Sql)
+    "q28_range_native" -> q21Sql,
+    "q29_lateral" -> q29Sql)
 }
