@@ -47,10 +47,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def connect():
+    # A bounded allocator: right after the Spark JVM exits the page cache is
+    # still hot and DuckDB's default 80%-of-RAM budget can fail allocation
+    # ("Failed to allocate block ...") on the heavy recursive-CTE oracles.
+    # A modest explicit limit sidesteps the pressure window entirely.
+    con = duckdb.connect()
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET threads TO 8")
+    return con
+
+
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
-    con = duckdb.connect()
+    con = connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if Path(p).exists():
@@ -81,7 +92,7 @@ def main():
                         raise
                     import time
                     time.sleep(10 * (attempt + 1))
-                    con = duckdb.connect()
+                    con = connect()
                     for t in TABLES:
                         p = f"{SF}/{t}.parquet"
                         if Path(p).exists():
