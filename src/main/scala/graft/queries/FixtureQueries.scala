@@ -880,6 +880,25 @@ object FixtureQueries {
       |  ORDER BY bal DESC, c_name LIMIT 2) c ON true""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q30 — unpivot (wide -> long): the q1 amount battery melted to
+  // (user_id, metric, amount) rows. Exercises Dataset.unpivot (Spark's
+  // melt operator — an Expand node, narrow, no shuffle beyond q1's agg);
+  // the oracle is the equivalent UNION ALL.
+  // ---------------------------------------------------------------------------
+  def q30Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q1TransSummary(spark, dir).unpivot(
+      ids = Array(col("user_id")),
+      values = Array(col("in_amount"), col("out_amount")),
+      variableColumnName = "metric",
+      valueColumnName = "amount")
+
+  private val q30Sql =
+    s"""WITH base AS ($q1Sql)
+       |SELECT user_id, 'in_amount' AS metric, in_amount AS amount FROM base
+       |UNION ALL
+       |SELECT user_id, 'out_amount' AS metric, out_amount AS amount FROM base""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -910,7 +929,8 @@ object FixtureQueries {
     "q26_star_join" -> (q26StarJoin _),
     "q27_asof_native" -> (q27AsOfNative _),
     "q28_range_native" -> (q28RangeNative _),
-    "q29_lateral" -> (q29Lateral _))
+    "q29_lateral" -> (q29Lateral _),
+    "q30_unpivot" -> (q30Unpivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -941,5 +961,6 @@ object FixtureQueries {
     "q26_star_join" -> q26Sql,
     "q27_asof_native" -> q20Sql,
     "q28_range_native" -> q21Sql,
-    "q29_lateral" -> q29Sql)
+    "q29_lateral" -> q29Sql,
+    "q30_unpivot" -> q30Sql)
 }
