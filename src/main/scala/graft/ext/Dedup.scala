@@ -167,22 +167,55 @@ object Dedup {
     * idea automatically inside one query; this is the cross-query, persisted
     * form a curation pipeline needs.)
     */
-  def bloomAdmit(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01,
-      expectedKeys: Long = -1L,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The normalized exact-dup fingerprint shared by the bloom build and every
+    * probe (whitespace-collapsed, case-folded md5) — build and probe MUST
+    * agree on this or false negatives appear. */
+  private def normFp(textCol: String): Column =
+    md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+
+  /** Fold the corpus fingerprints into a Bloom filter ONCE. With
+    * `expectedKeys` supplied (a real catalog has table stats) this is a
+    * single corpus scan; otherwise the fingerprint frame is persisted across
+    * the sizing count and the filter build, so the corpus is still scanned
+    * only once (the second action reads the cache). Steady-state ingestion
+    * should build this once and pass it to [[bloomAdmitWith]] for every
+    * batch — zero corpus scans per batch on the bloom side. */
+  def buildAdmissionBloom(corpus: DataFrame, fpp: Double = 0.01,
+      expectedKeys: Long = -1L, textCol: String = "text")
+      : org.apache.spark.util.sketch.BloomFilter = {
     // Spark sizes the filter as -n*ln(fpp)/ln(2)^2 bits, truncating: a loose
     // fpp over a tiny corpus truncates to ZERO bits and fails analysis
     require(fpp > 0 && fpp <= 0.1, s"fpp must be in (0, 0.1], got $fpp")
-    def withFp(d: DataFrame) = d.withColumn("norm_fp",
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
-    val corpusFp = withFp(corpus).select("norm_fp")
-    // table stats would supply the count on a real catalog; one cheap
-    // count-aggregate otherwise (scans only the text column)
-    val n = if (expectedKeys > 0) expectedKeys else math.max(1L, corpusFp.count())
-    val bloom = corpusFp.stat.bloomFilter("norm_fp", n, fpp)
+    val corpusFp = corpus.select(normFp(textCol).as("norm_fp"))
+    if (expectedKeys > 0) corpusFp.stat.bloomFilter("norm_fp", expectedKeys, fpp)
+    else {
+      val cached = corpusFp.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = math.max(1L, cached.count())
+        cached.stat.bloomFilter("norm_fp", n, fpp)
+      } finally { cached.unpersist(blocking = false); () }
+    }
+  }
+
+  def bloomAdmit(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01,
+      expectedKeys: Long = -1L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bloomAdmitWith(corpus,
+      buildAdmissionBloom(corpus, fpp, expectedKeys, textCol),
+      batch, textCol, idCol)
+
+  /** The admission probe against a prebuilt corpus bloom (see the class
+    * Scaladoc above for the routing argument). The residual exact anti-join
+    * still reads the corpus fingerprints, but only the mightContain sliver
+    * of the BATCH pays it — the corpus is never shuffled. */
+  def bloomAdmitWith(corpus: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusFp = corpus.select(normFp(textCol).as("norm_fp"))
     val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: String) => fp != null && bloomB.value.mightContainString(fp))
-    val batchFp = withFp(batch).select(col(idCol), col("norm_fp"))
+    val batchFp = batch.select(col(idCol), normFp(textCol).as("norm_fp"))
     val fresh = batchFp.filter(!mightContain(col("norm_fp")))
     val candidates = batchFp.filter(mightContain(col("norm_fp")))
       .join(corpusFp, Seq("norm_fp"), "left_anti")
@@ -268,11 +301,15 @@ object Dedup {
     // corpus-wide (common substrings of the domain vocabulary — no dedup
     // signal, quadratic fanout: at sf0.1 the uncapped pairing cost 38 s vs
     // ~1 s capped). Everything downstream derives from `groups`, so the
-    // winnowing kernel runs ONCE and its shuffle is reused — the earlier
-    // self-join formulation recomputed the kernel on each side and paid a
-    // two-phase countDistinct besides (2.3 s -> this shape).
-    val groups = ex.groupBy(col("f")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= maxDocFreq)
+    // winnowing kernel runs ONCE and its shuffle is reused. The cap is
+    // enforced INSIDE the aggregate (collect_capped nulls out any group
+    // past maxDocFreq while retaining at most cap+1 elements per buffer):
+    // a plain collect_list would materialize the full doc list of exactly
+    // the corpus-wide hot fingerprints the cap exists to drop — an
+    // executor-OOM shape at 100 TB.
+    val groups = ex.groupBy(col("f"))
+      .agg(graft.functions.AggFunctions.collect_capped(col("doc_id"), maxDocFreq).as("ds"))
+      .filter(col("ds").isNotNull)
     // per-doc rare-fp counts AFTER the cap, so identical documents still
     // score containment 1.0 over their rare fingerprints
     val sizes = groups.select(explode(col("ds")).as("doc_id"))

@@ -170,14 +170,22 @@ object Multimodal {
       val n = math.max(1L, (dur + segMs - 1) / segMs).toInt
       codec.segment(payload, n).zipWithIndex.map { case (b, i) => (i, b) }
     })
+    // A row with no duration metadata but a non-empty payload must not emit
+    // an empty [0, 0) window over real bytes: fall back to a duration derived
+    // from the payload length (1 ms/byte — arbitrary but non-degenerate and
+    // consistent between the segment count and the stamped window; a real
+    // codec would read the true duration from the container header).
+    val effDur = coalesce(col("duration_ms"),
+      length(col("payload")).cast("long"), lit(0L))
     media.filter(col("kind") === "audio")
-      .withColumn("seg", explode(cut(col("payload"), col("duration_ms"))))
+      .withColumn("_eff_dur", effDur)
+      .withColumn("seg", explode(cut(col("payload"), col("_eff_dur"))))
       .select(
         col("media_id"), col("source_doc_id"),
         col("seg._1").as("seg_index"),
         (col("seg._1").cast("long") * lit(segMs)).as("seg_start_ms"),
         least(col("seg._1").cast("long") * lit(segMs) + lit(segMs),
-          coalesce(col("duration_ms"), lit(0L))).as("seg_end_ms"),
+          col("_eff_dur")).as("seg_end_ms"),
         col("seg._2").as("payload"))
   }
 

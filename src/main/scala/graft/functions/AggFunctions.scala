@@ -30,6 +30,98 @@ object AggFunctions {
   def topk_pairs(score: Column, item: Column, k: Int): Column =
     column(TopKPairs(expression(score), expression(item), k)
       .toAggregateExpression())
+
+  /** collect_list with a hard per-group size cap: groups that exceed `cap`
+    * elements evaluate to NULL instead of materializing the full list.
+    *
+    * This exists for document-frequency-capped aggregations (winnowing /
+    * LSH postings): the hot keys — exactly the ones a doc-freq cap is there
+    * to DROP — are the ones whose collect_list buffer would grow without
+    * bound. The buffer here retains at most cap+1 elements (enough to prove
+    * the group is over cap) at every stage, including map-side partials and
+    * shuffle serialization, so a corpus-wide hot key costs O(cap) memory
+    * instead of O(group size). Detection is sound under partial aggregation:
+    * if the true group size is <= cap then no partial ever truncates (each
+    * partial's count <= cap < cap+1) and the merged list is complete; if it
+    * is > cap then either some partial hit cap+1 (merged size >= cap+1) or
+    * no partial truncated and the merged size is the true size > cap —
+    * either way the merged buffer exceeds cap and the group nulls out. */
+  def collect_capped(value: Column, cap: Int): Column =
+    column(CollectCappedLong(expression(value), cap).toAggregateExpression())
+}
+
+/** See [[AggFunctions.collect_capped]]. Long-typed values (ids). */
+case class CollectCappedLong(
+    child: Expression,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]] {
+
+  require(cap > 0, "collect_capped needs cap > 0")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"collect_capped expects an integral column, got $other")
+    }
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  // cap+1 retained elements prove "over cap" without holding the group
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    if (buf.length <= cap) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Number].longValue
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    var i = 0
+    while (i < b.length && a.length <= cap) { a += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    if (buf.length > cap) null
+    else new GenericArrayData(buf.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val n = math.min(buf.length, cap + 1)
+    val bb = ByteBuffer.allocate(4 + n * 8)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCappedLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCappedLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectCappedLong =
+    copy(child = newChildren(0))
+  override def prettyName: String = "collect_capped"
 }
 
 case class TopKPairs(

@@ -28,6 +28,77 @@ object StreamingQueries {
     try body finally spark.conf.set(key, prev)
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Stage a derived parquet input for a file-source stream, once per
+    * distinct source CONTENT and race-free across concurrent runs.
+    *
+    * The cache key hashes each source file's length plus its first and last
+    * MiB — not its mtime, so a fixture regenerated within filesystem mtime
+    * resolution can never serve stale staged chunks. Publication is a single
+    * atomic rename of a privately-written temp dir (the `_staged` marker is
+    * created BEFORE the rename, inside the temp dir), so a concurrent run
+    * either sees the complete published copy or none at all; the loser of a
+    * publish race drops its private copy and reads the winner's, which is
+    * bit-identical by construction (same content key => same derivation). */
+  private def stageInput(tag: String, dir: String, srcFiles: Seq[String])
+      (write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    srcFiles.foreach { f =>
+      val p = Paths.get(dir, f)
+      if (Files.exists(p)) {
+        val len = Files.size(p)
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+        val ch = java.nio.channels.FileChannel.open(p)
+        try {
+          def hashAt(off: Long, n: Int): Unit = {
+            val bb = java.nio.ByteBuffer.allocate(n)
+            ch.read(bb, off); bb.flip(); md.update(bb)
+          }
+          val mib = 1L << 20
+          hashAt(0L, math.min(len, mib).toInt)
+          if (len > mib) hashAt(math.max(len - mib, mib), mib.toInt)
+        } finally ch.close()
+      }
+    }
+    val key = md.digest().map("%02x".format(_)).mkString.take(16)
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_stage_v3")
+    Files.createDirectories(root)
+    val finalDir = root.resolve(s"${tag}_$key")
+    val marker = finalDir.resolve("_staged")
+    if (!Files.exists(marker)) {
+      val tmp = Files.createTempDirectory(root, s".${tag}_${key}_")
+      write(tmp.resolve("in").toString)
+      Files.createFile(tmp.resolve("_staged"))
+      var published = false
+      var attempts = 0
+      while (!published && !Files.exists(marker) && attempts < 3) {
+        attempts += 1
+        try {
+          Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException =>
+            // either a concurrent run published (marker now exists — done) or
+            // a corrupt pre-v3 leftover blocks the name: clear it and retry
+            if (!Files.exists(marker)) deleteRecursively(finalDir)
+        }
+      }
+      if (!published) deleteRecursively(tmp)
+      require(Files.exists(marker), s"stream stage publish failed for $finalDir")
+    }
+    finalDir.resolve("in").toString
+  }
+
   /** events -> minimal player_value_log shape (mirrors ReportQueries'
     * binding; only the columns the 5min tier needs). */
   private val vlogSql =
@@ -46,19 +117,11 @@ object StreamingQueries {
       |FROM events""".stripMargin
 
   def s1StreamFiveMin(spark: SparkSession, dir: String): DataFrame = {
-    // Stage the stream input once per (sf, fixture mtime, binding version): a
-    // file-source stream needs a directory it can list. Bump the version if
-    // the events->vlog mapping changes; the mtime term invalidates the staged
+    // Stage the stream input once per source content + binding version (a
+    // file-source stream needs a directory it can list). Bump the tag if the
+    // events->vlog mapping changes; the content key invalidates the staged
     // copy when the driver regenerates the fixture data.
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_v2",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s1vlog", dir, Seq("events.parquet")) { out =>
       val v = graft.ops.Cols.money(col("value"))
       Tables.events(spark, dir).select(
         concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
@@ -72,8 +135,7 @@ object StreamingQueries {
         (v * lit(new java.math.BigDecimal("0.9"))).as("after_value"),
         when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
         col("ts").as("trade_time"))
-        .write.mode("overwrite").parquet(inDir)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(out)
     }
 
     val schema = spark.read.parquet(inDir).schema
@@ -121,23 +183,14 @@ object StreamingQueries {
     * asserted at the state-function level in StreamingSpec. */
   def s2StreamAsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_asof_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s2asof", dir, Seq("events.parquet")) { out =>
       graft.Tables.eventsInWindow(spark, dir, "2024-01-01 00:00:00", "2024-01-31 00:00:00")
         .filter(col("event_type").isin("view", "purchase"))
         .select(
           col("user_id").as("userId"), col("event_id").as("eventId"),
           unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
           (col("event_type") === "purchase").as("isPurchase"), col("value"))
-        .write.mode("overwrite").parquet(inDir)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(out)
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
@@ -388,19 +441,10 @@ object StreamingQueries {
     * typed buffer serializes into the state store and merges across
     * micro-batches. Shares x24's window-formulation oracle bitwise. */
   def s7StreamTopk(spark: SparkSession, dir: String): DataFrame = {
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_topk_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s7topk", dir, Seq("documents.parquet")) { out =>
       graft.Tables.documents(spark, dir)
         .select(col("lang"), col("n_chars").cast("long").as("n_chars"), col("doc_id"))
-        .write.mode("overwrite").parquet(inDir)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(out)
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
@@ -425,18 +469,9 @@ object StreamingQueries {
     * state, append mode — at 100 TB/day this is the shape of on-the-fly
     * chunking during ingestion, and it shares x29's oracle bitwise. */
   def s8StreamChunks(spark: SparkSession, dir: String): DataFrame = {
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_chunks_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s8chunks", dir, Seq("documents.parquet")) { out =>
       graft.Tables.documents(spark, dir).select("doc_id", "text")
-        .write.mode("overwrite").parquet(inDir)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(out)
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)

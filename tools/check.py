@@ -11,7 +11,7 @@ columns, and values (doubles rounded). Usage:
 aggregates are built on exact decimal arithmetic, so any bit diff vs the oracle
 is a real nondeterminism bug, the kind the driver's hash compare fails on.
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -53,7 +53,14 @@ def connect():
     # ("Failed to allocate block ...") on the heavy recursive-CTE oracles.
     # A modest explicit limit sidesteps the pressure window entirely.
     con = duckdb.connect()
-    con.sql("SET memory_limit='24GB'")
+    # cap at half of physical RAM so a small host never gets a budget ABOVE
+    # duckdb's own 80%-of-RAM default (which would reintroduce the failures)
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):
+        total = 48 << 30
+    limit_gb = max(1, min(24, total // 2 // (1 << 30)))
+    con.sql(f"SET memory_limit='{limit_gb}GB'")
     con.sql("SET threads TO 8")
     return con
 
