@@ -46,15 +46,29 @@ object Bench {
     val results = names.map { n =>
       n -> (if (failed.contains(n)) -1.0 else math.min(p1(n), p2(n)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3 decimals (ms resolution): full double repr made the line ~1 KB
+    // longer than a tail-bounded capture window and the HEAD of the line —
+    // "metric"/"value" and the first queries — was what got cut (r3's
+    // recorded artifact had parsed:null). Wall-clock noise is >1 ms anyway.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // belt and braces: persist the full JSON as a file artifact too, so the
+    // recorded number is self-contained even if a stdout capture truncates
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     // stop BEFORE printing: the JSON line must be the last thing on the
     // merged stdout/stderr so a line-oriented parser can't trip over a
     // stop-time warning trailing it
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(line)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -282,4 +282,138 @@ object Similarity {
       .select(col("neighbor_id"), col("c_vec"), col("cluster_id"))
     ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
   }
+
+  // -------------------------------------------------------------------------
+  // Quantized IVF: int8 postings inside the inverted file — the production
+  // composition of [[quantizeInt8]] (storage/bandwidth) with [[buildIvfIndex]]
+  // (IO pruning). A probe reads |corpus| * nprobe / nlist rows of int8
+  // postings (4x smaller than float32) and scores them with exact integer
+  // dot products, so both the IO volume AND the bytes-per-row shrink while
+  // the ranking stays bit-reproducible across engines.
+  // -------------------------------------------------------------------------
+
+  /** Append the per-vector symmetric int8 quantization ([[quantizeInt8]]'s
+    * scheme) of `vecCol` as `qCol` (array<int>) plus its exact squared norm
+    * `nrmCol` (bigint). Zero/empty vectors are dropped (no direction). */
+  private def withQuantized(df: DataFrame, vecCol: String,
+      qCol: String, nrmCol: String): DataFrame =
+    df
+      .withColumn("_vd", expr(s"transform($vecCol, x -> cast(x as double))"))
+      .filter(size(col("_vd")) > 0)
+      .withColumn("_max_abs", expr("array_max(transform(_vd, x -> abs(x)))"))
+      .filter(col("_max_abs") > 0)
+      .withColumn(qCol, expr("transform(_vd, x -> cast(round(x * (127.0 / _max_abs)) as int))"))
+      .withColumn(nrmCol, expr(s"aggregate($qCol, 0L, (acc, v) -> acc + cast(v as bigint) * v)"))
+      .drop("_vd", "_max_abs")
+
+  /** Quantized postings for a (batch of the) corpus against FIXED centroids:
+    * (cluster_id, neighbor_id, q, nrm). Assignment is float cosine against
+    * the broadcast centroids (identical to [[cosineTopKIvf]]); only the
+    * stored payload is quantized. */
+  private def quantizedPostings(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    withQuantized(
+      nearestCentroids(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        centroids, "neighbor_id", "c_vec", keep = 1),
+      "c_vec", "q", "nrm")
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("neighbor_id"), col("q"), col("nrm"))
+
+  /** Scoring stage shared by the inline and indexed quantized-IVF forms:
+    * probe the nprobe closest clusters per query (float cosine — the query
+    * vector is still float at probe time), quantize the query with its own
+    * symmetric scale, then integer-dot against the postings. The score
+    * dot / sqrt(nq * nc) is bit-exact on any engine ([[cosineTopKQuantized]]'s
+    * argument), so no rounding is needed before the rank cut. */
+  private def ivfScoreQuantized(postings: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val probes = withQuantized(
+      nearestCentroids(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        centroids, "query_id", "q_vec", keep = nprobe),
+      "q_vec", "qq", "nq")
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("query_id"), col("qq"), col("nq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // no (query, neighbor) dedup needed: every posting lives in EXACTLY one
+    // cluster (keep=1 assignment), so a pair can only surface once — unlike
+    // the multi-table LSH path, which must dedup collisions
+    broadcast(probes).join(postings, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qq, q, (x, y) -> cast(x as bigint) * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt((col("nq") * col("nrm")).cast("double")))
+      .select("query_id", "neighbor_id", "score")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Inline quantized-IVF ANN (the spec/ground-truth twin of the indexed
+    * form below): prune clusters with the float coarse quantizer, score with
+    * int8 dots. */
+  def cosineTopKIvfQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, idCol, vecCol)
+    ivfScoreQuantized(quantizedPostings(corpus, centroids, idCol, vecCol),
+      centroids, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** Build and PERSIST the quantized IVF index: `path/centroids` (float
+    * vectors — the coarse quantizer stays full-precision) and
+    * `path/postings` partitioned by cluster_id with int8 payloads.
+    *
+    * `centroidSource` pins the coarse quantizer to a reference corpus (used
+    * by rebuild-equality tests and by re-builds that must stay probe-
+    * compatible with an already-served index); default: the corpus itself. */
+  def buildIvfIndexQuantized(corpus: DataFrame, path: String, nlist: Int = 16,
+      centroidSource: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = ivfCentroids(centroidSource.getOrElse(corpus), nlist, idCol, vecCol)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    quantizedPostings(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/postings")
+  }
+
+  /** INCREMENTAL index maintenance: assign + quantize ONLY the new batch
+    * against the index's FIXED centroids and append its postings files.
+    * Existing postings are never read, shuffled, or rewritten — the cost of
+    * admitting a batch is O(|batch|) regardless of corpus size, which is
+    * what makes the index maintainable under 100 TB/day ingestion (the
+    * centroids drift slowly; rebuild them on a cadence, not per batch).
+    * Probing the appended index equals probing a full rebuild over the
+    * union with the same centroids (IncrementalIvfSpec asserts both this
+    * equality and that an append leaves every pre-existing file untouched). */
+  def appendIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    quantizedPostings(batch, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$path/postings")
+  }
+
+  /** Probe a persisted quantized IVF index. The probed cluster list is tiny
+    * and known up front (<= min(nlist, nprobe * |queries|)), so it is pushed
+    * into the postings scan as a STATIC partition filter — only the probed
+    * clusters' directories are listed or read (PlanAuditSpec pins the
+    * PartitionCount), independent of how many clusters the index holds. */
+  def cosineTopKIvfQuantizedIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probeClusters = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      centroids, "query_id", "q_vec", keep = nprobe)
+      .select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: <= nlist rows
+    val postings = spark.read.parquet(s"$path/postings")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probeClusters: _*))
+    ivfScoreQuantized(postings, centroids, queries, k, nprobe, idCol, vecCol)
+  }
 }

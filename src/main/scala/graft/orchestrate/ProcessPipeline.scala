@@ -36,11 +36,37 @@ object ProcessPipeline {
     def send(title: String, error: PipelineError): Unit
   }
 
+  /** The alert payload in the reference's message shape (TGMessage.py:12-20
+    * builds exactly this title + field block before sending). Shared by every
+    * transport so a swap of transport never changes what on-call reads. */
+  def formatAlert(title: String, e: PipelineError): String =
+    s"""***** $title Error *****
+       |pipeline: ${e.pipeline}
+       |process: ${e.process}
+       |content: ${e.content}
+       |time: ${e.ts}
+       |""".stripMargin
+
   /** Default transport: structured log line (no egress in this env). */
   object LogNotifier extends Notifier {
     override def send(title: String, e: PipelineError): Unit =
-      System.err.println(
-        s"***** $title Error *****\npipeline: ${e.pipeline}\nprocess: ${e.process}\ncontent: ${e.content}")
+      System.err.println(formatAlert(title, e))
+  }
+
+  /** Concrete durable transport: append one alert payload per failure to a
+    * local file — the zero-egress completion of the ErrorHandler.py:22-31
+    * seam (the reference pushes the same payload to Telegram; a deployment
+    * with egress wraps its HTTP client in a [[Notifier]] the same way).
+    * Append is O_APPEND atomic per write, so concurrent pipelines interleave
+    * whole alerts, never torn ones. */
+  class FileNotifier(path: String) extends Notifier {
+    override def send(title: String, e: PipelineError): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, formatAlert(title, e).getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 
   /** The reference's hourly heartbeat (task-producer/main.py:96-122) as a

@@ -358,16 +358,9 @@ object ExtensionQueries {
     // the files — the serving shape, with dynamic partition pruning doing
     // the inverted-file lookup. SimilaritySpec asserts index == inline.
     val emb = Tables.embeddings(spark, dir)
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_index_v2",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    if (!java.nio.file.Files.exists(stage.resolve("_built"))) {
-      Similarity.buildIvfIndex(emb, stage.toString)
-      java.nio.file.Files.createFile(stage.resolve("_built"))
+    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+      Seq("embeddings.parquet")) { tmp =>
+      Similarity.buildIvfIndex(emb, tmp.toString)
     }
     Similarity.cosineTopKIvfIndexed(spark, stage.toString,
       emb.filter(col("vec_id") < 10), k = 5)
@@ -798,6 +791,78 @@ object ExtensionQueries {
       |QUALIFY rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x35 — quantized IVF ANN: the production composition of x13 (inverted
+  // file, cluster-probed IO) with x33/x34 (int8 postings, bit-exact integer
+  // scoring). Cluster pruning replays x13's float coarse quantizer; scoring
+  // replays x34's quantized dot restricted to the probed clusters — so the
+  // oracle is exactly "quantized brute force inside the probed clusters".
+  // Serving shape: persisted index, probed clusters pushed into the postings
+  // scan as a static partition filter (PlanAuditSpec pins PartitionCount).
+  // ---------------------------------------------------------------------------
+  def x35QuantizedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val stage = Staging.stageDir("graft_ivf_index_v3", "ivfq", dir,
+      Seq("embeddings.parquet")) { tmp =>
+      Similarity.buildIvfIndexQuantized(emb, tmp.toString)
+    }
+    Similarity.cosineTopKIvfQuantizedIndexed(spark, stage.toString,
+      emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  private val x35Sql =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      |  FROM embeddings
+      |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
+      |                     >= 9223372036854775808
+      |            THEN CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |                 - 18446744073709551616
+      |            ELSE CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |            END
+      |  LIMIT 16),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT e.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT e.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c
+      |    WHERE e.vec_id < 10)
+      |  WHERE rn <= 4),
+      |qz AS (
+      |  SELECT vec_id, q, list_sum([x * x FOR x IN q]) AS nrm FROM (
+      |    SELECT vec_id, [CAST(round(x * (127.0 / mx)) AS BIGINT) FOR x IN vd] AS q
+      |    FROM (
+      |      SELECT vec_id, vd, list_max([abs(x) FOR x IN vd]) AS mx
+      |      FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vd
+      |            FROM embeddings WHERE len(embedding) > 0))
+      |    WHERE mx > 0)),
+      |sc AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    CAST(list_sum([qa.q[i] * qb.q[i] FOR i IN range(1, len(qa.q) + 1)]) AS DOUBLE)
+      |      / sqrt(CAST(qa.nrm * qb.nrm AS DOUBLE)) AS score
+      |  FROM probes p
+      |  JOIN assigned a ON p.cluster_id = a.cluster_id AND p.query_id <> a.neighbor_id
+      |  JOIN qz qa ON qa.vec_id = p.query_id
+      |  JOIN qz qb ON qb.vec_id = a.neighbor_id)
+      |SELECT query_id, neighbor_id, score,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |       ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM sc QUALIFY rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -1085,6 +1150,7 @@ object ExtensionQueries {
     "x32_corpus_mix" -> (x32CorpusMix _),
     "x33_quantize_int8" -> (x33QuantizeInt8 _),
     "x34_quantized_knn" -> (x34QuantizedKnn _),
+    "x35_quantized_ivf" -> (x35QuantizedIvf _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1123,6 +1189,7 @@ object ExtensionQueries {
     "x32_corpus_mix" -> x32Sql,
     "x33_quantize_int8" -> x33Sql,
     "x34_quantized_knn" -> x34Sql,
+    "x35_quantized_ivf" -> x35Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -1,0 +1,84 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Build-once staging for derived local artifacts (stream input drops, ANN
+  * index builds) keyed by source CONTENT and published race-free.
+  *
+  * The cache key hashes each source file's length plus its first and last
+  * MiB — not its mtime, so a fixture regenerated within filesystem mtime
+  * resolution can never serve a stale artifact. Publication is a single
+  * atomic rename of a privately-built temp dir (the `_staged` marker is
+  * created BEFORE the rename, inside the temp dir), so a concurrent run
+  * either sees the complete published artifact or none at all; the loser of
+  * a publish race drops its private copy and reads the winner's, which is
+  * bit-identical by construction (same content key => same deterministic
+  * derivation).
+  */
+object Staging {
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  private def contentKey(dir: String, srcFiles: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    srcFiles.foreach { f =>
+      val p = Paths.get(dir, f)
+      if (Files.exists(p)) {
+        val len = Files.size(p)
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+        val ch = java.nio.channels.FileChannel.open(p)
+        try {
+          def hashAt(off: Long, n: Int): Unit = {
+            val bb = java.nio.ByteBuffer.allocate(n)
+            ch.read(bb, off); bb.flip(); md.update(bb)
+          }
+          val mib = 1L << 20
+          hashAt(0L, math.min(len, mib).toInt)
+          if (len > mib) hashAt(math.max(len - mib, mib), mib.toInt)
+        } finally ch.close()
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Run `build` into a private temp dir and atomically publish it as
+    * tmpdir/<root>/<tag>_<contentKey>; if that artifact already exists,
+    * return it without building. Returns the published dir. */
+  def stageDir(root: String, tag: String, dir: String, srcFiles: Seq[String])
+      (build: Path => Unit): Path = {
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), root)
+    Files.createDirectories(base)
+    val finalDir = base.resolve(s"${tag}_${contentKey(dir, srcFiles)}")
+    val marker = finalDir.resolve("_staged")
+    if (!Files.exists(marker)) {
+      val tmp = Files.createTempDirectory(base, s".${tag}_")
+      build(tmp)
+      Files.createFile(tmp.resolve("_staged"))
+      var published = false
+      var attempts = 0
+      while (!published && !Files.exists(marker) && attempts < 3) {
+        attempts += 1
+        try {
+          Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException =>
+            // either a concurrent run published (marker now exists — done) or
+            // a corrupt incomplete leftover blocks the name: clear and retry
+            if (!Files.exists(marker)) deleteRecursively(finalDir)
+        }
+      }
+      if (!published) deleteRecursively(tmp)
+      require(Files.exists(marker), s"stage publish failed for $finalDir")
+    }
+    finalDir
+  }
+}

@@ -28,76 +28,13 @@ object StreamingQueries {
     try body finally spark.conf.set(key, prev)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
-  /** Stage a derived parquet input for a file-source stream, once per
-    * distinct source CONTENT and race-free across concurrent runs.
-    *
-    * The cache key hashes each source file's length plus its first and last
-    * MiB — not its mtime, so a fixture regenerated within filesystem mtime
-    * resolution can never serve stale staged chunks. Publication is a single
-    * atomic rename of a privately-written temp dir (the `_staged` marker is
-    * created BEFORE the rename, inside the temp dir), so a concurrent run
-    * either sees the complete published copy or none at all; the loser of a
-    * publish race drops its private copy and reads the winner's, which is
-    * bit-identical by construction (same content key => same derivation). */
+  /** Stage a derived parquet input for a file-source stream — content-keyed,
+    * race-free build-once via [[Staging.stageDir]]. */
   private def stageInput(tag: String, dir: String, srcFiles: Seq[String])
-      (write: String => Unit): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    srcFiles.foreach { f =>
-      val p = Paths.get(dir, f)
-      if (Files.exists(p)) {
-        val len = Files.size(p)
-        md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
-        val ch = java.nio.channels.FileChannel.open(p)
-        try {
-          def hashAt(off: Long, n: Int): Unit = {
-            val bb = java.nio.ByteBuffer.allocate(n)
-            ch.read(bb, off); bb.flip(); md.update(bb)
-          }
-          val mib = 1L << 20
-          hashAt(0L, math.min(len, mib).toInt)
-          if (len > mib) hashAt(math.max(len - mib, mib), mib.toInt)
-        } finally ch.close()
-      }
-    }
-    val key = md.digest().map("%02x".format(_)).mkString.take(16)
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft_stream_stage_v3")
-    Files.createDirectories(root)
-    val finalDir = root.resolve(s"${tag}_$key")
-    val marker = finalDir.resolve("_staged")
-    if (!Files.exists(marker)) {
-      val tmp = Files.createTempDirectory(root, s".${tag}_${key}_")
+      (write: String => Unit): String =
+    Staging.stageDir("graft_stream_stage_v3", tag, dir, srcFiles) { tmp =>
       write(tmp.resolve("in").toString)
-      Files.createFile(tmp.resolve("_staged"))
-      var published = false
-      var attempts = 0
-      while (!published && !Files.exists(marker) && attempts < 3) {
-        attempts += 1
-        try {
-          Files.move(tmp, finalDir, StandardCopyOption.ATOMIC_MOVE)
-          published = true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException
-             | _: java.nio.file.DirectoryNotEmptyException =>
-            // either a concurrent run published (marker now exists — done) or
-            // a corrupt pre-v3 leftover blocks the name: clear it and retry
-            if (!Files.exists(marker)) deleteRecursively(finalDir)
-        }
-      }
-      if (!published) deleteRecursively(tmp)
-      require(Files.exists(marker), s"stream stage publish failed for $finalDir")
-    }
-    finalDir.resolve("in").toString
-  }
+    }.resolve("in").toString
 
   /** events -> minimal player_value_log shape (mirrors ReportQueries'
     * binding; only the columns the 5min tier needs). */

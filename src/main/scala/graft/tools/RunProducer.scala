@@ -46,16 +46,25 @@ object RunProducer {
         tasks
       }))
 
+    import spark.implicits._
+
     val c1 = producerCycle("2024-01-01 02:17:00")
     require(c1.isRight, s"cycle 1 failed: $c1")
     val after1 = spark.read.parquet(board)
-    val counts1 = after1.groupBy("assignee", "freq_type").count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    println(s"PRODUCER cycle1 rows=${after1.count()} byAssignee=$counts1")
-    // 5min: bootstrap [00:00,00:05) + catch-up [00:05, 02:17) -> 27 whole slices
-    require(counts1(("trans_summary_5min", "5min")) == 1 + 26, "5min slice count")
-    // 1H: bootstrap [00:00,01:00) + [01:00, ceil(02:17)=03:00) -> 1 + 2
-    require(counts1(("trans_summary_1h", "1H")) == 3, "1H slice count")
+    // Set-side assertion: the expected slice counts are a small literal
+    // frame joined against the actual per-key aggregation; only a scalar
+    // mismatch COUNT reaches the driver — no per-key map is ever collected,
+    // so the check's cost is independent of board cardinality.
+    // 5min: bootstrap [00:00,00:05) + catch-up [00:05, 02:17) -> 27 whole
+    // slices; 1H: bootstrap [00:00,01:00) + [01:00, ceil(02:17)=03:00) -> 3.
+    val expected1 = Seq(
+      ("trans_summary_5min", "5min", 27L), ("trans_summary_1h", "1H", 3L))
+      .toDF("assignee", "freq_type", "expect_n")
+    val mismatch1 = after1.groupBy("assignee", "freq_type").count()
+      .join(expected1, Seq("assignee", "freq_type"))
+      .filter(col("count") =!= col("expect_n")).count()
+    println(s"PRODUCER cycle1 rows=${after1.count()}")
+    require(mismatch1 == 0, "5min/1H slice counts diverge from the watermark math")
 
     val c2 = producerCycle("2024-01-01 02:31:00")
     require(c2.isRight, s"cycle 2 failed: $c2")
@@ -70,7 +79,6 @@ object RunProducer {
     // rerun cycle (SURVEY §3.3): a manual request with all four frequency
     // flags cascades into aligned rerun tasks, slice-exploded and published
     // to the rerun board.
-    import spark.implicits._
     val rerunBoard = s"$outDir/rerun_board"
     val request = Seq((
       "ALL", "ALL", "ALL", "trans_summary",
@@ -93,13 +101,16 @@ object RunProducer {
       }))
     require(rerunCycle.isRight, s"rerun cycle failed: $rerunCycle")
     val rerun = spark.read.parquet(rerunBoard)
-    val byFreq = rerun.groupBy("freq_type").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    println(s"PRODUCER rerun byFreq=$byFreq")
     // 5min [00:40,01:20) -> 8 slices; 1H floor/ceil -> [00:00,02:00) -> 2;
-    // 1D -> [01-01,01-02) -> 1; 1m flag off -> absent
-    require(byFreq == Map("5min" -> 8L, "1H" -> 2L, "1D" -> 1L),
-      s"unexpected rerun cascade: $byFreq")
+    // 1D -> [01-01,01-02) -> 1; 1m flag off -> absent. Full-outer set
+    // compare (an extra OR missing freq both surface) — scalar result only.
+    val expectedRerun = Seq(("5min", 8L), ("1H", 2L), ("1D", 1L))
+      .toDF("freq_type", "expect_n")
+    val rerunBad = rerun.groupBy("freq_type").count()
+      .join(expectedRerun, Seq("freq_type"), "full_outer")
+      .filter(col("count").isNull || col("expect_n").isNull ||
+        col("count") =!= col("expect_n")).count()
+    require(rerunBad == 0, "unexpected rerun cascade counts")
     println("PRODUCER rerun cascade OK")
     spark.stop()
   }

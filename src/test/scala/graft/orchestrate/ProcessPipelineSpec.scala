@@ -41,6 +41,35 @@ class ProcessPipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("content").contains("db down"))
   }
 
+  test("file notifier appends the reference-shaped alert payload and the pipeline halts") {
+    val alertFile = java.nio.file.Files.createTempDirectory("graft_alerts")
+      .resolve("alerts.log").toString
+    val result = ProcessPipeline.run(spark, "trans_summary", Seq(
+      step("ReadSlice") { (_, s) => Some(s.range(3).toDF("id")) },
+      step("WriteSlice") { (_, _) => sys.error("connection refused") }),
+      notifier = new FileNotifier(alertFile), tries = 2, delayMs = 1,
+      clock = () => java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(result.isLeft)
+    val payload = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(alertFile)), "UTF-8")
+    // the exact field block the reference's transport sends (TGMessage.py)
+    assert(payload.startsWith("***** trans_summary Error *****\n"))
+    assert(payload.contains("pipeline: trans_summary\n"))
+    assert(payload.contains("process: WriteSlice\n"))
+    assert(payload.contains("content: java.lang.RuntimeException: connection refused"))
+    assert(payload.contains("time: 2024-01-01 00:00:00"))
+    // a second failure APPENDS (the error ledger semantics), never truncates
+    ProcessPipeline.run(spark, "trans_summary", Seq(
+      step("WriteSlice") { (_, _) => sys.error("still down") }),
+      notifier = new FileNotifier(alertFile), tries = 1, delayMs = 1,
+      clock = () => java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
+    val twice = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(alertFile)), "UTF-8")
+    // each alert header carries two 5-star runs -> 2 alerts = 4 runs
+    assert("\\*{5}".r.findAllIn(twice).size === 4,
+      "two alerts must both be present")
+  }
+
   test("heartbeat fires at most once per interval") {
     val beats = scala.collection.mutable.ArrayBuffer.empty[String]
     val hb = new Heartbeat("producer", intervalMinutes = 60, send = beats += _)

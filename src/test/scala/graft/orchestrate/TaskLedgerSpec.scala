@@ -98,6 +98,59 @@ class TaskLedgerSpec extends AnyFunSuite {
     assert(gated2.head.getAs[Int]("matched") === 0)
   }
 
+  test("full producer cycle stays set-side: init -> watermark -> produce -> execute -> mark -> gate") {
+    import org.apache.spark.sql.DataFrame
+    val defs = Seq(
+      TaskLedger.ReportDef("trans_summary", "ts_5min", "5min", 100),
+      TaskLedger.ReportDef("trans_summary", "ts_1h", "1H", 200))
+    def withExecCols(df: DataFrame): DataFrame = df
+      .withColumn("apply_time", lit(null).cast("timestamp"))
+      .withColumn("complete_time", lit(null).cast("timestamp"))
+      .withColumn("runtime_second", lit(null).cast("long"))
+
+    // init + one producer cycle at 01:07 — every step a set operation
+    val init = TaskLedger.initTaskList(spark, defs, "2024-01-01 00:00:00")
+    val produced = TaskLedger.newTasks(
+      TaskLedger.watermarkScan(init), ts("2024-01-01 01:07:00"))
+    val board = withExecCols(
+      init.unionByName(produced.select(init.columns.map(col): _*))).cache()
+
+    // expected slice counts, asserted via join (scalar mismatch count only)
+    // 5min: bootstrap [00:00,00:05) + [00:05, 01:07) -> 13; 1H: bootstrap +
+    // [01:00, ceil(01:07)=02:00) -> 2
+    val expected = Seq(("ts_5min", 13L), ("ts_1h", 2L)).toDF("assignee", "expect_n")
+    val mismatches = board.groupBy("assignee").count()
+      .join(expected, Seq("assignee"), "full_outer")
+      .filter(col("count").isNull || col("expect_n").isNull ||
+        col("count") =!= col("expect_n")).count()
+    assert(mismatches === 0)
+
+    // execute the undone 5min slices (scanUndone feeds the executor), mark
+    // them done as one set-based update
+    val todo = TaskLedger.scanUndone(board, board.limit(0), "trans_summary")
+      .filter(col("freq_type") === "5min")
+    val marked = TaskLedger.markDone(board, todo, ts("2024-01-01 01:08:00")).cache()
+    assert(marked.filter(col("freq_type") === "5min" && col("done") === 1).count() === 13)
+    assert(marked.filter(col("freq_type") === "1H" && col("done") === 1).isEmpty)
+
+    // dependency gate over the marked board: the 1H slice [00:00,01:00) has
+    // all 12 five-minute slices done -> released; [01:00,02:00) has only
+    // [01:00,01:05) -> held. The gate keys on (platform, site, game,
+    // assignee); with per-tier assignees the runner aligns the finer board's
+    // assignee to the coarse report's before gating — still one set
+    // operation, the same alignment the reference's report_class pairing does.
+    val coarse = marked.filter(col("freq_type") === "1H")
+      .select("platform", "site_code", "game_code", "assignee",
+        "freq_type", "gte_time", "lt_time")
+    val depsAligned = marked.filter(col("freq_type") === "5min")
+      .withColumn("assignee", lit("ts_1h"))
+    val gated = TaskLedger.depGate(coarse, depsAligned)
+    assert(gated.filter(col("matched") === 1)
+      .select("lt_time").head.getTimestamp(0) === ts("2024-01-01 01:00:00"))
+    assert(gated.filter(col("matched") === 0).count() === 1)
+    board.unpersist(); marked.unpersist()
+  }
+
   test("markDone stamps completion and runtime on matching slices only") {
     val board = Seq(
       ("ALL", "ALL", "ALL", "a", "5min", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"),

@@ -56,4 +56,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("x31_salted_agg")
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
+
+  test("quantized IVF probe pushes the probed clusters into the postings scan (x35)") {
+    val p = plan("x35_quantized_ivf")
+    // the postings scan must carry a static cluster_id partition filter —
+    // an unfiltered scan means every probe reads the whole inverted file
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      s"postings scan must be partition-filtered on cluster_id:\n$p")
+  }
 }
