@@ -45,8 +45,9 @@ object Corpus {
     * bottleneck at scale.
     */
   def packTokenShards(docs: DataFrame, capacity: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val counted = docs.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    val counted = docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
     graft.ops.PrefixSum.exclusiveRunningTotal(counted, idCol, "n_tokens")
       .select(
         col(idCol),
@@ -95,12 +96,13 @@ object Corpus {
     * boundary arithmetic is integer, so an external engine replays the
     * chunking bit for bit. */
   def chunkDocs(docs: DataFrame, window: Int, stride: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      tokens: Column => Column = c => split(trim(c), "\\s+")): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     docs
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("chunk_index",
         explode(sequence(lit(0),

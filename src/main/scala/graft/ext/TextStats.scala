@@ -27,6 +27,17 @@ object TextStats {
         lit(0),
         (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")))
 
+  /** REAL subword tokenization: the greedy BPE merge loop over the pinned
+    * merge table (graft.functions.BpeVocab), one compiled pass per row.
+    * This is what shard packing (x18) and context-window chunking (x29)
+    * budget with — whitespace words under-count what a subword tokenizer
+    * actually produces, and a budget is only as real as its token counts. */
+  def bpeTokens(text: Column): Column =
+    graft.functions.BpeTokenizer.bpe_tokens(text)
+
+  /** Subword count of [[bpeTokens]]; empty/blank text counts 0. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Per-doc top-k salient terms (keyword extraction): score =
     * tf / (df + 1) — term frequency penalized by corpus document frequency.
     * Deliberately division-only (no ln as in classic tf-idf): tf and df are

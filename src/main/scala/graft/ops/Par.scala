@@ -20,13 +20,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Repartition `df` to the session default parallelism if (and only if) its
-    * current plan yields fewer partitions. Streaming frames pass through
-    * untouched (no RDD to inspect pre-execution; micro-batch sizing already
+  /** Repartition `df` to the session default parallelism if (and only if)
+    * its estimated input is too small to span that many scan splits.
+    *
+    * The gate reads LOGICAL-plan statistics (`optimizedPlan.stats`), not
+    * `df.rdd.getNumPartitions` — the RDD probe forces a full physical
+    * planning of the frame, and since the caller's query plans again when it
+    * executes, every fanOut call used to pay planning twice. The stats
+    * estimate answers the same question (would the scan parallelize?)
+    * from size propagation alone: inputs under maxPartitionBytes x target
+    * arrive as fewer than `target` splits and get spread; anything larger —
+    * every at-scale scan — passes through with no shuffle and no planning.
+    * Streaming frames pass through untouched (micro-batch sizing already
     * follows the source's file splits). */
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(splitBytes) * target) df.repartition(target) else df
   }
 }

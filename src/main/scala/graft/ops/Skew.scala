@@ -30,10 +30,14 @@ object Skew {
       sums: Seq[String] = Nil, counts: Seq[(String, String)] = Nil,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
-    // the salt must be deterministic per row (rand would break task retries):
-    // hash the partition-stable row id into the bucket range
+    // content-derived salt: a pure function of the row, so it is identical
+    // across task retries AND across partition relayouts (the previous
+    // monotonically_increasing_id salt was retry-stable but depended on the
+    // physical partition layout). Degenerate caveat: a hot key consisting of
+    // BITWISE-IDENTICAL rows hashes to one bucket — real skew (one player,
+    // many distinct rows) spreads; the algebraic merge is correct either way.
     val salted = df.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
 
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
@@ -65,7 +69,7 @@ object Skew {
       buckets: Int): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(buckets)).cast("int"))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, keys :+ "_salt", "left").drop("_salt")

@@ -659,29 +659,51 @@ object ExtensionQueries {
       |FROM r3""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // x29 — context-window chunking: every doc cut into overlapping 64-token
-  // windows at stride 48 (chunk i covers tokens [48i, 48i+64); last chunk
-  // short, short docs yield one chunk). Pure integer boundary arithmetic —
-  // DuckDB replays it exactly; the chunk fingerprint is md5 of the re-joined
-  // window so the compare sees every token.
+  // x29 — context-window chunking over the REAL subword stream: every doc's
+  // BPE tokens (pinned vocab — see x18) cut into overlapping 64-subword
+  // windows at stride 48 (chunk i covers subwords [48i, 48i+64); last chunk
+  // short, short docs yield one chunk). Boundary arithmetic is integer and
+  // the chunk fingerprint is md5 of the re-joined window, so the compare
+  // sees every subword decision the tokenizer made.
   // ---------------------------------------------------------------------------
   def x29Chunks(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.Corpus.chunkDocs(Tables.documents(spark, dir), window = 64, stride = 48)
+    graft.ext.Corpus.chunkDocs(Tables.documents(spark, dir), window = 64, stride = 48,
+      tokens = TextStats.bpeTokens)
 
   private[queries] val x29Sql =
-    """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
-      |e AS (
-      |  SELECT doc_id, toks, n_toks,
-      |    unnest(range(0, 1 + greatest((n_toks - 64 + 47) // 48, 0))) AS i
-      |  FROM n)
-      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
-      |  CAST(i * 48 AS BIGINT) AS chunk_start,
-      |  CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS INTEGER) AS chunk_tokens,
-      |  md5(array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
-      |FROM e""".stripMargin
+    s"""$bpeCte,
+       |n AS (SELECT doc_id, sw AS toks, len(sw) AS n_toks FROM dstream),
+       |e AS (
+       |  SELECT doc_id, toks, n_toks,
+       |    unnest(range(0, 1 + greatest((n_toks - 64 + 47) // 48, 0))) AS i
+       |  FROM n)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+       |  CAST(i * 48 AS BIGINT) AS chunk_start,
+       |  CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS INTEGER) AS chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
+       |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x36 — the tokenizer itself through the gate: per-doc BPE subword count
+  // plus the md5 of the space-joined subword stream. The fingerprint makes
+  // the compare sensitive to EVERY merge decision on every word occurrence —
+  // if the engine's greedy loop and the oracle's recursive replay disagree
+  // on a single subword boundary anywhere in the corpus, this query fails.
+  // ---------------------------------------------------------------------------
+  def x36BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        TextStats.bpeTokens(col("text")).as("sw"))
+      .select(col("doc_id"),
+        size(col("sw")).as("n_bpe_tokens"),
+        md5(array_join(col("sw"), " ")).as("bpe_fp"))
+
+  private val x36Sql =
+    s"""$bpeCte
+       |SELECT doc_id, CAST(len(sw) AS INTEGER) AS n_bpe_tokens,
+       |  md5(array_to_string(sw, ' ')) AS bpe_fp
+       |FROM dstream""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x30 — eval-set contamination scan: docs with doc_id % 10 = 0 play the
@@ -1036,15 +1058,57 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   private val shardCapacity = 2000L
 
+  // Shared DuckDB replay of the engine's pinned-vocab BPE tokenizer
+  // (graft.functions.BpeVocab/BpeTokens): the recursive CTE runs the SAME
+  // greedy loop — rank = 1-based position in the merge list, merge the
+  // LEFTMOST occurrence of the best-ranked adjacent pair, one merge per
+  // recursion step — over the DISTINCT words (token counts are a pure
+  // function of the word), then reassembles per-doc subword streams in word
+  // order. The merge-key literal is generated from BpeVocab.Merges, so the
+  // oracle can never drift from the engine's vocabulary.
+  // lazy: referenced by SQL vals that appear EARLIER in declaration order
+  // (x29Sql) — eager init order would embed a null into their text
+  private lazy val bpeMergeKeys: String =
+    graft.functions.BpeVocab.Merges
+      .map { case (a, b) => s"'$a|$b'" }.mkString("[", ", ", "]")
+
+  private lazy val bpeCte: String =
+    s"""WITH RECURSIVE
+       |wl(w) AS (
+       |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |bpe AS (
+       |  SELECT w, [c FOR c IN string_split(w, '')]::VARCHAR[] AS toks FROM wl
+       |  UNION ALL
+       |  SELECT w, toks[1:bp-1] || [toks[bp] || toks[bp+1]] || toks[bp+2:] AS toks
+       |  FROM (
+       |    SELECT w, toks, list_position(ranks, list_min([r FOR r IN ranks IF r > 0])) AS bp
+       |    FROM (
+       |      SELECT w, toks,
+       |        [list_position($bpeMergeKeys, toks[i] || '|' || toks[i+1])
+       |         FOR i IN range(1, len(toks))] AS ranks
+       |      FROM bpe WHERE len(toks) > 1)
+       |    WHERE len([r FOR r IN ranks IF r > 0]) > 0)),
+       |wfinal AS (
+       |  SELECT w, arg_min(toks, len(toks)) AS toks FROM bpe GROUP BY w),
+       |dstream AS (
+       |  SELECT doc_id, flatten(list(f.toks ORDER BY pos)) AS sw
+       |  FROM (
+       |    SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |          FROM documents WHERE length(trim(text)) > 0)) dw
+       |  JOIN wfinal f USING (w)
+       |  GROUP BY doc_id)""".stripMargin
+
   def x18TokenShards(spark: SparkSession, dir: String): DataFrame =
-    Corpus.packTokenShards(Tables.documents(spark, dir), shardCapacity)
+    Corpus.packTokenShards(Tables.documents(spark, dir), shardCapacity,
+      tokenCount = TextStats.bpeTokenCount)
 
   private val x18Sql =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
-       |  FROM documents),
+    s"""$bpeCte,
+       |t AS (
+       |  SELECT d.doc_id, CAST(coalesce(len(s.sw), 0) AS INTEGER) AS n_tokens
+       |  FROM documents d LEFT JOIN dstream s USING (doc_id)),
        |c AS (
        |  SELECT doc_id, n_tokens,
        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1151,6 +1215,7 @@ object ExtensionQueries {
     "x33_quantize_int8" -> (x33QuantizeInt8 _),
     "x34_quantized_knn" -> (x34QuantizedKnn _),
     "x35_quantized_ivf" -> (x35QuantizedIvf _),
+    "x36_bpe_tokens" -> (x36BpeTokens _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1190,6 +1255,7 @@ object ExtensionQueries {
     "x33_quantize_int8" -> x33Sql,
     "x34_quantized_knn" -> x34Sql,
     "x35_quantized_ivf" -> x35Sql,
+    "x36_bpe_tokens" -> x36Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

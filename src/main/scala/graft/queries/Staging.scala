@@ -28,22 +28,34 @@ object Staging {
   private def contentKey(dir: String, srcFiles: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(dir.getBytes("UTF-8"))
+    def hashFile(p: Path): Unit = {
+      md.update(p.getFileName.toString.getBytes("UTF-8"))
+      val len = Files.size(p)
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        def hashAt(off: Long, n: Int): Unit = {
+          val bb = java.nio.ByteBuffer.allocate(n)
+          ch.read(bb, off); bb.flip(); md.update(bb)
+        }
+        val mib = 1L << 20
+        hashAt(0L, math.min(len, mib).toInt)
+        if (len > mib) hashAt(math.max(len - mib, mib), mib.toInt)
+      } finally ch.close()
+    }
     srcFiles.foreach { f =>
       val p = Paths.get(dir, f)
-      if (Files.exists(p)) {
-        val len = Files.size(p)
-        md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
-        val ch = java.nio.channels.FileChannel.open(p)
-        try {
-          def hashAt(off: Long, n: Int): Unit = {
-            val bb = java.nio.ByteBuffer.allocate(n)
-            ch.read(bb, off); bb.flip(); md.update(bb)
-          }
-          val mib = 1L << 20
-          hashAt(0L, math.min(len, mib).toInt)
-          if (len > mib) hashAt(math.max(len - mib, mib), mib.toInt)
-        } finally ch.close()
-      }
+      // a "table" may be a single parquet file (driver fixtures) or a
+      // Spark-written DIRECTORY of part files (the local sf1 data): hash
+      // every regular file inside, in name order, so the key stays a pure
+      // function of table content either way
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq
+          .sortBy(_.toString)
+          .foreach(hashFile)
+      } else if (Files.exists(p)) hashFile(p)
     }
     md.digest().map("%02x".format(_)).mkString.take(16)
   }

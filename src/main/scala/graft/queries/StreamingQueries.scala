@@ -414,7 +414,10 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s8_" + java.lang.Long.toHexString(System.nanoTime())
     withStateSizedShuffle(spark) {
-      val q = graft.ext.Corpus.chunkDocs(stream, window = 64, stride = 48)
+      // same tokenizer as the batch twin (x29): the shared oracle replays
+      // the BPE subword stream, so the streamed chunker must cut it too
+      val q = graft.ext.Corpus.chunkDocs(stream, window = 64, stride = 48,
+          tokens = graft.ext.TextStats.bpeTokens)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000),
