@@ -45,21 +45,26 @@ object TextStats {
     * any engine, so the ranking is oracle-comparable; ln differs in ulps
     * across libm implementations and could flip ranks at ties.
     *
-    * Scale: one shuffle for tf, one small term-level df aggregate joined
-    * back, one per-doc rank. Ties resolve (salience desc, term asc). */
+    * Scale: one shuffle for tf, one term-partitioned window for df, one
+    * per-doc rank — three exchanges flat, NO join. (The earlier
+    * formulation aggregated df separately and joined it back: a fourth
+    * exchange pair at any scale where the term table outgrows broadcast,
+    * and a recompute of the tf side. The window computes the same count on
+    * rows that must be term-clustered anyway.) Ties resolve
+    * (salience desc, term asc). */
   def topTerms(docs: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = graft.ops.Par.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("salience").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("salience",
         col("tf").cast("double") / (col("df") + lit(1)).cast("double"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(wDoc).cast("long"))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "salience", "rank")
   }

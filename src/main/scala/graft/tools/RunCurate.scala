@@ -74,8 +74,16 @@ object RunCurate {
       .drop("bucket").localCheckpoint()
     println(s"[curate] after lang sampling   : ${sampled.count()}")
 
-    // 5. pack into token-budget shards and write partitioned by shard
-    val shards = Corpus.packTokenShards(sampled, capacity = 2000L)
+    // 5. pack into token-budget shards by REAL subword counts (the BPE
+    // tokenizer the training loader would run — whitespace words under-count
+    // the budget) and write partitioned by shard
+    val budgets = sampled.agg(
+      sum(TextStats.tokenCount(col("text"))).as("ws"),
+      sum(TextStats.bpeTokenCount(col("text"))).as("bpe")).head
+    println(s"[curate] token budget          : whitespace=${budgets.getLong(0)} " +
+      s"bpe=${budgets.getLong(1)}")
+    val shards = Corpus.packTokenShards(sampled, capacity = 2000L,
+      tokenCount = TextStats.bpeTokenCount)
     val out = sampled.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")
     out.write.mode("overwrite").partitionBy("shard_id").parquet(s"$outDir/corpus")
     val written = spark.read.parquet(s"$outDir/corpus")

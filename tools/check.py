@@ -47,6 +47,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def make_views(con):
+    # a table is a single parquet file (driver fixtures) or a Spark-written
+    # DIRECTORY of part files (the local sf1 data)
+    for t in TABLES:
+        p = Path(f"{SF}/{t}.parquet")
+        src = f"'{p}/*.parquet'" if p.is_dir() else f"'{p}'"
+        if not p.exists():
+            continue
+        sel = "SELECT *"
+        if t == "events":
+            # the sf1 replica stores ts as the raw nanos BIGINT (the same
+            # value Spark reads via nanosAsLong); the oracles want TIMESTAMP
+            ts_type = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                sel = "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.sql(f"CREATE VIEW {t} AS {sel} FROM {src}")
+
+
 def connect():
     # A bounded allocator: right after the Spark JVM exits the page cache is
     # still hot and DuckDB's default 80%-of-RAM budget can fail allocation
@@ -69,11 +87,16 @@ def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
     con = connect()
-    for t in TABLES:
-        p = f"{SF}/{t}.parquet"
-        if Path(p).exists():
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    make_views(con)
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    # --only=a,b,c restricts the compare (e.g. spot-checking cheap oracles
+    # at sf1, where the heavy recursive-CTE oracles are impractical)
+    only = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     # queries without an oracle: rows-only check (driver does the same)
     for d in sorted(OUT.iterdir()):
         if d.is_dir() and d.name not in oracle:
@@ -100,10 +123,7 @@ def main():
                     import time
                     time.sleep(10 * (attempt + 1))
                     con = connect()
-                    for t in TABLES:
-                        p = f"{SF}/{t}.parquet"
-                        if Path(p).exists():
-                            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+                    make_views(con)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
