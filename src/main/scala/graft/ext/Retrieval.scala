@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the documents table — the data-SELECTION side of a
+  * training pipeline (pull the documents most relevant to a target domain /
+  * eval task; score corpora against probe queries; build retrieval-augmented
+  * training sets).
+  *
+  * [[bm25]] is the standard Okapi BM25 ranking function (Robertson et al.):
+  *
+  *   score(d, Q) = sum over t in Q of
+  *     idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+  *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+  *
+  * Scale shape: the query term set is tiny and lives in the plan as an IN
+  * literal, so the token explode is filtered AT THE SCAN side before any
+  * shuffle — the corpus pays one narrow pass plus aggregations over only the
+  * matching (doc, term) pairs. Corpus-level constants (N, total length) are
+  * a one-row aggregate broadcast into the scorer; document frequencies are a
+  * |Q|-row aggregate. Nothing global materializes.
+  *
+  * Determinism: tf/df/dl/N are exact integers; avgdl is one exact-integer
+  * division; the only libm call is the idf ln. Like the cosine paths (x9/
+  * x13), the final score is rounded to 6dp BEFORE the rank cut with ties to
+  * doc_id, so sub-ulp libm variation between engines cannot flip ranks and
+  * the DuckDB oracle replays the ranking bit for bit.
+  */
+object Retrieval {
+
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val d = graft.ops.Par.fanOut(docs)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // corpus constants: one-row aggregate, broadcast into the scorer
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    // expression association mirrors the oracle SQL verbatim:
+    //   idf * ((tf * (k1+1)) / (tf + k1 * (1 - b + b * (dl / avgdl))))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    // top-k via orderBy.limit = TakeOrderedAndProject (per-partition heaps,
+    // k-row driver merge — nothing global materializes); the rank window
+    // runs AFTER the limit, over k rows, never over the corpus
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfn)
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "score", "rank")
+  }
+}

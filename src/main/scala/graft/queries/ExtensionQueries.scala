@@ -885,6 +885,44 @@ object ExtensionQueries {
       |FROM sc QUALIFY rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x37 — BM25 ranked retrieval (the data-selection operator): top-10 docs
+  // for a fixed probe query. tf/df/dl/N are exact integers on both engines;
+  // the idf ln is the only libm call and the score is rounded to 6dp BEFORE
+  // the rank cut (ties to doc_id), the same cross-engine-stable-ordering
+  // treatment as the cosine paths. The oracle states the scoring expression
+  // with IDENTICAL association, so the hash compare pins every score.
+  // ---------------------------------------------------------------------------
+  def x37Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.bm25(Tables.documents(spark, dir),
+      Seq("table", "query", "stream", "window"), k = 10)
+
+  private val x37Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+      |  WHERE term IN ('table', 'query', 'stream', 'window')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round(sum(
+      |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+      |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+      |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |    ), 6) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY doc_id)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      |FROM sc
+      |QUALIFY rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -1216,6 +1254,7 @@ object ExtensionQueries {
     "x34_quantized_knn" -> (x34QuantizedKnn _),
     "x35_quantized_ivf" -> (x35QuantizedIvf _),
     "x36_bpe_tokens" -> (x36BpeTokens _),
+    "x37_bm25" -> (x37Bm25 _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1256,6 +1295,7 @@ object ExtensionQueries {
     "x34_quantized_knn" -> x34Sql,
     "x35_quantized_ivf" -> x35Sql,
     "x36_bpe_tokens" -> x36Sql,
+    "x37_bm25" -> x37Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

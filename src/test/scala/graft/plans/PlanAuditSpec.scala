@@ -57,6 +57,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("BPE tokenization is fully narrow — zero exchanges (x36)") {
+    val p = plan("x36_bpe_tokens")
+    assert(!p.contains("Exchange"), s"the tokenizer must compose with the scan:\n$p")
+  }
+
+  test("shard packing never funnels through a single partition (x18)") {
+    val p = plan("x18_token_shards")
+    // the classic killer is a global running-total window (Exchange
+    // SinglePartition); the two-pass prefix sum must keep the plan spread
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum must not collapse to one partition:\n$p")
+  }
+
+  test("BM25 top-k is a heap merge, not a global sort (x37)") {
+    val p = plan("x37_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must plan as per-partition heaps:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrdered"),
+      s"scoring must not funnel through one partition:\n$p")
+  }
+
   test("quantized IVF probe pushes the probed clusters into the postings scan (x35)") {
     val p = plan("x35_quantized_ivf")
     // the postings scan must carry a static cluster_id partition filter —
