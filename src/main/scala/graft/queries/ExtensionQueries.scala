@@ -1008,11 +1008,11 @@ object ExtensionQueries {
   // recursive transitive-closure CTE. Total over all docs: singletons
   // cluster with themselves.
   // ---------------------------------------------------------------------------
-  def x16DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    Cluster.dupClusters(docs,
-      Dedup.nearDupMinhash(docs, jaccardThreshold).select(col("doc_a"), col("doc_b")))
-  }
+  def x16DupClusters(spark: SparkSession, dir: String): DataFrame =
+    // exact-collapse pre-pass + LSH over representatives — bitwise equal to
+    // clustering the raw pipeline's pairs (see Cluster.dupClustersCollapsed's
+    // equivalence argument), quadratically cheaper on verbatim-dup groups
+    Cluster.dupClustersCollapsed(Tables.documents(spark, dir), jaccardThreshold)
 
   private val x16Sql =
     s"""WITH RECURSIVE pairs AS ($x2Sql),

@@ -290,4 +290,25 @@ class ExtSpec extends AnyFunSuite {
     assert((t.getAs[Int]("n_emails"), t.getAs[Int]("n_ips"), t.getAs[Int]("n_longnums"))
       === ((1, 1, 1)))
   }
+
+  test("collapsed near-dup clustering equals the raw formulation bitwise, dup groups planted") {
+    // plant 3-way verbatim duplicate groups (the crawl shape the collapse
+    // optimizes) on top of the fixture's organic near-dups
+    val planted = docs.select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val raw = Cluster.dupClusters(planted,
+      Dedup.nearDupMinhash(planted, 0.8).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val collapsed = Cluster.dupClustersCollapsed(planted, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(collapsed === raw)
+    // the planted copies must cluster with their originals
+    val m = collapsed.map(t => t._1 -> t._2).toMap
+    (0L until 20L).foreach { id =>
+      assert(m(id + 100000L) === m(id) && m(id + 200000L) === m(id))
+    }
+  }
 }
