@@ -73,6 +73,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[nearDupMinhash]] with an EXACT-COLLAPSE pre-pass — the crawl-scale
+    * form (see Cluster.dupClustersCollapsed for the clustering analogue):
+    * byte-identical texts collapse to one representative before the LSH
+    * pipeline, and the pair set is expanded back afterward. BITWISE equal
+    * output, not an approximation:
+    *  - cross-group pairs: the MinHash signature (hence every band hash)
+    *    and the exact jaccard are pure functions of the TEXT, so rep pairs
+    *    carry exactly the candidate recall and score of every member pair —
+    *    expansion is the members' cross product stamped with the rep score;
+    *  - intra-group pairs: identical texts are always candidates (all bands
+    *    collide) with jaccard exactly 1.0 — enumerated combinatorially, no
+    *    shingling, no verification;
+    *  - groups whose text yields no shingles never pair in the raw path
+    *    (size(sh) > 0 filter) and are excluded here the same way.
+    * A g-way verbatim group costs the raw path g(g-1)/2 full array
+    * verifications plus g x the band collisions; here it costs one rep.
+    */
+  def nearDupMinhashCollapsed(docs: DataFrame, threshold: Double,
+      numHashes: Int = 64, bands: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+      md5(col(textCol)).as("_fp"))
+    // min id per identical text; max(_text) of identical strings is that
+    // string (deterministic). Shingle-less groups drop here, as in the raw
+    // path. Pinned once: feeds the LSH pipeline and both expansions.
+    val reps = keyed.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("_text")).as("_text"))
+      .filter(size(shingles("_text")) > 0)
+      .localCheckpoint()
+    val members = keyed.select(col("doc_id"), col("_fp"))
+      .join(reps.select(col("_fp"), col("doc_id").as("_rep")), "_fp")
+      .select(col("_rep"), col("doc_id"))
+    val repPairs = nearDupMinhash(reps, threshold, numHashes, bands, "_text", "doc_id")
+    val cross = repPairs
+      .join(members.select(col("_rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(members.select(col("_rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x._rep") === col("y._rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
   /** Shared LSH banding: (doc_id, shingle set, band_id, band_hash) — one
     * compiled MinHash pass per doc, one row per (doc, band). */
   private[ext] def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int,
@@ -329,6 +375,36 @@ object Dedup {
       // a couple of coincidental collisions would read as high containment
       .filter(col("containment") >= minContainment && col("shared_fps") >= minShared)
       .select("doc_a", "doc_b", "shared_fps", "containment")
+  }
+
+  /** [[nearDupSimhash]] with the exact-collapse pre-pass (same equivalence
+    * argument as [[nearDupMinhashCollapsed]], simpler still: the SimHash
+    * fingerprint is a pure function of the text, identical texts are at
+    * hamming 0 <= any radius, and SimHash has no shingle-emptiness filter to
+    * mirror — every identical group pairs internally at distance 0 and
+    * cross-group exactly as its representative does). */
+  def nearDupSimhashCollapsed(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"),
+      md5(col(textCol)).as("_fp"))
+    val reps = keyed.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("_text")).as("_text"))
+      .localCheckpoint()
+    val members = keyed.select(col("doc_id"), col("_fp"))
+      .join(reps.select(col("_fp"), col("doc_id").as("_rep")), "_fp")
+      .select(col("_rep"), col("doc_id"))
+    val repPairs = nearDupSimhash(reps, maxHamming, "_text", "doc_id")
+    val cross = repPairs
+      .join(members.select(col("_rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(members.select(col("_rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x._rep") === col("y._rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** SimHash near-dup candidates at hamming distance <= maxHamming: split the

@@ -63,7 +63,10 @@ object ExtensionQueries {
   // re-checked with exact jaccard.
   // ---------------------------------------------------------------------------
   def x3MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupMinhash(Tables.documents(spark, dir), jaccardThreshold)
+    // exact-collapse pre-pass: bitwise equal to the raw banded pipeline
+    // (Dedup.nearDupMinhashCollapsed equivalence note), quadratically
+    // cheaper on verbatim-duplicate groups
+    Dedup.nearDupMinhashCollapsed(Tables.documents(spark, dir), jaccardThreshold)
 
   // ---------------------------------------------------------------------------
   // x21 — INCREMENTAL dedup: the 90% of docs with doc_id % 10 != 0 play the
@@ -156,7 +159,8 @@ object ExtensionQueries {
   // join is exact for radius 3, so both sides enumerate the same pair set).
   // ---------------------------------------------------------------------------
   def x4SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupSimhash(Tables.documents(spark, dir))
+    // exact-collapse pre-pass (bitwise equal; Dedup.nearDupSimhashCollapsed)
+    Dedup.nearDupSimhashCollapsed(Tables.documents(spark, dir))
 
   private val x4Sql =
     """WITH tok AS (

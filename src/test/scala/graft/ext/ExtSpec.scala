@@ -291,6 +291,37 @@ class ExtSpec extends AnyFunSuite {
       === ((1, 1, 1)))
   }
 
+  test("collapsed minhash pair enumeration equals the raw banded pipeline bitwise") {
+    val planted = docs.select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      // a shingle-less identical group (2 words < n=3) must pair in NEITHER
+      .unionByName(Seq((300000L, "tiny doc"), (300001L, "tiny doc"))
+        .toDF("doc_id", "text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val raw = canon(Dedup.nearDupMinhash(planted, 0.8))
+    val collapsed = canon(Dedup.nearDupMinhashCollapsed(planted, 0.8))
+    assert(collapsed === raw)
+    assert(!collapsed.exists(t => t._1 >= 300000L || t._2 >= 300000L))
+    // every planted intra-group pair is present at jaccard exactly 1.0
+    assert(collapsed.contains((0L, 100000L, 1.0)) && collapsed.contains((100000L, 200000L, 1.0)))
+  }
+
+  test("collapsed simhash pair enumeration equals the raw chunk-join pipeline bitwise") {
+    val planted = docs.select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val raw = canon(Dedup.nearDupSimhash(planted))
+    val collapsed = canon(Dedup.nearDupSimhashCollapsed(planted))
+    assert(collapsed === raw)
+    assert(collapsed.contains((0L, 100000L, 0)))
+  }
+
   test("collapsed near-dup clustering equals the raw formulation bitwise, dup groups planted") {
     // plant 3-way verbatim duplicate groups (the crawl shape the collapse
     // optimizes) on top of the fixture's organic near-dups
