@@ -158,15 +158,7 @@ object StreamingQueries {
     * one key per event_id bounded by the watermark — at 100 TB the dedup
     * state holds only the watermark window, not the stream's history. */
   def s3StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_dedup_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s3dedup", dir, Seq("events.parquet")) { out =>
       val v = graft.ops.Cols.money(col("value"))
       val vlog = Tables.events(spark, dir).select(
         col("event_id"),
@@ -181,9 +173,8 @@ object StreamingQueries {
         (v * lit(new java.math.BigDecimal("0.9"))).as("after_value"),
         when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
         col("ts").as("trade_time"))
-      vlog.write.mode("overwrite").parquet(inDir)
-      vlog.write.mode("append").parquet(inDir) // the replayed delivery
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+      vlog.write.mode("overwrite").parquet(out)
+      vlog.write.mode("append").parquet(out) // the replayed delivery
     }
 
     val schema = spark.read.parquet(inDir).schema
@@ -211,14 +202,8 @@ object StreamingQueries {
     * tolerance — at 100 TB/day the state holds minutes, not the day). The
     * batch oracle is the identical interval predicate in SQL. */
   def s4StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_ij_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val stage = Staging.stageDir("graft_stream_stage_v3", "s4ij", dir,
+        Seq("events.parquet")) { tmp =>
       val v = graft.ops.Cols.money(col("value"))
       val ev = Tables.events(spark, dir)
       ev.select(
@@ -229,7 +214,7 @@ object StreamingQueries {
         v.as("value"),
         when(col("event_type") === "error", "FAIL").otherwise("SUCCESS").as("trade_status"),
         col("ts").as("trade_time"))
-        .write.mode("overwrite").parquet(stage.resolve("t").toString)
+        .write.mode("overwrite").parquet(tmp.resolve("t").toString)
       ev.select(
         concat(lit("P"), (col("user_id") % 2).cast("string")).as("platform"),
         concat(lit("u"), col("user_id").cast("string")).as("player_name"),
@@ -237,8 +222,7 @@ object StreamingQueries {
         v.as("bet"),
         col("ts").as("round_time"),
         (col("event_id") % 10 === 0).cast("int").as("is_robot"))
-        .write.mode("overwrite").parquet(stage.resolve("r").toString)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(tmp.resolve("r").toString)
     }
     val tDir = stage.resolve("t").toString
     val rDir = stage.resolve("r").toString
@@ -344,19 +328,10 @@ object StreamingQueries {
     * the only state), so it shares x21's exact cross-side jaccard oracle:
     * streaming/batch unification for the curation path. */
   def s6StreamAdmission(spark: SparkSession, dir: String): DataFrame = {
-    val srcMtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
-      catch { case _: Throwable => 0L }
-    val stage = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_stream_stage_adm_v1",
-      java.lang.Integer.toHexString(dir.hashCode) + "_" + java.lang.Long.toHexString(srcMtime))
-    val inDir = stage.resolve("in").toString
-    if (!java.nio.file.Files.exists(stage.resolve("_staged"))) {
+    val inDir = stageInput("s6adm", dir, Seq("documents.parquet")) { out =>
       graft.Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text")
-        .write.mode("overwrite").parquet(inDir)
-      java.nio.file.Files.createFile(stage.resolve("_staged"))
+        .write.mode("overwrite").parquet(out)
     }
     val table = ExtensionQueries.ensureMinhashIndex(spark, dir)
     val schema = spark.read.parquet(inDir).schema
