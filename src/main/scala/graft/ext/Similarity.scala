@@ -189,6 +189,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): assign
+    * every embedding to its nearest coarse centroid — the SAME deterministic
+    * IVF quantizer as [[cosineTopKIvf]] — and run exact cosine ONLY within
+    * clusters. The cluster assignment bounds the candidate set: total work is
+    * sum over clusters of |c|^2 instead of |corpus|^2, and because the
+    * assignment is a pure function of the vectors it shards trivially — at
+    * 100 TB each cluster's pair scan runs where its postings live (the same
+    * partitioned layout as [[buildIvfIndex]]), nothing global ever pairs.
+    * Pairs crossing a centroid boundary are unscored BY DESIGN — that is the
+    * recall trade every semantic-dedup deployment makes (raise nlist for
+    * tighter clusters, or probe neighbors for higher recall).
+    *
+    * The assignment is pinned once (localCheckpoint) — it feeds both sides
+    * of the intra-cluster self-join and recomputing the centroid crossJoin
+    * per side would double the assignment cost. Cosine is rounded to 6dp
+    * BEFORE the threshold (cross-engine-stable set membership). */
+  def semanticDupPairs(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
+      centroids, "vec_id", "vec", keep = 1)
+      .localCheckpoint()
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("vec_a"), col("vec").as("va"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vec_b"), col("vec").as("vb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("cluster_id", "vec_a", "vec_b", "cosine")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer built from deterministically
     * sampled corpus vectors as centroids; every corpus row is assigned to its
     * nearest centroid (one small broadcast scan), and a query exact-scores

@@ -69,6 +69,67 @@ object TextStats {
       .select("doc_id", "term", "tf", "df", "salience", "rank")
   }
 
+  /** Gopher-style repetition signals: the quality dimension length/stopword
+    * ratios can't see — machine-generated and boilerplate text repeats
+    * n-grams far above natural rates (Rae et al. 2021 §A1.1 filter family,
+    * re-expressed token-based for the whitespace corpus).
+    *
+    * Per doc:
+    *  - `top_2gram_frac`  = 2 * (count of the most frequent 2-gram) /
+    *    n_tokens — the token share claimed by the single hottest bigram;
+    *  - `dup_2gram_frac` / `dup_3gram_frac` = fraction of n-gram slots whose
+    *    gram occurs more than once in the doc;
+    *  - `repetition_keep` = 1 iff all three sit under Gopher-inspired caps
+    *    (0.20 / 0.60 / 0.60).
+    *
+    * Shape: the statistic is purely doc-local, so NOTHING shuffles — one
+    * narrow pass computes per-row gram multiplicities by sorting the gram
+    * array and folding over runs (aggregate over array_sort: O(g log g) per
+    * doc, embarrassingly parallel at any corpus size). The explode +
+    * groupBy(doc, gram) formulation would pay two corpus-wide hash
+    * exchanges and a second scan for the doc spine — for a per-row number.
+    * Every fraction is ONE integer/integer IEEE division (no sums of
+    * doubles), so the bits replay on any engine regardless of plan shape. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // (top, dup, tot) for token n-grams of size n, via a sorted-run fold:
+    // top = max run length (hottest gram's multiplicity), dup = slots inside
+    // runs longer than 1, tot = gram slots. The run in flight folds in at
+    // finish; the empty gram set folds to all-zero.
+    def gramRunStats(n: Int): Column = expr(
+      s"""aggregate(
+         |  array_sort(CASE WHEN size(_toks) >= $n
+         |    THEN transform(sequence(0, size(_toks) - $n),
+         |                   i -> concat_ws(' ', slice(_toks, i + 1, $n)))
+         |    ELSE array() END),
+         |  named_struct('prev', '', 'run', bigint(0), 'top', bigint(0),
+         |               'dup', bigint(0), 'tot', bigint(0)),
+         |  (s, g) -> IF(g = s.prev,
+         |    named_struct('prev', g, 'run', s.run + 1, 'top', s.top,
+         |                 'dup', s.dup, 'tot', s.tot + 1),
+         |    named_struct('prev', g, 'run', bigint(1),
+         |                 'top', greatest(s.top, s.run),
+         |                 'dup', s.dup + IF(s.run > 1, s.run, bigint(0)),
+         |                 'tot', s.tot + 1)),
+         |  s -> named_struct('top', greatest(s.top, s.run),
+         |                    'dup', s.dup + IF(s.run > 1, s.run, bigint(0)),
+         |                    'tot', s.tot))""".stripMargin)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+    graft.ops.Par.fanOut(
+      docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), " ").as("_toks")))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        gramRunStats(2).as("_g2"), gramRunStats(3).as("_g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        frac(lit(2L) * col("_g2.top"), col("n_tokens")).as("top_2gram_frac"),
+        frac(col("_g2.dup"), col("_g2.tot")).as("dup_2gram_frac"),
+        frac(col("_g3.dup"), col("_g3.tot")).as("dup_3gram_frac"))
+      .withColumn("repetition_keep",
+        (col("top_2gram_frac") <= 0.2 &&
+          col("dup_2gram_frac") <= 0.6 && col("dup_3gram_frac") <= 0.6).cast("int"))
+  }
+
   /** Simple quality features (ratios in [0,1]). */
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -370,8 +370,11 @@ object ExtensionQueries {
       emb.filter(col("vec_id") < 10), k = 5)
   }
 
-  private val x13Sql =
-    """WITH centroids AS (
+  /** Centroid-selection + nearest-centroid-assignment replay shared by
+    * x13/x39: the engine's deterministic md5-low-64 'ivf:'||id sample and
+    * the argmax-by-cosine assignment (ties to the lower centroid id). */
+  private lazy val ivfAssignCte =
+    """centroids AS (
       |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
       |  FROM embeddings
       |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
@@ -390,7 +393,10 @@ object ExtensionQueries {
       |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
       |                 c.centroid_id ASC) AS rn
       |    FROM embeddings e CROSS JOIN centroids c)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private lazy val x13Sql =
+    s"""WITH $ivfAssignCte,
       |probes AS (
       |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
       |  FROM (
@@ -927,6 +933,78 @@ object ExtensionQueries {
       |QUALIFY rank <= 10""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x38 — Gopher-style repetition signals: top-2-gram token share and
+  // duplicate-2/3-gram fractions per doc, with the keep flag under the
+  // Gopher-inspired caps. One explode emits both gram sizes; every fraction
+  // is a single integer/integer division (bit-replayable).
+  // ---------------------------------------------------------------------------
+  def x38Repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.repetitionSignals(Tables.documents(spark, dir))
+
+  private val x38Sql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, n, ts, unnest(range(len(ts) - n + 1)) AS i
+      |  FROM b CROSS JOIN (VALUES (2), (3)) v(n)
+      |  WHERE len(ts) >= n),
+      |g AS (
+      |  SELECT doc_id, n, array_to_string(list_slice(ts, i + 1, i + n), ' ') AS gram
+      |  FROM g0),
+      |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN n = 2 THEN c END) AS top2,
+      |    sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS tot2,
+      |    sum(CASE WHEN n = 2 AND c > 1 THEN c ELSE 0 END) AS dup2,
+      |    sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS tot3,
+      |    sum(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS dup3
+      |  FROM c GROUP BY 1)
+      |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+      |  CASE WHEN len(b.ts) > 0
+      |       THEN CAST(2 * coalesce(s.top2, 0) AS DOUBLE) / CAST(len(b.ts) AS DOUBLE)
+      |       ELSE 0.0 END AS top_2gram_frac,
+      |  CASE WHEN coalesce(s.tot2, 0) > 0
+      |       THEN CAST(s.dup2 AS DOUBLE) / CAST(s.tot2 AS DOUBLE)
+      |       ELSE 0.0 END AS dup_2gram_frac,
+      |  CASE WHEN coalesce(s.tot3, 0) > 0
+      |       THEN CAST(s.dup3 AS DOUBLE) / CAST(s.tot3 AS DOUBLE)
+      |       ELSE 0.0 END AS dup_3gram_frac,
+      |  CAST(CASE WHEN
+      |      (CASE WHEN len(b.ts) > 0
+      |            THEN CAST(2 * coalesce(s.top2, 0) AS DOUBLE) / CAST(len(b.ts) AS DOUBLE)
+      |            ELSE 0.0 END) <= 0.2
+      |      AND (CASE WHEN coalesce(s.tot2, 0) > 0
+      |                THEN CAST(s.dup2 AS DOUBLE) / CAST(s.tot2 AS DOUBLE)
+      |                ELSE 0.0 END) <= 0.6
+      |      AND (CASE WHEN coalesce(s.tot3, 0) > 0
+      |                THEN CAST(s.dup3 AS DOUBLE) / CAST(s.tot3 AS DOUBLE)
+      |                ELSE 0.0 END) <= 0.6
+      |    THEN 1 ELSE 0 END AS INTEGER) AS repetition_keep
+      |FROM b LEFT JOIN s USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x39 — SemDeDup: semantic near-dup pairs WITHIN coarse clusters (the IVF
+  // quantizer's assignment bounds the candidate set — sum |c|^2, never
+  // |corpus|^2). Shares x13's centroid/assignment replay; pairs crossing a
+  // cluster boundary are unscored by design (the semantic-dedup recall
+  // trade).
+  // ---------------------------------------------------------------------------
+  def x39SemanticDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Similarity.semanticDupPairs(
+      Tables.embeddings(spark, dir), threshold = 0.4)
+
+  private lazy val x39Sql =
+    s"""WITH $ivfAssignCte
+       |SELECT a.cluster_id, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b,
+       |  round(list_cosine_similarity(CAST(a.c_vec AS DOUBLE[]),
+       |                               CAST(b.c_vec AS DOUBLE[])), 6) AS cosine
+       |FROM assigned a
+       |JOIN assigned b ON a.cluster_id = b.cluster_id AND a.neighbor_id < b.neighbor_id
+       |WHERE round(list_cosine_similarity(CAST(a.c_vec AS DOUBLE[]),
+       |                                   CAST(b.c_vec AS DOUBLE[])), 6) >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x24 — exact per-group top-k via the custom TypedImperativeAggregate
   // (graft.functions.TopKPairs): bounded partial aggregation instead of a
   // whole-group window sort. Deterministic ties (score DESC, item ASC) make
@@ -1259,6 +1337,8 @@ object ExtensionQueries {
     "x35_quantized_ivf" -> (x35QuantizedIvf _),
     "x36_bpe_tokens" -> (x36BpeTokens _),
     "x37_bm25" -> (x37Bm25 _),
+    "x38_repetition" -> (x38Repetition _),
+    "x39_semantic_dup" -> (x39SemanticDup _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1300,6 +1380,8 @@ object ExtensionQueries {
     "x35_quantized_ivf" -> x35Sql,
     "x36_bpe_tokens" -> x36Sql,
     "x37_bm25" -> x37Sql,
+    "x38_repetition" -> x38Sql,
+    "x39_semantic_dup" -> x39Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -291,6 +291,45 @@ class ExtSpec extends AnyFunSuite {
       === ((1, 1, 1)))
   }
 
+  test("repetition signals: hand-computed fractions and degenerate docs") {
+    val d = Seq(
+      (1L, "a b a b a"),   // 2-grams: ab,ba,ab,ba; 3-grams: aba,bab,aba
+      (2L, "p q r s t u v w x y"), // all grams unique
+      (3L, "solo")         // no grams at all
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 5L)
+    assert(r1.getDouble(2) === 2.0 * 2 / 5)   // top 2-gram "a b" occurs twice
+    assert(r1.getDouble(3) === 1.0)           // every 2-gram slot duplicated
+    assert(r1.getDouble(4) === 2.0 / 3)       // "a b a" twice of 3 slots
+    assert(r1.getInt(5) === 0)
+    val r2 = out(2L)
+    assert(r2.getDouble(2) === 2.0 / 10 && r2.getDouble(3) === 0.0 && r2.getInt(5) === 1)
+    val r3 = out(3L)
+    assert(r3.getLong(1) === 1L && r3.getDouble(2) === 0.0 && r3.getInt(5) === 1)
+  }
+
+  test("semantic dup pairs = exact near-dup pairs restricted to shared coarse clusters") {
+    val pairs = Similarity.semanticDupPairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // the exact quadratic scan thresholded the same way
+    val exact = Similarity.embeddingNearDupPairs(emb, 0.0)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .filter(col("cosine") >= 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.nonEmpty, "fixture should contain semantic near-dups")
+    assert(pairs.subsetOf(exact), "semantic pairs must be exactly-scored true pairs")
+    // recall loss only ever comes from cluster boundaries: every exact pair
+    // co-located in one cluster IS reported
+    val assigned = Similarity.semanticDupPairs(emb, threshold = -1.0).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val missed = exact.filter(p => !pairs.contains(p))
+    assert(missed.forall(p => !assigned.contains((p._1, p._2))),
+      "a same-cluster pair above threshold was dropped")
+  }
+
   test("collapsed minhash pair enumeration equals the raw banded pipeline bitwise") {
     val planted = docs.select("doc_id", "text")
       .unionByName(docs.filter(col("doc_id") < 20)

@@ -57,6 +57,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("repetition signals are doc-local — no hash exchange, single scan (x38)") {
+    val p = plan("x38_repetition")
+    // per-row sorted-run fold: the only allowed exchange is the round-robin
+    // CPU fan-out; a hashpartitioning exchange means the explode+groupBy
+    // formulation (two corpus-wide shuffles for a per-row statistic) crept back
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(count(p, "Scan parquet") == 1, s"doc spine re-scan crept back:\n$p")
+  }
+
   test("BPE tokenization is fully narrow — zero exchanges (x36)") {
     val p = plan("x36_bpe_tokens")
     assert(!p.contains("Exchange"), s"the tokenizer must compose with the scan:\n$p")
