@@ -165,6 +165,52 @@ object TextStats {
           .when(col("quality_score") >= 0.5, 1)
           .otherwise(0))
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2019), self-trained: a
+    * char-trigram language model is fit on the corpus itself and every doc
+    * is scored by its add-1-smoothed log-probability — fluent text made of
+    * corpus-typical trigrams scores high, junk (random bytes, wrong-language
+    * spans, encoding damage) scores low. The production form swaps the
+    * self-trained counts for a reference-corpus model behind the same join;
+    * the plumbing is identical.
+    *
+    * Determinism: per-trigram log-probs are rounded to 6dp and summed as
+    * DECIMAL — the sum is EXACT and order-independent (the same trick the
+    * money surface uses), so 1/7/32-thread runs and an external replay all
+    * produce identical bits; the only float steps are one IEEE division and
+    * one ln per DISTINCT trigram, never a float reduction over a doc.
+    *
+    * Scale: the model table is bounded by |charset|^3 regardless of corpus
+    * size — it BROADCASTS at 100 TB by construction. One explode pass emits
+    * trigram slots, one bounded-key shuffle counts them, one broadcast join
+    * scores, one per-doc aggregation collapses. */
+  def lmQualityScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tri = graft.ops.Par.fanOut(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN length(_t) >= 3
+          |  THEN transform(sequence(1, length(_t) - 2), i -> substring(_t, i, 3))
+          |  ELSE array() END""".stripMargin)).as("tg"))
+    val counts = tri.groupBy("tg").agg(count(lit(1)).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val perDoc = tri
+      .join(broadcast(counts), Seq("tg"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log((col("c") + lit(1L)).cast("double") / (col("n") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy("doc_id")
+      .agg(sum(col("lp")).as("lp_sum"), count(lit(1)).as("n_trigrams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("lp_sum").cast("double"), lit(0.0)).as("logprob"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          col("lp_sum").cast("double") / col("n_trigrams").cast("double"))
+          .otherwise(0.0).as("avg_logprob"))
+  }
+
   /** PII scrubbing: replace email addresses, IPv4 literals, and long digit
     * runs (phone/account-number shaped) with typed placeholder tokens, and
     * count each class. One compiled regex pass per class per row — no

@@ -984,6 +984,41 @@ object ExtensionQueries {
       |FROM b LEFT JOIN s USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x40 — CCNet-style LM quality score: char-trigram model self-trained on
+  // the corpus, add-1 smoothed; per-trigram log-probs rounded to 6dp and
+  // summed as DECIMAL (exact, order-independent — the money trick applied
+  // to LM scoring). The model table is bounded by |charset|^3: broadcast at
+  // any corpus size.
+  // ---------------------------------------------------------------------------
+  def x40LmQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.lmQualityScore(Tables.documents(spark, dir))
+
+  private val x40Sql =
+    """WITH tg AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN length(text) >= 3
+      |           THEN [substr(text, i, 3) FOR i IN range(1, length(text) - 1)]
+      |           ELSE [] END) AS tg
+      |  FROM documents),
+      |c AS (SELECT tg, count(*) AS c FROM tg GROUP BY 1),
+      |s AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+      |lp AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS lp
+      |  FROM tg t JOIN c USING (tg) CROSS JOIN s),
+      |pd AS (
+      |  SELECT doc_id, sum(lp) AS lp_sum, count(*) AS n_trigrams
+      |  FROM lp GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_trigrams, 0) AS n_trigrams,
+      |  coalesce(CAST(pd.lp_sum AS DOUBLE), 0.0) AS logprob,
+      |  CASE WHEN coalesce(pd.n_trigrams, 0) > 0
+      |       THEN CAST(pd.lp_sum AS DOUBLE) / CAST(pd.n_trigrams AS DOUBLE)
+      |       ELSE 0.0 END AS avg_logprob
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x39 — SemDeDup: semantic near-dup pairs WITHIN coarse clusters (the IVF
   // quantizer's assignment bounds the candidate set — sum |c|^2, never
   // |corpus|^2). Shares x13's centroid/assignment replay; pairs crossing a
@@ -1339,6 +1374,7 @@ object ExtensionQueries {
     "x37_bm25" -> (x37Bm25 _),
     "x38_repetition" -> (x38Repetition _),
     "x39_semantic_dup" -> (x39SemanticDup _),
+    "x40_lm_quality" -> (x40LmQuality _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1382,6 +1418,7 @@ object ExtensionQueries {
     "x37_bm25" -> x37Sql,
     "x38_repetition" -> x38Sql,
     "x39_semantic_dup" -> x39Sql,
+    "x40_lm_quality" -> x40Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup        (hash groupBy, one 16-byte/row shuffle)
   *   2. near-dup clusters  (minhash LSH pairs -> connected components ->
   *                          keep the min-id doc per cluster)
-  *   3. quality filter     (deterministic feature scoring, keep flag)
+  *   3. quality filter     (deterministic feature scoring + Gopher
+  *                          repetition caps + corpus-trigram LM floor)
   *   4. language sampling  (reproducible md5-bucket stratified rates)
   *   5. shard packing      (token-budget shards via the distributed scan)
   *   6. incremental admission (a later batch: broadcast-Bloom exact-dup
@@ -61,10 +62,20 @@ object RunCurate {
       .localCheckpoint()
     println(s"[curate] after near-dup dedup  : ${nearDeduped.count()}")
 
-    // 3. quality filter
-    val kept = TextStats.qualityScore(nearDeduped).filter(col("keep") === 1)
+    // 3. quality filter: ratio features + Gopher repetition caps + the
+    // bottom decile of the corpus-trigram LM score (CCNet-style) all gate
+    val scored = TextStats.qualityScore(nearDeduped)
+    val rep = TextStats.repetitionSignals(nearDeduped)
+      .select(col("doc_id"), col("repetition_keep"))
+    val lm = TextStats.lmQualityScore(nearDeduped)
+      .select(col("doc_id"), col("avg_logprob"))
+    val lmFloor = lm.agg(
+      expr("percentile_approx(avg_logprob, 0.1)").as("p10")).head.getDouble(0)
+    val kept = scored.filter(col("keep") === 1)
+      .join(rep.filter(col("repetition_keep") === 1), Seq("doc_id"), "left_semi")
+      .join(lm.filter(col("avg_logprob") >= lmFloor), Seq("doc_id"), "left_semi")
       .select(nearDeduped.columns.map(col): _*).localCheckpoint()
-    println(s"[curate] after quality filter  : ${kept.count()}")
+    println(s"[curate] after quality filter  : ${kept.count()} (lm p10 floor $lmFloor)")
 
     // 4. reproducible stratified sampling by language
     val sampled = Corpus.stratifiedSample(

@@ -311,6 +311,21 @@ class ExtSpec extends AnyFunSuite {
     assert(r3.getLong(1) === 1L && r3.getDouble(2) === 0.0 && r3.getInt(5) === 1)
   }
 
+  test("LM quality score: hand-computed add-1 trigram log-probs, exact decimal sum") {
+    val d = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "xy")).toDF("doc_id", "text")
+    // corpus trigram slots: aaa,aaa (doc1), abc,bcd (doc2); doc3 has none.
+    // counts: aaa->2, abc->1, bcd->1; N=4 slots, V=3 distinct.
+    def lp(c: Long): BigDecimal =
+      BigDecimal(math.log((c + 1.0) / 7.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val out = TextStats.lmQualityScore(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 2L)
+    assert(out(1L).getDouble(2) === (lp(2) + lp(2)).toDouble)
+    assert(out(2L).getDouble(2) === (lp(1) + lp(1)).toDouble)
+    assert(out(3L).getLong(1) === 0L && out(3L).getDouble(2) === 0.0)
+    // the common-trigram doc is more "fluent" under the corpus model
+    assert(out(1L).getDouble(3) > out(2L).getDouble(3))
+  }
+
   test("semantic dup pairs = exact near-dup pairs restricted to shared coarse clusters") {
     val pairs = Similarity.semanticDupPairs(emb, threshold = 0.4).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
