@@ -573,7 +573,9 @@ object FixtureQueries {
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_sum"))
 
-  private val q19Sql =
+  // shared with s9_stream_sessions: the streamed session_window aggregation
+  // over the same staged slice must equal this batch gaps-and-islands replay
+  private[queries] val q19Sql =
     s"""WITH e AS (
        |  SELECT user_id, ts, value FROM events
        |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),

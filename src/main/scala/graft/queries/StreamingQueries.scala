@@ -404,8 +404,50 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Streaming SESSION windows (q19's twin): the same 30-minute-gap
+    * sessionization runs as a streaming aggregation — session_window merges
+    * per-key session state across events as they arrive, the watermark
+    * bounds how long an open session can wait for a late extension (the
+    * state-eviction rule that makes per-user session state finite at
+    * 100 TB/day). AvailableNow + complete mode drains the staged slice in
+    * one pass; the output must equal q19's batch gaps-and-islands oracle
+    * bit for bit — streaming/batch unification for the session operator. */
+  def s9StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s9sess", dir, Seq("events.parquet")) { out =>
+      graft.Tables.eventsInWindow(spark, dir, "2024-01-01 00:00:00", "2024-01-31 00:00:00")
+        .select(col("user_id"), col("ts"), col("value"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s9_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      // watermarks require TIMESTAMP (ltz); the session math is relative to
+      // the event times themselves, so the ntz->ltz->ntz round trip under
+      // the session's fixed UTC zone is value-preserving (same as s1/s4)
+      val q = stream
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(graft.ops.Cols.money(col("value"))).cast("double").as("value_sum"))
+        .select(
+          col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), col("value_sum"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s9 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_stream_chunks" -> (s8StreamChunks _),
+    "s9_stream_sessions" -> (s9StreamSessions _),
     "s5_alert_throttle" -> (s5AlertThrottle _),
     "s6_stream_admission" -> (s6StreamAdmission _),
     "s7_stream_topk" -> (s7StreamTopk _),
@@ -415,6 +457,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s9_stream_sessions" -> FixtureQueries.q19Sql, // same sessionization, streamed
     "s8_stream_chunks" -> ExtensionQueries.x29Sql, // same transform, streamed
     "s5_alert_throttle" -> s5Sql,
     "s6_stream_admission" -> ExtensionQueries.x21Sql, // same pipeline, streamed

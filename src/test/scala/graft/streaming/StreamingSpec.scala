@@ -93,6 +93,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatched.isEmpty, "streamed session disagrees with batch sessionization")
   }
 
+  test("session state merges across micro-batches (split file delivery)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_merge").toString
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    // one session's events split across two files: the second batch must
+    // EXTEND the session opened by the first, not start a new one
+    Seq((1L, at(0), 10.0), (1L, at(10), 10.0))
+      .toDF("user_id", "ts", "value").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Seq((1L, at(20), 10.0), (2L, at(25), 5.0))
+      .toDF("user_id", "ts", "value").repartition(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "365 days") // huge: file order must not drop rows
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_merge").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected the files to arrive in separate micro-batches")
+    val got = spark.table("sess_merge")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, at(0), java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 3L),
+      (2L, at(25), java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed rows by business key") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
     val base = TestData.valueLog(spark)
