@@ -205,6 +205,23 @@ object Similarity {
     * of the intra-cluster self-join and recomputing the centroid crossJoin
     * per side would double the assignment cost. Cosine is rounded to 6dp
     * BEFORE the threshold (cross-engine-stable set membership). */
+  /** Corpus-adaptive cluster count for [[semanticDupPairs]]: ~500 vectors
+    * per cluster, clamped to [16, 4096]. Integer arithmetic ONLY (ceil via
+    * (n+499)/500) so an external oracle replays the choice exactly — a
+    * float log2 would round differently at power-of-two boundaries. This is
+    * what keeps the within-cluster |c|^2 work LINEAR in corpus size: fixed
+    * nlist at 10x data means 10x fatter clusters and 100x the pair work;
+    * nlist growing with n pins the per-cluster cost. */
+  def adaptiveNlist(n: Long): Int =
+    math.max(16L, math.min(4096L, (n + 499L) / 500L)).toInt
+
+  /** [[semanticDupPairs]] with [[adaptiveNlist]] chosen from one count()
+    * of the corpus (metadata-cheap on parquet; an index deployment knows
+    * its corpus size anyway). */
+  def semanticDupPairsAuto(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDupPairs(corpus, threshold, adaptiveNlist(corpus.count()), idCol, vecCol)
+
   def semanticDupPairs(corpus: DataFrame, threshold: Double, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = ivfCentroids(corpus, nlist, idCol, vecCol)

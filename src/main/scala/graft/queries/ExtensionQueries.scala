@@ -372,9 +372,11 @@ object ExtensionQueries {
 
   /** Centroid-selection + nearest-centroid-assignment replay shared by
     * x13/x39: the engine's deterministic md5-low-64 'ivf:'||id sample and
-    * the argmax-by-cosine assignment (ties to the lower centroid id). */
-  private lazy val ivfAssignCte =
-    """centroids AS (
+    * the argmax-by-cosine assignment (ties to the lower centroid id).
+    * `limitSql` is the centroid count — a literal for the fixed-nlist
+    * probes, a count-derived subquery for the adaptive SemDeDup path. */
+  private def ivfAssignCteWith(limitSql: String): String =
+    s"""centroids AS (
       |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
       |  FROM embeddings
       |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
@@ -383,7 +385,7 @@ object ExtensionQueries {
       |                 - 18446744073709551616
       |            ELSE CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
       |            END
-      |  LIMIT 16),
+      |  LIMIT $limitSql),
       |assigned AS (
       |  SELECT vec_id AS neighbor_id, embedding AS c_vec, centroid_id AS cluster_id
       |  FROM (
@@ -394,6 +396,13 @@ object ExtensionQueries {
       |                 c.centroid_id ASC) AS rn
       |    FROM embeddings e CROSS JOIN centroids c)
       |  WHERE rn = 1)""".stripMargin
+
+  private lazy val ivfAssignCte = ivfAssignCteWith("16")
+
+  /** The engine's `Similarity.adaptiveNlist` restated in pure integer SQL:
+    * ceil(n/500) via (n+499)//500, clamped [16, 4096]. */
+  private lazy val ivfAssignCteAdaptive = ivfAssignCteWith(
+    "(SELECT greatest(16, least(4096, (count(*) + 499) // 500)) FROM embeddings)")
 
   private lazy val x13Sql =
     s"""WITH $ivfAssignCte,
@@ -1026,11 +1035,14 @@ object ExtensionQueries {
   // trade).
   // ---------------------------------------------------------------------------
   def x39SemanticDup(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.Similarity.semanticDupPairs(
+    // adaptive nlist (~500 vectors/cluster): at the driver SFs this resolves
+    // to the 16 floor (outputs unchanged); at sf1 it is what keeps the
+    // within-cluster pair work linear in corpus size
+    graft.ext.Similarity.semanticDupPairsAuto(
       Tables.embeddings(spark, dir), threshold = 0.4)
 
   private lazy val x39Sql =
-    s"""WITH $ivfAssignCte
+    s"""WITH $ivfAssignCteAdaptive
        |SELECT a.cluster_id, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b,
        |  round(list_cosine_similarity(CAST(a.c_vec AS DOUBLE[]),
        |                               CAST(b.c_vec AS DOUBLE[])), 6) AS cosine

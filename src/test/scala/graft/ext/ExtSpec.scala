@@ -326,6 +326,18 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1L).getDouble(3) > out(2L).getDouble(3))
   }
 
+  test("adaptive nlist: integer rule, clamps, and auto == explicit at fixture size") {
+    import Similarity.adaptiveNlist
+    assert(adaptiveNlist(1) === 16 && adaptiveNlist(7500) === 16) // floor clamp
+    assert(adaptiveNlist(8000) === 16 && adaptiveNlist(8001) === 17)
+    assert(adaptiveNlist(10000) === 20)
+    assert(adaptiveNlist(3_000_000) === 4096) // cap
+    val n = emb.count()
+    val auto = Similarity.semanticDupPairsAuto(emb, 0.4).collect().toSet
+    val explicit = Similarity.semanticDupPairs(emb, 0.4, adaptiveNlist(n)).collect().toSet
+    assert(auto === explicit)
+  }
+
   test("semantic dup pairs = exact near-dup pairs restricted to shared coarse clusters") {
     val pairs = Similarity.semanticDupPairs(emb, threshold = 0.4).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
