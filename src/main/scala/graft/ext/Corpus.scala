@@ -119,6 +119,58 @@ object Corpus {
         md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
   }
 
+  /** DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw document by how much more likely its features are under a TARGET
+    * distribution (the high-quality slice you want more of) than under the
+    * raw corpus — log w(d) = sum over token occurrences of
+    * log p_target(t) - log p_raw(t), both bag-of-words models with add-1
+    * smoothing over the shared vocabulary. Sampling proportional to w then
+    * tilts the corpus mix toward the target domain; the weight itself is the
+    * reusable artifact (any downstream recipe can threshold or resample it).
+    *
+    * Shape: one exploded pass over tokens feeds a single groupBy(term) that
+    * computes BOTH models at once (raw count + conditional target count —
+    * map-side partial, one shuffle); totals and vocab size fold to one row.
+    * Per-term log-ratios are rounded to 6dp and summed as DECIMAL(18,6) —
+    * exact, order-independent (the money trick from x40's LM scoring), so
+    * the result is bit-identical on any plan shape or engine. The weight
+    * table is one row per vocab term: DSIR hashes features into a bounded
+    * space (10^4 buckets in the paper) precisely so this table stays
+    * broadcastable at any corpus size — the join back to token occurrences
+    * is a broadcast, never a corpus shuffle.
+    *
+    * `targetPred` marks the target slice (a Column over the doc row, e.g.
+    * `col("lang") === "en"`). Output: doc spine with `n_terms`,
+    * `log_weight` (sum), and `avg_log_weight` (length-normalized). */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.ops.Par.fanOut(
+      docs.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"), targetPred.cast("long").as("is_tgt"),
+          explode(split(trim(col(textCol)), " ")).as("term")))
+    val models = toks.groupBy("term")
+      .agg(count(lit(1)).as("c_raw"), sum("is_tgt").as("c_tgt"))
+    val totals = models.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"),
+      count(lit(1)).as("v"))
+    val weights = models.crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v")).cast("double"))
+          - log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("lw"))
+    val perDoc = toks.join(broadcast(weights), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("lw").as("w"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("w").cast("double"), lit(0.0)).as("log_weight"),
+        when(coalesce(col("n_terms"), lit(0L)) > 0,
+          col("w").cast("double") / col("n_terms").cast("double"))
+          .otherwise(0.0).as("avg_log_weight"))
+  }
+
   /** Top-k word n-grams by document frequency (distinct per doc), ties
     * broken by the n-gram itself so the ranking is total and deterministic.
     *

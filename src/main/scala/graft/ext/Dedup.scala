@@ -407,6 +407,59 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Duplicated-span statistics — the Spark-scale shape of exact SUBSTRING
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": remove any 50-token span that occurs verbatim elsewhere
+    * in the corpus). A distributed suffix array is the paper's tool; the
+    * engine's approximation tiles each document into NON-OVERLAPPING
+    * `blockTokens`-token blocks and marks a block duplicated when its content
+    * occurs >= 2 times corpus-wide (same doc or not) — the block grid turns
+    * "any duplicated span" into an equi-group problem with one shuffle.
+    *
+    * Shape: blocks shuffle by xxhash64(block) — 8 bytes per occurrence moves,
+    * never the text. The multiplicity count is a groupBy (map-side partial:
+    * the shuffled count frame is ONE row per distinct block) followed by a
+    * hash join back to the occurrence frame on the same key — deliberately
+    * NOT `count over (partition by hash)`: WindowExec buffers each partition
+    * in memory, and at 100 TB a boilerplate block repeated millions of times
+    * is exactly the partition that would spill. AQE splits the same hot key
+    * across reducers in the join formulation. Output is per-document (spine
+    * left-joined back, co-partitioned on doc_id), so hash collisions can only
+    * nudge a count, and 64-bit collisions at even 10^10 blocks are ~1e-0/2^64
+    * per pair — the oracle compares on block CONTENT and agrees.
+    *
+    * `dup_token_frac` = blockTokens * dup_blocks / n_tokens: the fraction of
+    * the doc's tokens sitting inside corpus-duplicated blocks — a single
+    * integer/integer division, bit-replayable on any engine. `tokens_kept` is
+    * the doc's token budget after span removal (what Lee et al. trains on). */
+  def dupSpans(docs: DataFrame, blockTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val spine = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("_toks"))
+    val blocks = graft.ops.Par.fanOut(spine)
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(_toks) >= $blockTokens
+           |THEN transform(sequence(0, size(_toks) DIV $blockTokens - 1),
+           |               i -> xxhash64(concat_ws(' ', slice(_toks, i * $blockTokens + 1, $blockTokens))))
+           |ELSE array() END""".stripMargin)).as("h"))
+    val mult = blocks.groupBy("h").agg(count(lit(1)).as("c"))
+    val perDoc = blocks.join(mult, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_blocks"))
+    spine.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("dup_blocks"), lit(0L)).as("dup_blocks"),
+        when(col("n_tokens") > 0,
+          (lit(blockTokens.toLong) * coalesce(col("dup_blocks"), lit(0L))).cast("double")
+            / col("n_tokens").cast("double")).otherwise(0.0).as("dup_token_frac"),
+        (col("n_tokens") - lit(blockTokens.toLong) * coalesce(col("dup_blocks"), lit(0L)))
+          .as("tokens_kept"))
+  }
+
   /** SimHash near-dup candidates at hamming distance <= maxHamming: split the
     * 64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
     * distance 3 agrees on >= 1 chunk -> equi-join per chunk, then the exact

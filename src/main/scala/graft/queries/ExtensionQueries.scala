@@ -1028,6 +1028,73 @@ object ExtensionQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x41 — duplicated-span statistics (Lee et al. substring dedup, block-grid
+  // approximation): per doc, how many non-overlapping 8-token blocks occur
+  // verbatim >= 2x corpus-wide, and the token budget left after removing
+  // them. The engine shuffles 8-byte block hashes; the oracle groups on the
+  // block TEXT — they agree because the output is per-doc counts and 64-bit
+  // collisions are vanishing.
+  // ---------------------------------------------------------------------------
+  def x41DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(spark, dir), blockTokens = 8)
+
+  private val x41Sql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+      |bl AS (
+      |  SELECT doc_id, array_to_string(list_slice(ts, i * 8 + 1, i * 8 + 8), ' ') AS blk
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) // 8)) AS i FROM b)),
+      |c AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY blk) AS c FROM bl),
+      |pd AS (
+      |  SELECT doc_id, count(*) AS n_blocks,
+      |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_blocks
+      |  FROM c GROUP BY 1)
+      |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+      |  coalesce(pd.n_blocks, 0) AS n_blocks,
+      |  CAST(coalesce(pd.dup_blocks, 0) AS BIGINT) AS dup_blocks,
+      |  CASE WHEN len(b.ts) > 0
+      |       THEN CAST(8 * coalesce(pd.dup_blocks, 0) AS DOUBLE) / CAST(len(b.ts) AS DOUBLE)
+      |       ELSE 0.0 END AS dup_token_frac,
+      |  CAST(len(b.ts) - 8 * coalesce(pd.dup_blocks, 0) AS BIGINT) AS tokens_kept
+      |FROM b LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x42 — DSIR importance-resampling weights: target = the English slice,
+  // raw = the whole corpus; per-doc log weight under add-1-smoothed
+  // bag-of-words models, 6dp-rounded per-term log-ratios summed as DECIMAL
+  // (exact, order-independent).
+  // ---------------------------------------------------------------------------
+  def x42DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dsirWeights(Tables.documents(spark, dir), col("lang") === "en")
+
+  private val x42Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tc AS (
+      |  SELECT term, count(*) AS c_raw,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM tc),
+      |lw AS (
+      |  SELECT term,
+      |    CAST(round(ln((CAST(c_tgt AS DOUBLE) + 1.0) / CAST(n_tgt + v AS DOUBLE))
+      |             - ln((CAST(c_raw AS DOUBLE) + 1.0) / CAST(n_raw + v AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS lw
+      |  FROM tc CROSS JOIN tot),
+      |pd AS (
+      |  SELECT t.doc_id, count(*) AS n_terms, sum(lw.lw) AS w
+      |  FROM t JOIN lw USING (term) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_terms, 0) AS n_terms,
+      |  coalesce(CAST(pd.w AS DOUBLE), 0.0) AS log_weight,
+      |  CASE WHEN coalesce(pd.n_terms, 0) > 0
+      |       THEN CAST(pd.w AS DOUBLE) / CAST(pd.n_terms AS DOUBLE)
+      |       ELSE 0.0 END AS avg_log_weight
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x39 — SemDeDup: semantic near-dup pairs WITHIN coarse clusters (the IVF
   // quantizer's assignment bounds the candidate set — sum |c|^2, never
   // |corpus|^2). Shares x13's centroid/assignment replay; pairs crossing a
@@ -1387,6 +1454,8 @@ object ExtensionQueries {
     "x38_repetition" -> (x38Repetition _),
     "x39_semantic_dup" -> (x39SemanticDup _),
     "x40_lm_quality" -> (x40LmQuality _),
+    "x41_dup_spans" -> (x41DupSpans _),
+    "x42_dsir_weights" -> (x42DsirWeights _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1431,6 +1500,8 @@ object ExtensionQueries {
     "x38_repetition" -> x38Sql,
     "x39_semantic_dup" -> x39Sql,
     "x40_lm_quality" -> x40Sql,
+    "x41_dup_spans" -> x41Sql,
+    "x42_dsir_weights" -> x42Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -202,4 +202,38 @@ class CorpusSpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- DSIR importance weights ---------------------------------------------
+
+  test("dsirWeights: target-exclusive vocabulary scores above raw-common vocabulary") {
+    // target docs (grp=t) use words the raw-only docs never use, and vice
+    // versa: weights must separate them with positive vs negative sign.
+    val docs = Seq(
+      (1L, "t", "alpha beta alpha gamma"),
+      (2L, "t", "beta gamma alpha beta"),
+      (3L, "r", "delta epsilon delta zeta"),
+      (4L, "r", "epsilon zeta delta epsilon"),
+      (5L, "r", "")).toDF("doc_id", "grp", "text")
+    val w = Corpus.dsirWeights(docs, col("grp") === "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.size === 5)
+    assert(w(1L)._2 > 0 && w(2L)._2 > 0, "target-vocab docs must up-weight")
+    assert(w(3L)._2 < 0 && w(4L)._2 < 0, "raw-only-vocab docs must down-weight")
+    assert(w(5L) === ((0L, 0.0)), "blank doc: zero terms, zero weight")
+  }
+
+  test("dsirWeights: bit-identical across partition layouts (exact decimal sum)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val base = Corpus.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val shuffled = Corpus.dsirWeights(docs.repartition(7), col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(base.sameElements(shuffled), "weight must not depend on partitioning")
+    // the target slice should carry the higher mean weight on the fixture
+    val byLang = Corpus.dsirWeights(docs, col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("avg_log_weight").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") === byLang.values.max, "en target must rank top on mean weight")
+  }
 }

@@ -408,4 +408,38 @@ class ExtSpec extends AnyFunSuite {
       assert(m(id + 100000L) === m(id) && m(id + 200000L) === m(id))
     }
   }
+
+  test("dupSpans: a planted verbatim copy marks every full block duplicated") {
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") === 1).select(lit(300000L).as("doc_id"), col("text")))
+    val spans = Dedup.dupSpans(planted, blockTokens = 8)
+    val row = spans.filter(col("doc_id") === 300000L).head
+    val (nTok, nBlk, dupBlk) = (row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nBlk === nTok / 8)
+    assert(dupBlk === nBlk, "verbatim copy: all its blocks occur twice corpus-wide")
+    assert(row.getLong(5) === nTok - 8 * nBlk) // tokens_kept
+    // the original is symmetric
+    val orig = spans.filter(col("doc_id") === 1).head
+    assert(orig.getLong(3) === orig.getLong(2))
+  }
+
+  test("dupSpans: invariants hold over the fixture; short docs produce zero blocks") {
+    val spans = Dedup.dupSpans(docs, blockTokens = 8).collect()
+    assert(spans.length === docs.count())
+    spans.foreach { r =>
+      val (nTok, nBlk, dupBlk, frac, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(nBlk === nTok / 8)
+      assert(dupBlk >= 0 && dupBlk <= nBlk)
+      assert(kept === nTok - 8 * dupBlk && kept >= 0)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // a doc shorter than one block is fully kept
+    val tiny = Dedup.dupSpans(
+      Seq((1L, "just five little words here"), (2L, "just five little words here")).toDF("doc_id", "text"),
+      blockTokens = 8).collect()
+    tiny.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(5) === r.getLong(1))
+    }
+  }
 }

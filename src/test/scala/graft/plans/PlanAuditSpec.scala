@@ -94,4 +94,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [cluster_id"),
       s"postings scan must be partition-filtered on cluster_id:\n$p")
   }
+
+  test("span dedup: no window over block hashes — groupBy + join only (x41)") {
+    val p = plan("x41_dup_spans")
+    // `count over (partition by h)` would buffer each hot block's whole
+    // partition in WindowExec; the multiplicity must come from an aggregate
+    // joined back (AQE can then split a skewed block key across reducers)
+    assert(!p.contains("Window"), s"block multiplicity must not use a window:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("DSIR weights: the per-term weight table broadcasts — no corpus-side shuffle join (x42)") {
+    val p = plan("x42_dsir_weights")
+    // token occurrences join the vocab-bounded weight table; that join must
+    // be a broadcast (DSIR's hashed-feature space keeps the table small at
+    // any corpus scale) — a sort-merge join on `term` re-shuffles every token.
+    // (The doc-spine left join IS allowed to sort-merge: both sides arrive
+    // hash-partitioned by doc_id, so it moves per-doc rows, never tokens.)
+    assert("BroadcastHashJoin \\[term".r.findFirstIn(p).isDefined, p)
+    assert("SortMergeJoin \\[term".r.findFirstIn(p).isEmpty,
+      s"token->weight join must broadcast:\n$p")
+  }
 }
