@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup        (hash groupBy, one 16-byte/row shuffle)
   *   2. near-dup clusters  (minhash LSH pairs -> connected components ->
   *                          keep the min-id doc per cluster)
+  *   2b. span dedup        (Lee-et-al block grid: drop docs that are mostly
+  *                          corpus-duplicated spans — boilerplate shells
+  *                          pair-level dedup keeps)
   *   3. quality filter     (deterministic feature scoring + Gopher
   *                          repetition caps + corpus-trigram LM floor)
   *   4. language sampling  (reproducible md5-bucket stratified rates)
+  *   4b. DSIR resampling   (importance weights toward the en target;
+  *                          deterministic md5-bucket uniform as the draw)
   *   5. shard packing      (token-budget shards via the distributed scan)
   *   6. incremental admission (a later batch: broadcast-Bloom exact-dup
   *                          pre-drop, then the survivors probed against the
@@ -62,19 +67,33 @@ object RunCurate {
       .localCheckpoint()
     println(s"[curate] after near-dup dedup  : ${nearDeduped.count()}")
 
+    // 2b. duplicated-span accounting (Lee-et-al block grid): docs that are
+    // MOSTLY duplicated spans (>= 50% of tokens inside corpus-duplicated
+    // blocks) are boilerplate shells pair-level dedup keeps — they share
+    // spans with MANY docs without being a near-dup of any single one.
+    // Drop them; report the token budget span removal would reclaim.
+    val spans = Dedup.dupSpans(nearDeduped)
+    val spanStats = spans.agg(sum("n_tokens"), sum(expr("8 * dup_blocks"))).head
+    val spanDeduped = nearDeduped.join(
+        spans.filter(col("dup_token_frac") < 0.5).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    println(s"[curate] after span dedup      : ${spanDeduped.count()} " +
+      s"(duplicated spans hold ${spanStats.getLong(1)} of ${spanStats.getLong(0)} tokens)")
+
     // 3. quality filter: ratio features + Gopher repetition caps + the
     // bottom decile of the corpus-trigram LM score (CCNet-style) all gate
-    val scored = TextStats.qualityScore(nearDeduped)
-    val rep = TextStats.repetitionSignals(nearDeduped)
+    val scored = TextStats.qualityScore(spanDeduped)
+    val rep = TextStats.repetitionSignals(spanDeduped)
       .select(col("doc_id"), col("repetition_keep"))
-    val lm = TextStats.lmQualityScore(nearDeduped)
+    val lm = TextStats.lmQualityScore(spanDeduped)
       .select(col("doc_id"), col("avg_logprob"))
     val lmFloor = lm.agg(
       expr("percentile_approx(avg_logprob, 0.1)").as("p10")).head.getDouble(0)
     val kept = scored.filter(col("keep") === 1)
       .join(rep.filter(col("repetition_keep") === 1), Seq("doc_id"), "left_semi")
       .join(lm.filter(col("avg_logprob") >= lmFloor), Seq("doc_id"), "left_semi")
-      .select(nearDeduped.columns.map(col): _*).localCheckpoint()
+      .select(spanDeduped.columns.map(col): _*).localCheckpoint()
     println(s"[curate] after quality filter  : ${kept.count()} (lm p10 floor $lmFloor)")
 
     // 4. reproducible stratified sampling by language
@@ -85,17 +104,33 @@ object RunCurate {
       .drop("bucket").localCheckpoint()
     println(s"[curate] after lang sampling   : ${sampled.count()}")
 
+    // 4b. DSIR importance resampling toward the English target: accept doc d
+    // iff its md5-bucket uniform u(d) < exp(log_weight(d)) — sampling
+    // proportional to the importance weight with a DETERMINISTIC uniform
+    // (same bucket trick as stage 4: a re-run or backfill accepts the
+    // identical set; no rand() anywhere in the pipeline).
+    val dsir = Corpus.dsirWeights(sampled, col("lang") === "en")
+    val dsirBuckets = 10000
+    val resampled = sampled
+      .join(dsir.select(col("doc_id"), col("log_weight")), "doc_id")
+      .withColumn("_u", graft.functions.HashFunctions.md5_bucket(
+        concat(lit("dsir:"), col("doc_id").cast("string")), dsirBuckets))
+      .filter(col("_u") <
+        round(least(exp(col("log_weight")), lit(1.0)) * dsirBuckets).cast("int"))
+      .drop("_u", "log_weight").localCheckpoint()
+    println(s"[curate] after DSIR resampling : ${resampled.count()} (tilt toward en)")
+
     // 5. pack into token-budget shards by REAL subword counts (the BPE
     // tokenizer the training loader would run — whitespace words under-count
     // the budget) and write partitioned by shard
-    val budgets = sampled.agg(
+    val budgets = resampled.agg(
       sum(TextStats.tokenCount(col("text"))).as("ws"),
       sum(TextStats.bpeTokenCount(col("text"))).as("bpe")).head
     println(s"[curate] token budget          : whitespace=${budgets.getLong(0)} " +
       s"bpe=${budgets.getLong(1)}")
-    val shards = Corpus.packTokenShards(sampled, capacity = 2000L,
+    val shards = Corpus.packTokenShards(resampled, capacity = 2000L,
       tokenCount = TextStats.bpeTokenCount)
-    val out = sampled.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")
+    val out = resampled.join(shards.select("doc_id", "n_tokens", "shard_id"), "doc_id")
     out.write.mode("overwrite").partitionBy("shard_id").parquet(s"$outDir/corpus")
     val written = spark.read.parquet(s"$outDir/corpus")
     val nShards = written.select("shard_id").distinct().count()
@@ -117,8 +152,8 @@ object RunCurate {
     if (spark.catalog.tableExists(idx)) spark.sql(s"DROP TABLE $idx")
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, idx))
-    Dedup.buildMinhashIndex(sampled, idx)
-    val replayed = sampled.select(
+    Dedup.buildMinhashIndex(resampled, idx)
+    val replayed = resampled.select(
       (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
     val fresh = spark.range(3).select(
       (col("id") + lit(20000000L)).as("doc_id"),
@@ -127,7 +162,7 @@ object RunCurate {
     val batch = replayed.unionByName(fresh)
     // 6a. exact-dup pre-drop: the broadcast Bloom route kills byte-identical
     // re-crawls (the overwhelmingly common case) before anything shingles
-    val bloomPass = Dedup.bloomAdmit(sampled, batch).select("doc_id")
+    val bloomPass = Dedup.bloomAdmit(resampled, batch).select("doc_id")
     val preDropped = batch.join(bloomPass, Seq("doc_id"), "left_semi")
     println(s"[curate] bloom exact pre-drop  : ${batch.count()} probed -> " +
       s"${preDropped.count()} survive to the near-dup probe")
