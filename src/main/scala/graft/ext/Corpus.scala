@@ -143,21 +143,35 @@ object Corpus {
     * `targetPred` marks the target slice (a Column over the doc row, e.g.
     * `col("lang") === "en"`). Output: doc spine with `n_terms`,
     * `log_weight` (sum), and `avg_log_weight` (length-normalized). */
-  def dsirWeights(docs: DataFrame, targetPred: Column,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** The trained half of [[dsirWeights]]: the per-term log-ratio weight
+    * table (term, lw) under add-1-smoothed target/raw bag-of-words models.
+    * Exposed separately so a STREAMING admission stage can score incoming
+    * docs against a batch-trained model (the model is the broadcastable
+    * artifact; scoring is a stateless join + per-doc sum). */
+  def dsirTermWeights(docs: DataFrame, targetPred: Column,
+      textCol: String = "text"): DataFrame = {
     val toks = graft.ops.Par.fanOut(
       docs.filter(length(trim(col(textCol))) > 0)
-        .select(col(idCol).as("doc_id"), targetPred.cast("long").as("is_tgt"),
+        .select(targetPred.cast("long").as("is_tgt"),
           explode(split(trim(col(textCol)), " ")).as("term")))
     val models = toks.groupBy("term")
       .agg(count(lit(1)).as("c_raw"), sum("is_tgt").as("c_tgt"))
     val totals = models.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"),
       count(lit(1)).as("v"))
-    val weights = models.crossJoin(broadcast(totals))
+    models.crossJoin(broadcast(totals))
       .select(col("term"),
         round(log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v")).cast("double"))
           - log((col("c_raw") + lit(1.0)) / (col("n_raw") + col("v")).cast("double")), 6)
           .cast("decimal(18,6)").as("lw"))
+  }
+
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.ops.Par.fanOut(
+      docs.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).as("doc_id"),
+          explode(split(trim(col(textCol)), " ")).as("term")))
+    val weights = dsirTermWeights(docs, targetPred, textCol)
     val perDoc = toks.join(broadcast(weights), Seq("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("lw").as("w"))

@@ -1068,7 +1068,7 @@ object ExtensionQueries {
   def x42DsirWeights(spark: SparkSession, dir: String): DataFrame =
     Corpus.dsirWeights(Tables.documents(spark, dir), col("lang") === "en")
 
-  private val x42Sql =
+  private[queries] val x42Sql =
     """WITH t AS (
       |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
       |  FROM documents WHERE length(trim(text)) > 0),

@@ -445,7 +445,53 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Streaming DSIR admission scoring (x42's twin): incoming documents are
+    * scored ONLINE against a BATCH-TRAINED importance model — the per-term
+    * weight table ([[graft.ext.Corpus.dsirTermWeights]]) is the broadcast
+    * static side of a stream-static join, and the per-doc weight sum is a
+    * complete-mode streaming aggregation (exact DECIMAL state, so the
+    * micro-batch merge order cannot change a bit). This is the online half
+    * of the curation funnel's stage 4b: train the recipe's model once over
+    * the corpus, then admit/score new crawl as it arrives — the model never
+    * retrains inside the stream, exactly how a 100 TB/day ingestion tier
+    * uses DSIR. Blank docs never enter the stream-side token explode; the
+    * batch-side spine left-join restores them with zero weight, making the
+    * output equal x42's batch formulation bit for bit (shared oracle). */
+  def s10StreamDsir(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s10dsir", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).select("doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+    }
+    // batch-trained model over the same corpus the oracle replays
+    val weights = graft.ext.Corpus.dsirTermWeights(
+      graft.Tables.documents(spark, dir), col("lang") === "en")
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s10_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark) {
+      val q = stream
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+        .join(broadcast(weights), Seq("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("lw").as("w"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s10 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.read.parquet(inDir).select("doc_id")
+      .join(spark.table(name), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("w").cast("double"), lit(0.0)).as("log_weight"),
+        when(coalesce(col("n_terms"), lit(0L)) > 0,
+          col("w").cast("double") / col("n_terms").cast("double"))
+          .otherwise(0.0).as("avg_log_weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_stream_dsir" -> (s10StreamDsir _),
     "s8_stream_chunks" -> (s8StreamChunks _),
     "s9_stream_sessions" -> (s9StreamSessions _),
     "s5_alert_throttle" -> (s5AlertThrottle _),
@@ -457,6 +503,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s10_stream_dsir" -> ExtensionQueries.x42Sql, // same scoring, batch-trained model, streamed docs
     "s9_stream_sessions" -> FixtureQueries.q19Sql, // same sessionization, streamed
     "s8_stream_chunks" -> ExtensionQueries.x29Sql, // same transform, streamed
     "s5_alert_throttle" -> s5Sql,
