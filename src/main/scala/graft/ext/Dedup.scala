@@ -460,6 +460,56 @@ object Dedup {
           .as("tokens_kept"))
   }
 
+  /** The text-REWRITING half of Lee et al. substring dedup: [[dupSpans]]
+    * measures how much of each doc sits in corpus-duplicated blocks; this
+    * produces the cleaned corpus — every non-overlapping `blockTokens`-token
+    * block occurring verbatim >= 2x corpus-wide is dropped from the text,
+    * the tail tokens past the last full block are always kept, and the
+    * survivors are re-joined in order. Output: (doc_id, n_tokens,
+    * dup_blocks, tokens_kept, clean_text).
+    *
+    * Scale shape: same as [[dupSpans]] — one 8-byte-hash shuffle for the
+    * multiplicity count (groupBy with map-side partials, NOT a window over
+    * the hash: a boilerplate block repeated millions of times is the
+    * partition that would spill), then the duplicated block INDICES (not
+    * text) come back per doc as a sorted array bounded by the doc's own
+    * block count, and the rewrite is a narrow per-row lambda over the
+    * already-held token array. The corpus text never shuffles.
+    *
+    * Determinism: block membership is a pure function of the text; the
+    * rewrite keeps tokens in original order; no floats anywhere. */
+  def removeDupSpans(docs: DataFrame, blockTokens: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val spine = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), " ").as("_toks"))
+    val blocks = graft.ops.Par.fanOut(spine)
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(_toks) >= $blockTokens
+           |THEN transform(sequence(0, size(_toks) DIV $blockTokens - 1),
+           |               i -> xxhash64(concat_ws(' ', slice(_toks, i * $blockTokens + 1, $blockTokens))))
+           |ELSE array() END""".stripMargin)).as(Seq("i", "h")))
+    val mult = blocks.groupBy("h").agg(count(lit(1)).as("c"))
+    val dups = blocks.join(mult, Seq("h")).filter(col("c") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("_dups"))
+    spine.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        when(col("_dups").isNull, 0L)
+          .otherwise(size(col("_dups")).cast("long")).as("dup_blocks"),
+        (size(col("_toks")).cast("long") - lit(blockTokens.toLong) *
+          when(col("_dups").isNull, 0L)
+            .otherwise(size(col("_dups")).cast("long"))).as("tokens_kept"),
+        expr(
+          s"""concat_ws(' ', filter(
+             |  transform(_toks, (t, j) ->
+             |    CASE WHEN _dups IS NOT NULL
+             |              AND array_contains(_dups, CAST(j DIV $blockTokens AS BIGINT))
+             |         THEN NULL ELSE t END),
+             |  x -> x IS NOT NULL))""".stripMargin).as("clean_text"))
+  }
+
   /** SimHash near-dup candidates at hamming distance <= maxHamming: split the
     * 64-bit fingerprint into 4 16-bit chunks; by pigeonhole any pair within
     * distance 3 agrees on >= 1 chunk -> equi-join per chunk, then the exact

@@ -67,4 +67,53 @@ object Retrieval {
           .orderBy(col("score").desc, col("doc_id").asc)))
       .select("doc_id", "score", "rank")
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.): fuse the
+    * BM25 ranking with a dense cosine ranking of the same corpus, score
+    * 1/(kRrf + rank) summed over the lists a document appears in. The probe
+    * is a (term set, query vector) pair; `queryVecId` names the corpus row
+    * whose embedding is the dense probe (excluded from both pools).
+    *
+    * Scale shape: each leg ends in an orderBy.limit(poolK) =
+    * TakeOrderedAndProject (per-partition heaps, poolK-row driver merge), so
+    * the fusion join, the rank windows, and the final top-k all run over at
+    * most 2*poolK rows — nothing global materializes after the two scans.
+    * The two legs share no shuffle; at cluster scale they are independent
+    * stages over the corpus (one text pass, one vector pass).
+    *
+    * Determinism: both leg scores are rounded to 6dp before their rank cut
+    * (the cross-engine-stable-ordering trick), the RRF terms are exact-input
+    * IEEE divisions summed in a fixed order (sparse + dense), and the fused
+    * score is rounded to 6dp before the final cut with ties to doc_id — the
+    * oracle replays the ranking bit for bit. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 10, poolK: Int = 20, kRrf: Int = 60,
+      textCol: String = "text", docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25(docs.filter(col(docIdCol) =!= queryVecId), queryTerms,
+        k = poolK, textCol = textCol, idCol = docIdCol)
+      .select(col("doc_id"), col("rank").as("sparse_rank"))
+    // dense leg: brute cosine vs the probe vector, rounded, TakeOrdered top
+    // poolK; the rank window runs AFTER the limit, over poolK rows
+    val dense = Similarity.cosineScores(
+        emb.filter(col(vecIdCol) =!= queryVecId),
+        emb.filter(col(vecIdCol) === queryVecId), vecIdCol, vecCol)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .limit(poolK)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .select(col("neighbor_id").as("doc_id"), col("dense_rank"))
+    val rrfTerm = (r: Column) =>
+      when(r.isNotNull, lit(1.0) / (lit(kRrf) + r).cast("double")).otherwise(lit(0.0))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        round(rrfTerm(col("sparse_rank")) + rrfTerm(col("dense_rank")), 6))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .select("doc_id", "sparse_rank", "dense_rank", "rrf_score", "rank")
+  }
 }

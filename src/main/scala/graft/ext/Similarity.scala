@@ -21,6 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** recall@k of an approximate top-k result against the exact one — the
+    * standard ANN quality metric (what a serving team monitors when tuning
+    * nprobe / table count / quantization). Both inputs are (query_id,
+    * neighbor_id[, ...]) top-k frames; output is one row per exact-side
+    * query: (query_id, hits, recall) with recall = hits / k.
+    *
+    * Scale shape: both inputs are top-k results — |queries| * k rows, tiny
+    * relative to the corpora that produced them — so the semi join and the
+    * per-query count are trivially shuffle-cheap regardless of corpus size.
+    * hits/recall are an exact integer count and one exact-input IEEE
+    * division: bit-replayable. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "recallAtK needs k > 0")
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth stage of
     * a large-scale ANN index (4x smaller than float32; dot products on int8
     * SIMD-accelerate on modern hardware). scale = 127 / max|x| per vector;

@@ -1095,6 +1095,148 @@ object ExtensionQueries {
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x43 — hybrid retrieval with reciprocal-rank fusion: the BM25 leg (x37's
+  // probe terms) and a dense cosine leg (vec 0 as the probe vector) each
+  // produce a rounded-then-ranked top-20 pool; RRF fuses them as
+  // 1/(60+rank) summed sparse-then-dense, rounded to 6dp before the final
+  // top-10 cut with ties to doc_id. Every arithmetic step is exact-input
+  // IEEE, so the oracle replays the fused ranking bit for bit.
+  // ---------------------------------------------------------------------------
+  def x43HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.hybridRrf(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10)
+
+  private val x43Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0 AND doc_id <> 0),
+      |dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+      |  WHERE term IN ('table', 'query', 'stream', 'window')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round(sum(
+      |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+      |      ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+      |       (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      |    ), 6) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY doc_id),
+      |sparse AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS sparse_rank
+      |  FROM sc QUALIFY sparse_rank <= 20),
+      |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |dn AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                 CAST(qv.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+      |dense AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS dense_rank
+      |  FROM dn QUALIFY dense_rank <= 20),
+      |fused AS (
+      |  SELECT doc_id, sparse_rank, dense_rank,
+      |    round((CASE WHEN sparse_rank IS NOT NULL
+      |                THEN CAST(1.0 AS DOUBLE) / CAST(60 + sparse_rank AS DOUBLE)
+      |                ELSE CAST(0.0 AS DOUBLE) END)
+      |        + (CASE WHEN dense_rank IS NOT NULL
+      |                THEN CAST(1.0 AS DOUBLE) / CAST(60 + dense_rank AS DOUBLE)
+      |                ELSE CAST(0.0 AS DOUBLE) END), 6) AS rrf_score
+      |  FROM sparse FULL JOIN dense USING (doc_id))
+      |SELECT doc_id, sparse_rank, dense_rank, rrf_score,
+      |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+      |FROM fused QUALIFY rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x44 — ANN recall@5: the IVF probe (x13's exact path, staged index)
+  // evaluated against the brute-force ground truth (x8), per query. The
+  // serving-quality metric a 100 TB index is tuned by: both inputs are
+  // top-k frames (|queries| x 5 rows), so the eval itself is free — the
+  // cost is the two searches it composes. hits is an exact integer count,
+  // recall one exact-input division; the oracle replays both searches.
+  // ---------------------------------------------------------------------------
+  def x44AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(x8KnnBrute(spark, dir), x13KnnIvf(spark, dir), k = 5)
+
+  private lazy val x44Sql =
+    s"""WITH $ivfAssignCte,
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c
+      |    WHERE e.vec_id < 10)
+      |  WHERE rn <= 4),
+      |ivf_scored AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |                                 CAST(a.c_vec AS DOUBLE[])), 6) AS cosine
+      |  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+      |  WHERE p.query_id <> a.neighbor_id),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM ivf_scored QUALIFY rank <= 5),
+      |bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |brute_scored AS (
+      |  SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(bq.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM bq JOIN embeddings e ON bq.vec_id <> e.vec_id),
+      |brute AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM brute_scored QUALIFY rank <= 5)
+      |SELECT b.query_id, count(i.neighbor_id) AS hits,
+      |  CAST(count(i.neighbor_id) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall
+      |FROM brute b
+      |LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x45 — duplicated-span REMOVAL (the rewrite half of Lee et al. substring
+  // dedup; x41 is the measurement half): drop every 8-token block occurring
+  // verbatim >= 2x corpus-wide, keep the tail, re-join survivors in order.
+  // The engine shuffles 8-byte block hashes and rewrites from per-doc index
+  // arrays; the oracle groups on block TEXT and rebuilds the same string —
+  // they agree on the hash compare because the rewrite is a pure function
+  // of block multiplicity and 64-bit collisions are vanishing.
+  // ---------------------------------------------------------------------------
+  def x45SpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDupSpans(Tables.documents(spark, dir), blockTokens = 8)
+
+  private val x45Sql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+      |bl AS (
+      |  SELECT doc_id, i, array_to_string(list_slice(ts, i * 8 + 1, i * 8 + 8), ' ') AS blk
+      |  FROM (SELECT doc_id, ts, unnest(range(len(ts) // 8)) AS i FROM b)),
+      |m AS (SELECT blk, count(*) AS c FROM bl GROUP BY 1),
+      |dup AS (
+      |  SELECT doc_id, list_sort(list(i)) AS dups
+      |  FROM bl JOIN m USING (blk) WHERE c > 1 GROUP BY 1)
+      |SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(len(d.dups), 0) AS BIGINT) AS dup_blocks,
+      |  CAST(len(b.ts) - 8 * coalesce(len(d.dups), 0) AS BIGINT) AS tokens_kept,
+      |  coalesce(array_to_string([b.ts[j + 1] FOR j IN range(0, len(b.ts))
+      |    IF d.dups IS NULL OR NOT list_contains(d.dups, j // 8)], ' '), '') AS clean_text
+      |FROM b LEFT JOIN dup d USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x39 — SemDeDup: semantic near-dup pairs WITHIN coarse clusters (the IVF
   // quantizer's assignment bounds the candidate set — sum |c|^2, never
   // |corpus|^2). Shares x13's centroid/assignment replay; pairs crossing a
@@ -1456,6 +1598,9 @@ object ExtensionQueries {
     "x40_lm_quality" -> (x40LmQuality _),
     "x41_dup_spans" -> (x41DupSpans _),
     "x42_dsir_weights" -> (x42DsirWeights _),
+    "x43_hybrid_rrf" -> (x43HybridRrf _),
+    "x44_ann_recall" -> (x44AnnRecall _),
+    "x45_span_removal" -> (x45SpanRemoval _),
     "x24_topk_agg" -> (x24TopkAgg _),
     "x25_top_terms" -> (x25TopTerms _),
     "x1_exact_dedup" -> (x1ExactDedup _),
@@ -1502,6 +1647,9 @@ object ExtensionQueries {
     "x40_lm_quality" -> x40Sql,
     "x41_dup_spans" -> x41Sql,
     "x42_dsir_weights" -> x42Sql,
+    "x43_hybrid_rrf" -> x43Sql,
+    "x44_ann_recall" -> x44Sql,
+    "x45_span_removal" -> x45Sql,
     "x24_topk_agg" -> x24Sql,
     "x25_top_terms" -> x25Sql,
     "x1_exact_dedup" -> x1Sql,

@@ -442,4 +442,61 @@ class ExtSpec extends AnyFunSuite {
       assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getLong(5) === r.getLong(1))
     }
   }
+
+  test("removeDupSpans: rewrite agrees with dupSpans accounting; unique text untouched") {
+    val planted = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") === 1).select(lit(300000L).as("doc_id"), col("text")))
+    val cleaned = Dedup.removeDupSpans(planted, blockTokens = 8).collect()
+    cleaned.foreach { r =>
+      val (nTok, dupBlk, kept, text) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(kept === nTok - 8 * dupBlk)
+      // the rewritten text really contains exactly tokens_kept tokens
+      val n = if (text.isEmpty) 0 else text.split(" ").length
+      assert(n === kept, s"doc ${r.getLong(0)}: clean_text has $n tokens, expected $kept")
+    }
+    // the planted copy keeps only its tail past the last full block
+    val copy = cleaned.find(_.getLong(0) == 300000L).get
+    assert(copy.getLong(3) === copy.getLong(1) % 8)
+    // a doc with no duplicated blocks is returned verbatim
+    val uniq = Seq((1L, "a b c d e f g h tail"), (2L, "q r s t u v w x")).toDF("doc_id", "text")
+    Dedup.removeDupSpans(uniq, blockTokens = 8).collect().foreach { r =>
+      assert(r.getLong(2) === 0L)
+      assert(r.getString(4).split(" ").length === r.getLong(1))
+    }
+  }
+
+  test("recallAtK: hand-built frames, identity gives 1.0, misses count as 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L)) // q3 absent
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, k = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((2L, 1.0)))
+    assert(r(2L) === ((1L, 0.5)))
+    assert(r(3L) === ((0L, 0.0)))
+    val self = Similarity.recallAtK(exact, exact, k = 2).collect()
+    assert(self.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("hybridRrf: fused ranking is consistent with its two legs") {
+    val fused = Retrieval.hybridRrf(docs, emb,
+      Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
+    assert(fused.length === 10)
+    // ranks are 1..10 in rrf_score-desc order with doc_id tiebreak
+    val scores = fused.sortBy(_.getInt(4)).map(r => (r.getDouble(3), r.getLong(0)))
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+    // every fused row appeared in at least one leg, and a doc present in
+    // both legs beats an equal-rank doc present in one
+    fused.foreach { r =>
+      assert(!(r.isNullAt(1) && r.isNullAt(2)), "fused doc in neither leg")
+    }
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(both.nonEmpty, "fixture probe should overlap sparse and dense pools")
+    // deterministic across a re-run
+    val again = Retrieval.hybridRrf(docs, emb,
+      Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
+    assert(fused.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
