@@ -23,12 +23,29 @@ object StreamingQueries {
     * is restored afterwards either way. */
   private def withStateSizedShuffle[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevStore = spark.conf.getOption(storeKey)
     // SPARK_GRAFT_STREAM_PARTS overrides: on a real deployment this is sized
     // with state volume (keys per store), not CPU count
     val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(n)
     spark.conf.set(key, parts.toString)
-    try body finally spark.conf.set(key, prev)
+    // RocksDB is the default state store: the in-memory HDFS-backed provider
+    // keeps every version of every store on heap, which at sf1 forced a
+    // 48 GiB driver. RocksDB holds state off-heap/on-disk and is the only
+    // provider whose footprint survives a 100 TB key space.
+    // StreamRecoverySpec proves output parity. SPARK_GRAFT_STATE_STORE=hdfs
+    // restores the legacy provider for A/B runs.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "hdfs" => "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" => "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other // full class name passthrough
+    }
+    spark.conf.set(storeKey, provider)
+    try body finally {
+      spark.conf.set(key, prev)
+      prevStore.fold(spark.conf.unset(storeKey))(spark.conf.set(storeKey, _))
+    }
   }
 
   /** Stage a derived parquet input for a file-source stream — content-keyed,

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * and every distribution the queries aggregate over. Dimensions
   * (region/nation) stay fixed, as a real scale factor would have them.
   *
-  *  - events: event_id/user_id offset; raw NANOS timestamps pass through as
-  *    the BIGINT Spark reads them as (`nanosAsLong`), so the sf1 copy reads
-  *    through graft.Tables.events identically (raw-ns pushdown included).
+  *  - events: event_id/user_id offset; `ts` passes through in whatever
+  *    physical encoding the source fixture has — TIMESTAMP(NANOS) surfaces
+  *    as BIGINT under `nanosAsLong` and is written back as INT64,
+  *    TIMESTAMP(MICROS) surfaces as TIMESTAMP_NTZ and is written back as
+  *    micros — and graft.Tables.events branches on the loaded schema either
+  *    way (window pushdown included).
   *  - documents: text is copied VERBATIM — the dedup surface at sf1 then
   *    contains real 10-way exact/near duplicate groups, which is the honest
   *    stress for the dedup/winnowing/clustering operators (caps and band

@@ -27,6 +27,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: []"), s"no filters reached the scan:\n$p")
   }
 
+  test("events loader adapts to BOTH physical ts encodings and pushes the window either way") {
+    // The driver fixtures have shipped ts as TIMESTAMP(NANOS) (read as a raw
+    // LONG via nanosAsLong) and as TIMESTAMP(MICROS) (read natively as
+    // TIMESTAMP_NTZ) depending on the writer's arrow version. Write one tiny
+    // fixture per encoding in-test so neither branch of Tables.eventsRanged
+    // can rot: each must (a) load, (b) yield identical wall-clock rows, and
+    // (c) push the window predicate into the parquet scan.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ts-enc").toString
+    val base = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "view", 1.5, "{}"),
+      (2L, "2024-01-01 12:30:00", 11L, "purchase", 2.5, "{}"),
+      (3L, "2024-01-02 00:00:00", 12L, "view", 3.5, "{}"),
+      (4L, "2024-01-03 09:00:00", 13L, "error", 4.5, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+    // micros encoding: Spark writes TIMESTAMP_NTZ as TIMESTAMP(MICROS,false)
+    base.select(col("event_id"), expr("cast(tss as timestamp_ntz)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/us/events.parquet")
+    // nanos encoding: under nanosAsLong=true Spark surfaces TIMESTAMP(NANOS)
+    // as a plain INT64, which is exactly what a raw ns-long column is — so a
+    // long column exercises the same LongType branch and the same pushdown
+    base.select(col("event_id"),
+        // unix_micros needs TIMESTAMP (session TZ is UTC, so wall == epoch)
+        expr("unix_micros(cast(tss as timestamp)) * 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/ns/events.parquet")
+
+    val (gte, lt) = ("2024-01-01 06:00:00", "2024-01-02 12:00:00")
+    val us = graft.Tables.eventsInWindow(spark, s"$tmp/us", gte, lt)
+    val ns = graft.Tables.eventsInWindow(spark, s"$tmp/ns", gte, lt)
+    for ((df, enc) <- Seq((us, "us"), (ns, "ns"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+        s"$enc encoding: window did not reach the scan:\n$p")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType, enc)
+    }
+    val usRows = us.select("event_id", "ts").collect().map(_.toString).sorted
+    val nsRows = ns.select("event_id", "ts").collect().map(_.toString).sorted
+    assert(usRows.sameElements(nsRows), "encodings disagree on rows")
+    assert(usRows.length == 2, usRows.mkString(","))
+  }
+
   test("context-window chunking is fully narrow — zero exchanges (x29)") {
     val p = plan("x29_chunks")
     assert(!p.contains("Exchange"), s"chunking must compose with the scan:\n$p")
