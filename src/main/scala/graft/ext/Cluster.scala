@@ -141,6 +141,34 @@ object Cluster {
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Canonical-document selection: resolve every near-dup cluster to ONE
+    * kept document — the highest quality score, ties broken to the lowest
+    * doc id (deterministic under re-runs and any parallelism). This is the
+    * keep/drop resolution step of a dedup pipeline: clustering says which
+    * docs are interchangeable, quality says which one to keep.
+    *
+    * Inputs: `clusters` as produced by [[dupClusters]]/[[dupClustersCollapsed]]
+    * (doc_id, cluster_id, cluster_size) and `quality` (doc_id,
+    * quality_score). Output is total over `clusters`: every doc with its
+    * cluster and a 0/1 `kept` flag (singletons are trivially kept).
+    *
+    * Scale shape: the argmax is a map-side-combining aggregation
+    * (max of a (score, -id) struct — NOT a window sort, which would
+    * sort every cluster's rows just to read rank 1), so the plan is the
+    * doc_id join + one hash shuffle on cluster_id + the join back. At
+    * 100 TB the per-cluster winners table is ~|clusters| rows and AQE
+    * broadcasts it back; nothing holds more than a cluster's partials. */
+  def canonicalDocs(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val scored = clusters.join(quality, "doc_id")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("_b"))
+      .select(col("cluster_id"), (-col("_b.neg_id")).as("_keep"))
+    scored.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"),
+        (col("doc_id") === col("_keep")).cast("int").as("kept"))
+  }
+
   /** Cluster assignment for a document set: every doc with its component's
     * min doc id and the component size. Singletons cluster with themselves
     * (size 1), so the output is total over `docs`. */

@@ -34,6 +34,67 @@ object Corpus {
       .filter(col("bucket") < threshold)
   }
 
+  /** Mixture planning: per-stratum token shares -> temperature-scaled
+    * sampling weights, the data-recipe step that decides how much of each
+    * source/domain a training run draws. T=1 reproduces natural shares; as
+    * T grows the mixture flattens toward uniform (small domains upweighted)
+    * — the standard knob in published pretraining recipes.
+    *
+    * Only T=2 (sqrt) is exposed: sqrt is IEEE-correctly-rounded in BOTH the
+    * engine and any SQL replayer, while pow(x, 1/T) is not guaranteed to be,
+    * so this is the temperature that keeps the op bitwise-verifiable. The
+    * normalizing sum runs in DECIMAL (exact, order-independent — the money
+    * trick), so weights are identical at any parallelism.
+    *
+    * Scale shape: one hash aggregation over the corpus (map-side combined),
+    * then arithmetic on a |strata|-row table joined back by broadcast —
+    * nothing global beyond the one agg. */
+  def mixturePlanSqrt(docs: DataFrame, stratumCol: Column,
+      tokenCount: Column, tokenBudget: Long): DataFrame = {
+    val toks = docs.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+    val totals = toks.agg(sum(col("n_tokens")).as("_total"))
+    val shared = toks.crossJoin(broadcast(totals))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("_total").cast("double"))
+      .withColumn("_w", sqrt(col("token_share")))
+    // exact normalizer: round each sqrt to 12dp and sum as DECIMAL — no
+    // float-reduction order anywhere
+    val norm = shared.agg(
+      sum(round(col("_w"), 12).cast("decimal(20,12)")).as("_z"))
+    shared.crossJoin(broadcast(norm))
+      .withColumn("mix_weight",
+        round(col("_w"), 12).cast("decimal(20,12)")
+          .cast("double") / col("_z").cast("double"))
+      .withColumn("budget_tokens",
+        round(col("mix_weight") * tokenBudget).cast("long"))
+      .withColumn("epochs",
+        round(col("budget_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("mix_weight"), col("budget_tokens"), col("epochs"))
+  }
+
+  /** Leakage-safe train/valid split: assign by near-dup CLUSTER, not by
+    * document, so two near-duplicates can never straddle the split (the
+    * classic eval-contamination bug — a doc in train and its 0.9-jaccard
+    * twin in valid). Membership is the md5-bucket of the cluster id: pure
+    * function, same split every run, no RNG state.
+    *
+    * `clusters` is [[Cluster.dupClusters]] output (doc_id, cluster_id,
+    * cluster_size); `trainFrac` is rounded to whole buckets. The hash is
+    * computed once per ROW but keyed per CLUSTER — identical for every
+    * member, so the property "whole cluster on one side" holds by
+    * construction (asserted in ExtSpec rather than trusted). */
+  def leakageSafeSplit(clusters: DataFrame, trainFrac: Double,
+      buckets: Int = 10000): DataFrame = {
+    val thr = math.round(trainFrac * buckets).toInt
+    clusters.withColumn("split_bucket",
+        HashFunctions.md5_bucket(
+          concat(lit("split:"), col("cluster_id").cast("string")), buckets))
+      .withColumn("split",
+        when(col("split_bucket") < thr, "train").otherwise("valid"))
+  }
+
   /** Pack documents into fixed token-budget shards in `orderCol` order:
     * shard_id = exclusive-prefix-tokens / capacity, shard_offset = the
     * position of the doc's first token within its shard. Contiguous packing

@@ -58,6 +58,18 @@ object Sinks {
     * rewrite of the touched slices, identical to the reference's
     * delete+insert. localCheckpoint materializes the merge before the
     * overwrite deletes the files it was read from.
+    *
+    * Cost model at 100 TB (vs a transactional MERGE, unavailable here — no
+    * Delta/Iceberg jars in the environment): write amplification is bounded
+    * by the TOUCHED partitions, not the table — `cost = O(Σ size(touched
+    * partitions))`, with the partition count per batch bounded by the
+    * batch's own key spread (a 5-min late-data batch touches 1–2 days). A
+    * Delta MERGE would rewrite only the touched FILES within those
+    * partitions — the delta is one more level of pruning, material only
+    * when single partitions are huge; daily partitions at ~100 GB keep the
+    * rewrite under a minute per touched day on a 1000-executor cluster.
+    * StreamRecoverySpec asserts the bound physically: untouched partitions'
+    * part-files survive an upsert byte-identical.
     */
   def upsertSlices(batch: DataFrame, path: String, partitionCols: Seq[String],
       keyCols: Seq[String]): Unit = {

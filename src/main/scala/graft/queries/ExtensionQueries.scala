@@ -1366,6 +1366,130 @@ object ExtensionQueries {
        |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x46 — canonical-document selection: x16's clusters resolved to one kept
+  // doc each by x20's quality score (ties to the lowest doc_id). The engine
+  // computes the per-cluster argmax as a map-side-combining max-of-struct
+  // aggregation (no window sort); the oracle replays the same choice with a
+  // rank-1 window over the identical score arithmetic. quality_score is the
+  // same double per doc on both sides (proven bitwise by x20), so the
+  // argmax — and therefore every kept flag — compares bitwise.
+  // ---------------------------------------------------------------------------
+  def x46CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Cluster.canonicalDocs(
+      Cluster.dupClustersCollapsed(docs, jaccardThreshold),
+      TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score")))
+  }
+
+  private lazy val x46Sql =
+    s"""WITH RECURSIVE pairs AS ($x2Sql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1),
+       |q AS (
+       |  SELECT doc_id,
+       |    least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - digit_ratio) * 0.3
+       |      + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score
+       |  FROM (
+       |    SELECT doc_id, token_count,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+       |           END AS digit_ratio,
+       |      CASE WHEN token_count = 0 THEN 0.0
+       |           ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                  w -> w IN ('the','a','and','of','to','in'))) * 1.0 / token_count
+       |           END AS stopword_ratio
+       |    FROM (
+       |      SELECT doc_id, text,
+       |        CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count
+       |      FROM documents))),
+       |sc AS (
+       |  SELECT lbl.id AS doc_id, lbl.cluster_id, sz.cluster_size, q.quality_score
+       |  FROM lbl JOIN sz USING (cluster_id) JOIN q ON q.doc_id = lbl.id)
+       |SELECT doc_id, cluster_id, cluster_size, quality_score,
+       |  CAST(CASE WHEN row_number() OVER (
+       |         PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) = 1
+       |       THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x47 — mixture planning: per-source token shares -> temperature-scaled
+  // (T=2) sampling weights + token budgets + epoch counts. sqrt is IEEE-
+  // correctly-rounded in both engines (pow is not — that is WHY only T=2 is
+  // exposed), the normalizer sums 12dp-rounded sqrts in DECIMAL (exact,
+  // order-free), and every remaining step is a single correctly-rounded
+  // IEEE op — so a data-recipe table of doubles still compares bitwise.
+  // ---------------------------------------------------------------------------
+  private val mixBudget = 1000000L
+
+  def x47MixturePlan(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixturePlanSqrt(Tables.documents(spark, dir), col("source"),
+      TextStats.tokenCount(col("text")), mixBudget)
+
+  private val x47Sql =
+    s"""WITH t AS (
+       |  SELECT source AS stratum, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT *, CAST(n_tokens AS DOUBLE)
+       |    / CAST((SELECT sum(n_tokens) FROM t) AS DOUBLE) AS token_share
+       |  FROM t),
+       |w AS (
+       |  SELECT *, CAST(round(sqrt(token_share), 12) AS DECIMAL(20,12)) AS wd
+       |  FROM s),
+       |m AS (
+       |  SELECT stratum, n_docs, n_tokens, token_share,
+       |    CAST(wd AS DOUBLE) / CAST((SELECT sum(wd) FROM w) AS DOUBLE) AS mix_weight
+       |  FROM w),
+       |b AS (
+       |  SELECT *, CAST(round(mix_weight * $mixBudget) AS BIGINT) AS budget_tokens
+       |  FROM m)
+       |SELECT stratum, n_docs, n_tokens, token_share, mix_weight, budget_tokens,
+       |  round(CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+       |FROM b""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x48 — leakage-safe train/valid split: membership is a pure function of
+  // the near-dup CLUSTER id (x16's components), so two near-duplicates can
+  // never straddle the split — the eval-contamination bug this op exists to
+  // kill. The oracle replays the cluster fixpoint and the md5-bucket
+  // arithmetic (md5_number_lower % buckets = the engine's unsigned modulus).
+  // ---------------------------------------------------------------------------
+  private val trainFrac = 0.9
+
+  def x48LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    Corpus.leakageSafeSplit(
+      Cluster.dupClustersCollapsed(Tables.documents(spark, dir), jaccardThreshold),
+      trainFrac)
+
+  private lazy val x48Sql =
+    s"""WITH RECURSIVE pairs AS ($x2Sql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+       |SELECT id AS doc_id, lbl.cluster_id, sz.cluster_size,
+       |  CAST(md5_number_lower('split:' || CAST(lbl.cluster_id AS VARCHAR)) % 10000
+       |    AS INTEGER) AS split_bucket,
+       |  CASE WHEN CAST(md5_number_lower('split:' || CAST(lbl.cluster_id AS VARCHAR)) % 10000
+       |    AS INTEGER) < ${math.round(trainFrac * 10000).toInt} THEN 'train'
+       |    ELSE 'valid' END AS split
+       |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x17 — reproducible stratified sampling: per-language keep rates applied
   // via md5-bucket membership (pure function of the doc key — the same
   // sample on every run/cluster/backfill, no RNG state). The oracle replays
@@ -1573,6 +1697,9 @@ object ExtensionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
+    "x46_canonical_docs" -> (x46CanonicalDocs _),
+    "x47_mixture_plan" -> (x47MixturePlan _),
+    "x48_leakage_split" -> (x48LeakageSafeSplit _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -1623,6 +1750,9 @@ object ExtensionQueries {
     "x15_embedding_pairs_lsh" -> x15Sql,
     "x20_quality_filter" -> x20Sql,
     "x16_dup_clusters" -> x16Sql,
+    "x46_canonical_docs" -> x46Sql,
+    "x47_mixture_plan" -> x47Sql,
+    "x48_leakage_split" -> x48Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

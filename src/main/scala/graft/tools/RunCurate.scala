@@ -57,15 +57,21 @@ object RunCurate {
     val exact = Dedup.dedupExact(docs).localCheckpoint()
     println(s"[curate] after exact dedup     : ${exact.count()}")
 
-    // 2. near-dup clusters over the survivors; keep each cluster's min id
+    // 2. near-dup clusters over the survivors; resolve each cluster to its
+    // BEST-quality member (canonical selection) rather than an arbitrary
+    // min-id — near-dups differ in boilerplate/truncation, and keeping the
+    // highest-scoring variant is free at this point in the funnel
     val pairs = Dedup.nearDupMinhash(exact, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
     val clusters = Cluster.dupClusters(exact, pairs)
+    val quality = TextStats.qualityScore(exact)
+      .select(col("doc_id"), col("quality_score"))
     val nearDeduped = exact.join(
-        clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        Cluster.canonicalDocs(clusters, quality)
+          .filter(col("kept") === 1).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    println(s"[curate] after near-dup dedup  : ${nearDeduped.count()}")
+    println(s"[curate] after near-dup dedup  : ${nearDeduped.count()} (canonical per cluster)")
 
     // 2b. duplicated-span accounting (Lee-et-al block grid): docs that are
     // MOSTLY duplicated spans (>= 50% of tokens inside corpus-duplicated

@@ -23,6 +23,65 @@ class ExtSpec extends AnyFunSuite {
     assert(groups.filter(col("dup_count") === 2).count() === 1)
   }
 
+  test("canonicalDocs: exactly one kept doc per cluster, argmax by (score, -id), singletons kept") {
+    val clusters = Cluster.dupClustersCollapsed(docs, 0.8)
+    val quality = TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val out = Cluster.canonicalDocs(clusters, quality).cache()
+    assert(out.count() === docs.count(), "selection must be total over docs")
+    // exactly one winner per cluster
+    val perCluster = out.groupBy("cluster_id").agg(sum("kept").as("n_kept"))
+    assert(perCluster.filter(col("n_kept") =!= 1).isEmpty, "clusters without exactly one kept doc")
+    // the winner is the (max score, then min id) member of its cluster
+    val viol = out.alias("a").join(out.alias("b"), "cluster_id")
+      .filter(col("a.kept") === 1 &&
+        (col("b.quality_score") > col("a.quality_score") ||
+         (col("b.quality_score") === col("a.quality_score") && col("b.doc_id") < col("a.doc_id"))))
+    assert(viol.isEmpty, "a cluster kept a non-argmax member")
+    // singleton clusters keep their only member
+    assert(out.filter(col("cluster_size") === 1 && col("kept") =!= 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("mixturePlanSqrt: weights normalize to 1, flatten toward uniform, budgets sum to ~budget") {
+    val plan = Corpus.mixturePlanSqrt(docs, col("source"),
+      TextStats.tokenCount(col("text")), tokenBudget = 1000000L).cache()
+    val rows = plan.collect()
+    assert(rows.length === docs.select("source").distinct().count())
+    val wSum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-9, s"weights sum to $wSum")
+    val bSum = rows.map(_.getAs[Long]("budget_tokens")).sum
+    assert(math.abs(bSum - 1000000L) <= rows.length, s"budgets sum to $bSum")
+    // T=2 flattens: every stratum's weight sits between its natural share
+    // and the uniform 1/n (strictly, unless already uniform)
+    val n = rows.length
+    rows.foreach { r =>
+      val (share, w) = (r.getAs[Double]("token_share"), r.getAs[Double]("mix_weight"))
+      val lo = math.min(share, 1.0 / n) - 1e-9
+      val hi = math.max(share, 1.0 / n) + 1e-9
+      assert(w >= lo && w <= hi, s"${r.getAs[String]("stratum")}: w=$w outside [$lo,$hi]")
+    }
+    // determinism at different parallelism: the decimal normalizer promises
+    // identical bits whatever the partial-agg order
+    val again = Corpus.mixturePlanSqrt(docs.repartition(7), col("source"),
+      TextStats.tokenCount(col("text")), tokenBudget = 1000000L).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    plan.unpersist()
+  }
+
+  test("leakageSafeSplit: every cluster lands wholly on one side") {
+    val clusters = Cluster.dupClustersCollapsed(docs, 0.8)
+    val split = Corpus.leakageSafeSplit(clusters, trainFrac = 0.9).cache()
+    assert(split.count() === docs.count())
+    val straddling = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_sides"))
+      .filter(col("n_sides") > 1)
+    assert(straddling.isEmpty, "a near-dup cluster straddles train/valid")
+    // both sides populated at 90/10 on this fixture
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides === Set("train", "valid"))
+    split.unpersist()
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs at threshold 0.8") {
     val exact = Dedup.jaccardPairs(docs, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

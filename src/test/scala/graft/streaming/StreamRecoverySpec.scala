@@ -132,6 +132,17 @@ class StreamRecoverySpec extends AnyFunSuite {
     val day2 = Seq((20240102, "a", 9.0)).toDF("d", "k", "v")
     graft.io.Sinks.upsertSlices(day1a, t, Seq("d"), Seq("d", "k"))
     graft.io.Sinks.upsertSlices(day2, t, Seq("d"), Seq("d", "k"))
+    // the touched-partition bound, at the FILE level: record day2's physical
+    // files before upserting day1 — a merge that re-read or rewrote the
+    // untouched partition (the 100 TB failure mode of read-merge-overwrite)
+    // would replace these part files
+    def partFiles(day: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$t/d=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val day2Before = partFiles(20240102)
+    assert(day2Before.nonEmpty)
     // update day1/a only; day1/b and day2 untouched
     graft.io.Sinks.upsertSlices(
       Seq((20240101, "a", 5.0)).toDF("d", "k", "v"), t, Seq("d"), Seq("d", "k"))
@@ -139,5 +150,7 @@ class StreamRecoverySpec extends AnyFunSuite {
       .map(r => (r.getAs[Int]("d"), r.getAs[String]("k")) -> r.getAs[Double]("v")).toMap
     assert(got === Map((20240101, "a") -> 5.0, (20240101, "b") -> 2.0,
       (20240102, "a") -> 9.0))
+    assert(partFiles(20240102) === day2Before,
+      "upsert rewrote files of a partition the batch never touched")
   }
 }
