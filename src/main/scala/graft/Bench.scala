@@ -16,6 +16,11 @@ object Bench {
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = Sessions.local(cpus.toInt, "graft-bench")
 
+    // name fixture drift up front (warn, don't abort — unaffected queries
+    // should still record; the failed list carries the blast radius)
+    SchemaGuard.violations(spark, sfDir)
+      .foreach(v => System.err.println(s"[bench] SCHEMA DRIFT: $v"))
+
     // SPARK_GRAFT_ONLY=q1_x,q2_y runs a subset (hotspot iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // name fixture drift up front (round 4 lost 35 queries to a silent
+    // ts re-encoding); warn rather than abort so unaffected queries still run
+    SchemaGuard.violations(spark, sfDir)
+      .foreach(v => System.err.println(s"[verify] SCHEMA DRIFT: $v"))
     // SPARK_GRAFT_ONLY=a,b,c dumps a subset (sf1 spot checks — the labeled
     // quadratic twins are impractical at 10x); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -74,6 +74,49 @@ object Corpus {
         col("token_share"), col("mix_weight"), col("budget_tokens"), col("epochs"))
   }
 
+  /** Frequency-capped sampling: no stratum may exceed `maxShare` of the
+    * corpus — the domain-balance cap of a crawl pipeline (one mega-site must
+    * not dominate the mixture). Over-represented strata are thinned to
+    * exactly the cap with the same md5-bucket membership as
+    * [[stratifiedSample]] (pure function of the key: the same docs survive
+    * every run); strata at or under the cap keep everything.
+    *
+    * Output is total over `df` with a 0/1 `kept` flag, so the drop set is
+    * auditable — the caller filters `kept = 1`.
+    *
+    * Scale shape: per-stratum counts are one map-side-combined aggregation
+    * bounded by |strata| rows; the rate table broadcasts back; membership
+    * hashing is narrow. Nothing global beyond the one agg. */
+  def frequencyCapSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      maxShare: Double, buckets: Int = 10000): DataFrame =
+    df.join(broadcast(frequencyCapRates(df, stratumCol, maxShare, buckets)),
+        stratumCol === col("stratum"))
+      .withColumn("bucket", HashFunctions.md5_bucket(keyCol, buckets))
+      .withColumn("kept", (col("bucket") < col("keep_threshold")).cast("int"))
+      .drop("stratum")
+
+  /** The offline half of [[frequencyCapSample]]: the per-stratum keep
+    * thresholds as a broadcastable (stratum, keep_threshold) table. Exposed
+    * separately so a stream can ENFORCE rates a batch job planned (s11) —
+    * the plan/enforce split of a production ingest pipeline. */
+  def frequencyCapRates(df: DataFrame, stratumCol: Column,
+      maxShare: Double, buckets: Int = 10000): DataFrame = {
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      // pin the counts: they feed the total AND the rate table
+      .localCheckpoint()
+    // one bounded scalar to the driver (the lmFloor pattern) — a crossJoin
+    // with an aggregate derived from `counts` itself trips the analyzer's
+    // self-join ambiguity here
+    val totalN = counts.agg(sum(col("n"))).head.getLong(0)
+    counts
+      .withColumn("keep_threshold",
+        round(least(lit(1.0),
+          lit(maxShare) * lit(totalN).cast("double") / col("n").cast("double"))
+          * buckets).cast("int"))
+      .select(col("stratum"), col("keep_threshold"))
+  }
+
   /** Leakage-safe train/valid split: assign by near-dup CLUSTER, not by
     * document, so two near-duplicates can never straddle the split (the
     * classic eval-contamination bug — a doc in train and its 0.9-jaccard

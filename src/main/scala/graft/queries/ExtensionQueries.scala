@@ -1458,6 +1458,37 @@ object ExtensionQueries {
        |FROM b""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x49 — frequency-capped sampling (domain-balance cap): no source may
+  // exceed maxShare of the corpus; over-cap sources are thinned to exactly
+  // the cap by md5-bucket membership. Counts are exact longs, the keep rate
+  // is two IEEE ops in a fixed order, and the threshold is an integer — so
+  // the oracle replays it bitwise.
+  // ---------------------------------------------------------------------------
+  private[queries] val capShare = 0.03
+
+  def x49FrequencyCap(spark: SparkSession, dir: String): DataFrame =
+    Corpus.frequencyCapSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      col("source"), concat(lit("cap:"), col("doc_id").cast("string")), capShare)
+
+  private[queries] val x49Sql =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n) AS total_n FROM c),
+       |r AS (
+       |  SELECT source, CAST(round(least(1.0,
+       |    $capShare * CAST(total_n AS DOUBLE) / CAST(n AS DOUBLE)) * 10000) AS INTEGER)
+       |    AS keep_threshold
+       |  FROM c, t),
+       |b AS (
+       |  SELECT d.doc_id, d.source, r.keep_threshold,
+       |    CAST(md5_number_lower('cap:' || CAST(d.doc_id AS VARCHAR)) % 10000
+       |      AS INTEGER) AS bucket
+       |  FROM documents d JOIN r USING (source))
+       |SELECT doc_id, source, keep_threshold, bucket,
+       |  CAST(CASE WHEN bucket < keep_threshold THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM b""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x48 — leakage-safe train/valid split: membership is a pure function of
   // the near-dup CLUSTER id (x16's components), so two near-duplicates can
   // never straddle the split — the eval-contamination bug this op exists to
@@ -1700,6 +1731,7 @@ object ExtensionQueries {
     "x46_canonical_docs" -> (x46CanonicalDocs _),
     "x47_mixture_plan" -> (x47MixturePlan _),
     "x48_leakage_split" -> (x48LeakageSafeSplit _),
+    "x49_frequency_cap" -> (x49FrequencyCap _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -1753,6 +1785,7 @@ object ExtensionQueries {
     "x46_canonical_docs" -> x46Sql,
     "x47_mixture_plan" -> x47Sql,
     "x48_leakage_split" -> x48Sql,
+    "x49_frequency_cap" -> x49Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

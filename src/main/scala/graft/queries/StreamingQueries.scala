@@ -21,14 +21,28 @@ object StreamingQueries {
     * stream at 32 partitions pays 32x store open/commit overhead for nothing.
     * On a real cluster this is sized up with state volume; the session value
     * is restored afterwards either way. */
-  private def withStateSizedShuffle[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withStateSizedShuffle[T](spark: SparkSession,
+      stagedDirs: Seq[String] = Nil)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevStore = spark.conf.getOption(storeKey)
-    // SPARK_GRAFT_STREAM_PARTS overrides: on a real deployment this is sized
-    // with state volume (keys per store), not CPU count
-    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(n)
+    // Size the partition count WITH the state volume (proxied by staged
+    // input bytes: ~1 state-store partition per MiB), floored at 8 — below
+    // that per-store open/commit overhead dominates a small stream — and
+    // capped at the session's cores. Measured at sf1: the interval join is
+    // 26.8 s at 8 partitions, 16.2 s at 32 — RocksDB commit work
+    // parallelizes across stores and per-store compactions shrink, so
+    // under-partitioning state is a real regression at scale, exactly like
+    // under-partitioning a shuffle. SPARK_GRAFT_STREAM_PARTS overrides.
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val bytes = stagedDirs.map { d =>
+        val f = new java.io.File(d)
+        if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
+      }.sum
+      val cores = spark.sparkContext.defaultParallelism
+      math.max(8, math.min(cores, (bytes >> 20).toInt))
+    }
     spark.conf.set(key, parts.toString)
     // RocksDB is the default state store: the in-memory HDFS-backed provider
     // keeps every version of every store on heap, which at sf1 forced a
@@ -115,7 +129,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s1_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = StreamingSummary.transFiveMinStream(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -170,7 +184,7 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
       .as[graft.streaming.StreamingSummary.AttrEvent]
     val name = "graft_s2_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = graft.streaming.StreamingSummary.attributionStream(stream)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -220,7 +234,7 @@ object StreamingQueries {
       .dedupStream(stream, Seq("event_id"), "trade_time")
       .drop("event_id")
     val name = "graft_s3_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -266,7 +280,7 @@ object StreamingQueries {
     val tStream = spark.readStream.schema(spark.read.parquet(tDir).schema).parquet(tDir)
     val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema).parquet(rDir)
     val name = "graft_s4_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(tDir, rDir)) {
       val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -376,7 +390,7 @@ object StreamingQueries {
     val probe = graft.ext.Dedup.dedupAgainstIndex(
       spark, table, stream, ExtensionQueries.minhashThreshold)
     val name = "graft_s6_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = probe.writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000),
@@ -398,7 +412,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s7_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream.groupBy(col("lang"))
         .agg(graft.functions.AggFunctions.topk_pairs(
           col("n_chars"), col("doc_id"), 3).as("top"))
@@ -425,7 +439,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s8_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       // same tokenizer as the batch twin (x29): the shared oracle replays
       // the BPE subword stream, so the streamed chunker must cut it too
       val q = graft.ext.Corpus.chunkDocs(stream, window = 64, stride = 48,
@@ -455,7 +469,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s9_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       // watermarks require TIMESTAMP (ltz); the session math is relative to
       // the event times themselves, so the ntz->ltz->ntz round trip under
       // the session's fixed UTC zone is value-preserving (same as s1/s4)
@@ -502,7 +516,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = "graft_s10_" + java.lang.Long.toHexString(System.nanoTime())
-    withStateSizedShuffle(spark) {
+    withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
@@ -524,7 +538,45 @@ object StreamingQueries {
           .otherwise(0.0).as("avg_log_weight"))
   }
 
+  /** Streaming frequency-cap admission (x49's twin): per-source keep
+    * thresholds are PLANNED offline by the batch half
+    * ([[graft.ext.Corpus.frequencyCapRates]]) and ENFORCED on the stream —
+    * a broadcast stream-static join plus the md5-bucket membership filter,
+    * fully stateless (append mode, no watermark, no state store). This is
+    * the plan/enforce split of a production ingest tier: domain caps are
+    * re-planned at some offline cadence while the ingest path just hashes
+    * and compares, so admission adds zero state to the hot path. */
+  def s11StreamCapped(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s11cap", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).select("doc_id", "source")
+        .write.mode("overwrite").parquet(out)
+    }
+    val rates = graft.ext.Corpus.frequencyCapRates(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      col("source"), ExtensionQueries.capShare)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s11_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .join(broadcast(rates), col("source") === col("stratum"))
+        .withColumn("bucket", graft.functions.HashFunctions.md5_bucket(
+          concat(lit("cap:"), col("doc_id").cast("string")), 10000))
+        .filter(col("bucket") < col("keep_threshold"))
+        .select("doc_id", "source", "bucket")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s11 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  private val s11Sql =
+    s"""SELECT doc_id, source, bucket FROM (${ExtensionQueries.x49Sql}) WHERE kept = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_capped" -> (s11StreamCapped _),
     "s10_stream_dsir" -> (s10StreamDsir _),
     "s8_stream_chunks" -> (s8StreamChunks _),
     "s9_stream_sessions" -> (s9StreamSessions _),
@@ -537,6 +589,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s11_stream_capped" -> s11Sql, // batch-planned rates enforced on the stream
     "s10_stream_dsir" -> ExtensionQueries.x42Sql, // same scoring, batch-trained model, streamed docs
     "s9_stream_sessions" -> FixtureQueries.q19Sql, // same sessionization, streamed
     "s8_stream_chunks" -> ExtensionQueries.x29Sql, // same transform, streamed

@@ -68,6 +68,31 @@ class ExtSpec extends AnyFunSuite {
     plan.unpersist()
   }
 
+  test("frequencyCapSample: over-cap strata thinned to the cap, under-cap kept whole, deterministic") {
+    // skewed synthetic: srcA has 80% of docs, srcB 20%
+    val skewed = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 800, "srcA").otherwise("srcB").as("source"))
+    val out = Corpus.frequencyCapSample(skewed, col("source"),
+      concat(lit("cap:"), col("doc_id").cast("string")), maxShare = 0.5).cache()
+    assert(out.count() === 1000, "output must be total (kept flag, not a filter)")
+    val perSrc = out.groupBy("source").agg(
+      sum("kept").as("n_kept"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_kept"), r.getAs[Long]("n"))).toMap
+    // srcB under the cap: keeps everything
+    assert(perSrc("srcB")._1 === perSrc("srcB")._2)
+    // srcA over the cap: thinned toward cap*N = 500 docs (md5 buckets are
+    // uniform-ish, not exact — allow 10% slack)
+    val keptA = perSrc("srcA")._1
+    assert(keptA < 800 && math.abs(keptA - 500L) < 50, s"srcA kept $keptA, expected ~500")
+    // pure function of the key: identical bits on a different partitioning
+    val again = Corpus.frequencyCapSample(skewed.repartition(7), col("source"),
+      concat(lit("cap:"), col("doc_id").cast("string")), maxShare = 0.5)
+    assert(out.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+    out.unpersist()
+  }
+
   test("leakageSafeSplit: every cluster lands wholly on one side") {
     val clusters = Cluster.dupClustersCollapsed(docs, 0.8)
     val split = Corpus.leakageSafeSplit(clusters, trainFrac = 0.9).cache()

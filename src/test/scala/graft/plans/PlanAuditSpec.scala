@@ -72,6 +72,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(usRows.length == 2, usRows.mkString(","))
   }
 
+  test("canonical selection aggregates the argmax — no WindowExec anywhere (x46)") {
+    val p = plan("x46_canonical_docs")
+    // the per-cluster winner must come from a map-side-combining max-of-
+    // struct aggregation; a Window(row_number) formulation sorts every
+    // cluster's rows just to read rank 1 and buffers hot clusters
+    assert(!p.contains("Window"), s"argmax degraded to a window sort:\n$p")
+  }
+
+  test("frequency cap: the rate table broadcasts, the corpus never shuffles for it (x49)") {
+    val p = plan("x49_frequency_cap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded rate table must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("context-window chunking is fully narrow — zero exchanges (x29)") {
     val p = plan("x29_chunks")
     assert(!p.contains("Exchange"), s"chunking must compose with the scan:\n$p")
