@@ -1346,11 +1346,30 @@ object ExtensionQueries {
   // recursive transitive-closure CTE. Total over all docs: singletons
   // cluster with themselves.
   // ---------------------------------------------------------------------------
+  /** Clusters materialized ONCE per corpus content — the steady-state
+    * design: the cluster assignment is a batch artifact that several
+    * downstream consumers read (x16 emits it, x46 resolves canonicals
+    * against it, x48 derives the leakage-safe split from it), and
+    * recomputing the LSH+connected-components chain per consumer triples
+    * the most expensive stage of the curation pipeline. Content-keyed and
+    * published race-free ([[Staging.stageDir]]); the clustering is fully
+    * deterministic, so a rebuild is bit-identical and consumers stay
+    * bitwise-oracled. */
+  private[queries] def ensureDupClusters(spark: SparkSession, dir: String): String = {
+    val staged = Staging.stageDir(
+      "graft_cluster_stage_v1", "dupclusters", dir, Seq("documents.parquet")) { tmp =>
+      // exact-collapse pre-pass + LSH over representatives — bitwise equal
+      // to clustering the raw pipeline's pairs (see dupClustersCollapsed's
+      // equivalence argument), quadratically cheaper on verbatim-dup groups
+      Cluster.dupClustersCollapsed(Tables.documents(spark, dir), jaccardThreshold)
+        .write.mode("overwrite").parquet(tmp.resolve("clusters").toString)
+    }
+    staged.resolve("clusters").toString
+  }
+
   def x16DupClusters(spark: SparkSession, dir: String): DataFrame =
-    // exact-collapse pre-pass + LSH over representatives — bitwise equal to
-    // clustering the raw pipeline's pairs (see Cluster.dupClustersCollapsed's
-    // equivalence argument), quadratically cheaper on verbatim-dup groups
-    Cluster.dupClustersCollapsed(Tables.documents(spark, dir), jaccardThreshold)
+    spark.read.parquet(ensureDupClusters(spark, dir))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
 
   private val x16Sql =
     s"""WITH RECURSIVE pairs AS ($x2Sql),
@@ -1374,12 +1393,11 @@ object ExtensionQueries {
   // same double per doc on both sides (proven bitwise by x20), so the
   // argmax — and therefore every kept flag — compares bitwise.
   // ---------------------------------------------------------------------------
-  def x46CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def x46CanonicalDocs(spark: SparkSession, dir: String): DataFrame =
     Cluster.canonicalDocs(
-      Cluster.dupClustersCollapsed(docs, jaccardThreshold),
-      TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score")))
-  }
+      spark.read.parquet(ensureDupClusters(spark, dir)),
+      TextStats.qualityScore(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("quality_score")))
 
   private lazy val x46Sql =
     s"""WITH RECURSIVE pairs AS ($x2Sql),
@@ -1499,8 +1517,7 @@ object ExtensionQueries {
 
   def x48LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
     Corpus.leakageSafeSplit(
-      Cluster.dupClustersCollapsed(Tables.documents(spark, dir), jaccardThreshold),
-      trainFrac)
+      spark.read.parquet(ensureDupClusters(spark, dir)), trainFrac)
 
   private lazy val x48Sql =
     s"""WITH RECURSIVE pairs AS ($x2Sql),
