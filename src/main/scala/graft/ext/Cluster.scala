@@ -192,4 +192,32 @@ object Cluster {
     all.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Cross-stratum duplication leakage: for every pair of strata (sources,
+    * crawl snapshots, train/eval pools), how many near-dup CLUSTERS have a
+    * member in both. This is the corpus-level audit behind the leakage-safe
+    * split — a high count between a training source and an eval-derived
+    * source means document-level splitting WOULD have leaked; between two
+    * crawl snapshots it measures inter-snapshot redundancy that exact dedup
+    * alone misses.
+    *
+    * `clusters` is [[dupClusters]] output; `strata` maps doc_id -> stratum.
+    * Output: (stratum_a, stratum_b, shared_clusters) for stratum_a <
+    * stratum_b, shared clusters only.
+    *
+    * Scale shape: the join carries only cluster members (|docs| rows, one
+    * shuffle on doc_id), collapses to DISTINCT (cluster, stratum) — bounded
+    * by |clusters| x |strata| — and self-joins THAT, never the docs. The
+    * pair table is bounded by |strata|^2 rows. */
+  def crossStratumLeakage(clusters: DataFrame, strata: DataFrame,
+      idCol: String = "doc_id", stratumCol: String = "stratum"): DataFrame = {
+    val cs = clusters.select(col(idCol), col("cluster_id"))
+      .join(strata.select(col(idCol), col(stratumCol)), idCol)
+      .select(col("cluster_id"), col(stratumCol)).distinct()
+    cs.select(col("cluster_id"), col(stratumCol).as("stratum_a"))
+      .join(cs.select(col("cluster_id"), col(stratumCol).as("stratum_b")), "cluster_id")
+      .filter(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("shared_clusters"))
+  }
 }

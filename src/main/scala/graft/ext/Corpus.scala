@@ -309,4 +309,86 @@ object Corpus {
       row_number().over(Window.orderBy(col("doc_freq").desc, col("ngram"))))
       .select(col("rnk"), col("ngram"), col("doc_freq"))
   }
+
+  /** Weighted sampling WITHOUT replacement, n per stratum (Efraimidis &
+    * Spirakis 2006 A-Res): rank every row by u^(1/w) — equivalently
+    * ln(u)/w — and keep the top n of each stratum. High-weight rows win
+    * proportionally more often, yet the draw is a pure function of the key:
+    * the same rows survive every run, backfill, or cluster (the
+    * [[stratifiedSample]] property extended to WEIGHTED selection — quality-
+    * or length-proportional corpus subsampling with zero RNG state).
+    *
+    * The uniform u is the top 53 bits of md5-low-64 of `prefix || key`,
+    * plus one, scaled by 2^-53: a 53-bit integer is exactly representable
+    * as a double and the scale is a power of two, so u is IDENTICAL on any
+    * engine (u in (0, 1], never 0 — no ln singularity). The rank key
+    * ln(u)/w is rounded at the 6th decimal (stored as a scaled long), the
+    * same libm-stability treatment as the BM25/cosine ranking paths.
+    *
+    * Scale shape: selection is [[graft.functions.AggFunctions.topk_pairs]]
+    * — bounded map-side buffers, at most n pairs per stratum per map task
+    * cross the shuffle. A window formulation would shuffle and sort EVERY
+    * row of every stratum to read the top n; a hot stratum (most of a crawl
+    * is one language) makes that a single-partition sort at 100 TB. */
+  def weightedSample(df: DataFrame, stratumCol: Column, idCol: Column,
+      weightCol: Column, n: Int, prefix: String = "es:"): DataFrame = {
+    val m53 = shiftrightunsigned(
+      HashFunctions.md5_lo64(concat(lit(prefix), idCol.cast("string"))), 11) + lit(1L)
+    val u = m53.cast("double") / lit(9007199254740992.0) // 2^53, exact scaling
+    val esScaled = round(log(u) / weightCol.cast("double") * lit(1e6), 0).cast("long")
+    df.groupBy(stratumCol.as("stratum"))
+      .agg(graft.functions.AggFunctions.topk_pairs(esScaled, idCol, n).as("_top"))
+      .select(col("stratum"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("stratum"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_t.item").as("doc_id"), col("_t.score").as("es_scaled"))
+  }
+
+  /** Corpus datacard: the per-source summary table a data team publishes
+    * with a training corpus (Gebru et al. "Datasheets for Datasets" made
+    * executable) — doc/token/empty counts, language spread and majority
+    * language, exact-duplicate exposure, and mean quality, one row per
+    * source.
+    *
+    * Determinism: counts and token sums are exact integers; mean quality
+    * sums 6dp-rounded scores as DECIMAL (exact, order-independent) with ONE
+    * final division; the majority language is (max count, ties to the
+    * lexicographically smallest lang). Every column bit-replays.
+    *
+    * Scale shape: four map-side-combined aggregations — per source (|src|
+    * rows), per (source, lang) (|src|x|langs|), per text-hash (corpus-wide
+    * but hash-combined, and only the >=2 groups survive to the join, so the
+    * dup join side is tiny and broadcasts), per (doc -> quality). Nothing
+    * quadratic, nothing global beyond the bounded agg outputs. */
+  def datacard(docs: DataFrame, tokenCount: Column, quality: DataFrame,
+      stratumCol: Column = col("source"), textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val src = stratumCol.as("source")
+    val base = docs.groupBy(src).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount).cast("long").as("n_tokens"),
+      sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L)).as("empty_docs"),
+      countDistinct(col("lang")).as("n_langs"))
+    val langCnt = docs.groupBy(src, col("lang")).agg(count(lit(1)).as("_c"))
+    val topLang = langCnt
+      .groupBy(col("source")).agg(max(col("_c")).as("_mx"))
+      .join(langCnt, "source").filter(col("_c") === col("_mx"))
+      .groupBy(col("source")).agg(min(col("lang")).as("top_lang"))
+    val fps = docs.select(src, md5(col(textCol)).as("_fp"))
+    val dupFps = fps.groupBy(col("_fp")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2).select("_fp")
+    val dup = fps.join(broadcast(dupFps), "_fp")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    val mq = docs.select(col(idCol).as("doc_id"), src)
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy(col("source")).agg(
+        sum(round(col("quality_score"), 6).cast("decimal(18,6)")).as("_qs"),
+        count(lit(1)).as("_qn"))
+      .select(col("source"),
+        (col("_qs").cast("double") / col("_qn").cast("double")).as("mean_quality"))
+    base.join(topLang, "source")
+      .join(dup, Seq("source"), "left").na.fill(0L, Seq("dup_docs"))
+      .join(mq, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("empty_docs"),
+        col("n_langs"), col("top_lang"), col("dup_docs"), col("mean_quality"))
+  }
 }

@@ -356,6 +356,33 @@ object Similarity {
     ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
   }
 
+  /** Embedding-space outlier scan over a persisted IVF index: each vector's
+    * cosine to its OWN coarse centroid, globally bottom-k — the vectors the
+    * quantizer represents worst. In a curation pipeline these are the
+    * out-of-distribution rows (mis-embedded media, wrong-language text,
+    * encoding damage) that a centroid-based dedup/search stack silently
+    * mishandles, so they get surfaced for audit rather than trusted.
+    *
+    * Cost is one narrow pass over the postings (the assignment was paid at
+    * index build) plus a broadcast of nlist centroids: O(corpus), no
+    * shuffle beyond TakeOrderedAndProject's k-row driver merge. The cosine
+    * is rounded to 6dp pre-rank (ties to vec_id) — the cross-engine-stable
+    * ordering treatment, so an oracle replays the scan bit for bit. */
+  def centroidOutliers(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val scored = spark.read.parquet(s"$path/postings")
+      .select(col("neighbor_id").as("vec_id"), col("c_vec"), col("cluster_id"))
+      .join(broadcast(centroids), col("cluster_id") === col("centroid_id"))
+      .withColumn("centroid_cos", round(cosine_sim(col("c_vec"), col("centroid_vec")), 6))
+      .select("vec_id", "cluster_id", "centroid_cos")
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("centroid_cos").asc, col("vec_id").asc)).cast("int"))
+      .select("vec_id", "cluster_id", "centroid_cos", "rank")
+  }
+
   // -------------------------------------------------------------------------
   // Quantized IVF: int8 postings inside the inverted file — the production
   // composition of [[quantizeInt8]] (storage/bandwidth) with [[buildIvfIndex]]

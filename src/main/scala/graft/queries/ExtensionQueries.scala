@@ -1538,6 +1538,156 @@ object ExtensionQueries {
        |FROM lbl JOIN sz USING (cluster_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x50 — weighted sampling without replacement, n per stratum (Efraimidis-
+  // Spirakis A-Res): rank by ln(u)/w with u the top-53-md5 uniform (exact
+  // double on both engines), w = character length. Selection runs on the
+  // bounded TopKPairs aggregate, not a stratum-wide window sort. The rank
+  // key is rounded at the 6th decimal into a scaled long, so the oracle's
+  // window formulation replays the identical ranking.
+  // ---------------------------------------------------------------------------
+  private val wsampleN = 10
+
+  def x50WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(Tables.documents(spark, dir),
+      stratumCol = col("lang"), idCol = col("doc_id"),
+      weightCol = greatest(col("n_chars"), lit(1L)), n = wsampleN)
+
+  private val x50Sql =
+    s"""WITH k AS (
+       |  SELECT lang, doc_id,
+       |    CAST(round((ln(CAST((md5_number_lower('es:' || CAST(doc_id AS VARCHAR)) >> 11) + 1
+       |                        AS DOUBLE) / 9007199254740992.0)
+       |                / CAST(greatest(n_chars, 1) AS DOUBLE)) * 1000000.0, 0)
+       |         AS BIGINT) AS es_scaled
+       |  FROM documents)
+       |SELECT lang AS stratum, rank, doc_id, es_scaled FROM (
+       |  SELECT lang, doc_id, es_scaled,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |         ORDER BY es_scaled DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM k)
+       |WHERE rank <= $wsampleN""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x51 — embedding-space outlier scan: every vector's cosine to its OWN
+  // IVF centroid (the persisted x13 index — assignment already paid),
+  // global bottom-20. Shares x13's centroid/assignment replay; the cosine
+  // is rounded pre-rank (ties to vec_id), so the oracle replays the scan
+  // bit for bit.
+  // ---------------------------------------------------------------------------
+  private val outlierK = 20
+
+  def x51CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+      Seq("embeddings.parquet")) { tmp =>
+      Similarity.buildIvfIndex(emb, tmp.toString)
+    }
+    Similarity.centroidOutliers(spark, stage.toString, k = outlierK)
+  }
+
+  private lazy val x51Sql =
+    s"""WITH $ivfAssignCte,
+       |sc AS (
+       |  SELECT a.neighbor_id AS vec_id, a.cluster_id,
+       |    round(list_cosine_similarity(CAST(a.c_vec AS DOUBLE[]),
+       |                                 CAST(c.centroid_vec AS DOUBLE[])), 6) AS centroid_cos
+       |  FROM assigned a JOIN centroids c ON a.cluster_id = c.centroid_id)
+       |SELECT vec_id, cluster_id, centroid_cos,
+       |  CAST(row_number() OVER (ORDER BY centroid_cos ASC, vec_id ASC) AS INTEGER) AS rank
+       |FROM sc QUALIFY rank <= $outlierK""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x52 — corpus datacard: the per-source summary a data team publishes
+  // with a corpus (doc/token/empty counts, language spread + majority
+  // language, exact-dup exposure, mean quality). Counts are exact integers,
+  // mean quality is the DECIMAL-sum-of-rounded-scores trick with one final
+  // division, majority language ties to the smallest lang — every column
+  // replays bitwise.
+  // ---------------------------------------------------------------------------
+  def x52Datacard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.datacard(docs, TextStats.tokenCount(col("text")),
+      TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score")))
+  }
+
+  private val x52Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4
+      |      + (1.0 - digit_ratio) * 0.3
+      |      + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score
+      |  FROM (
+      |    SELECT doc_id, token_count,
+      |      CASE WHEN length(text) = 0 THEN 0.0
+      |           ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+      |           END AS digit_ratio,
+      |      CASE WHEN token_count = 0 THEN 0.0
+      |           ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                  w -> w IN ('the','a','and','of','to','in'))) * 1.0 / token_count
+      |           END AS stopword_ratio
+      |    FROM (
+      |      SELECT doc_id, text,
+      |        CASE WHEN length(trim(text)) = 0 THEN 0
+      |             ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |      FROM documents))),
+      |tok AS (
+      |  SELECT doc_id, source, lang, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+      |  FROM documents),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs,
+      |    count(DISTINCT lang) AS n_langs
+      |  FROM tok GROUP BY 1),
+      |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |tl AS (
+      |  SELECT source, min(lang) AS top_lang
+      |  FROM lc JOIN (SELECT source, max(c) AS mx FROM lc GROUP BY 1) USING (source)
+      |  WHERE c = mx GROUP BY source),
+      |fp AS (SELECT source, md5(text) AS f FROM documents),
+      |dfp AS (SELECT f FROM fp GROUP BY f HAVING count(*) >= 2),
+      |dup AS (SELECT source, count(*) AS dup_docs FROM fp JOIN dfp USING (f) GROUP BY 1),
+      |mq AS (
+      |  SELECT d.source,
+      |    CAST(sum(CAST(round(q.quality_score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS mean_quality
+      |  FROM documents d JOIN q USING (doc_id) GROUP BY 1)
+      |SELECT base.source, n_docs, n_tokens, empty_docs, n_langs, top_lang,
+      |  CAST(coalesce(dup.dup_docs, 0) AS BIGINT) AS dup_docs, mean_quality
+      |FROM base JOIN tl USING (source) LEFT JOIN dup USING (source)
+      |JOIN mq USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x53 — cross-source duplication leakage: for every source pair, how many
+  // near-dup clusters (x16's components, read from the staged artifact)
+  // have a member in BOTH — the audit that says where document-level
+  // splitting would have leaked. The oracle replays the cluster fixpoint
+  // and counts the same distinct (cluster, source) incidences.
+  // ---------------------------------------------------------------------------
+  def x53CrossSourceLeakage(spark: SparkSession, dir: String): DataFrame =
+    Cluster.crossStratumLeakage(
+      spark.read.parquet(ensureDupClusters(spark, dir)),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source").as("stratum")))
+
+  private lazy val x53Sql =
+    s"""WITH RECURSIVE pairs AS ($x2Sql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (
+       |  SELECT DISTINCT lbl.cluster_id, d.source
+       |  FROM lbl JOIN documents d ON d.doc_id = lbl.id)
+       |SELECT a.source AS stratum_a, b.source AS stratum_b,
+       |  CAST(count(*) AS BIGINT) AS shared_clusters
+       |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x17 — reproducible stratified sampling: per-language keep rates applied
   // via md5-bucket membership (pure function of the doc key — the same
   // sample on every run/cluster/backfill, no RNG state). The oracle replays
@@ -1749,6 +1899,10 @@ object ExtensionQueries {
     "x47_mixture_plan" -> (x47MixturePlan _),
     "x48_leakage_split" -> (x48LeakageSafeSplit _),
     "x49_frequency_cap" -> (x49FrequencyCap _),
+    "x50_weighted_sample" -> (x50WeightedSample _),
+    "x51_centroid_outliers" -> (x51CentroidOutliers _),
+    "x52_datacard" -> (x52Datacard _),
+    "x53_cross_source_leakage" -> (x53CrossSourceLeakage _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -1803,6 +1957,10 @@ object ExtensionQueries {
     "x47_mixture_plan" -> x47Sql,
     "x48_leakage_split" -> x48Sql,
     "x49_frequency_cap" -> x49Sql,
+    "x50_weighted_sample" -> x50Sql,
+    "x51_centroid_outliers" -> x51Sql,
+    "x52_datacard" -> x52Sql,
+    "x53_cross_source_leakage" -> x53Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

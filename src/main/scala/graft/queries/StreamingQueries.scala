@@ -575,7 +575,47 @@ object StreamingQueries {
   private val s11Sql =
     s"""SELECT doc_id, source, bucket FROM (${ExtensionQueries.x49Sql}) WHERE kept = 1"""
 
+  /** Streaming corpus telemetry (x52's running half): per-source doc/token/
+    * empty counters maintained as a complete-mode streaming aggregation —
+    * the live datacard a 100 TB/day ingest tier exposes while the full
+    * batch datacard (language spread, dup exposure, quality) is re-published
+    * offline. State is a handful of exact integers per source — bounded by
+    * |sources|, not by volume — and integer merge is order-independent, so
+    * the streamed counters equal the batch scan bit for bit regardless of
+    * micro-batch boundaries. */
+  def s12StreamDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s12card", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s12_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ext.TextStats.tokenCount(col("text"))).cast("long").as("n_tokens"),
+          sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+            .cast("long").as("empty_docs"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s12 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  private val s12Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_stream_datacard" -> (s12StreamDatacard _),
     "s11_stream_capped" -> (s11StreamCapped _),
     "s10_stream_dsir" -> (s10StreamDsir _),
     "s8_stream_chunks" -> (s8StreamChunks _),
@@ -589,6 +629,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s12_stream_datacard" -> s12Sql, // x52's counters, streamed (integer state)
     "s11_stream_capped" -> s11Sql, // batch-planned rates enforced on the stream
     "s10_stream_dsir" -> ExtensionQueries.x42Sql, // same scoring, batch-trained model, streamed docs
     "s9_stream_sessions" -> FixtureQueries.q19Sql, // same sessionization, streamed

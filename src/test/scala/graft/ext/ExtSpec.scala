@@ -42,6 +42,107 @@ class ExtSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("weightedSample: n per stratum, huge weight always wins, matches window formulation, deterministic") {
+    val n = 5
+    val out = Corpus.weightedSample(docs, col("lang"), col("doc_id"),
+      greatest(col("n_chars"), lit(1L)), n).cache()
+    // exactly min(n, stratum size) rows per stratum, ranks 1..n
+    val sizes = docs.groupBy(col("lang").as("stratum")).count()
+    val perStratum = out.groupBy("stratum").agg(
+      count(lit(1)).as("picked"), max("rank").as("maxr"), min("rank").as("minr"))
+    val bad = perStratum.join(sizes, "stratum")
+      .filter(col("picked") =!= least(lit(n.toLong), col("count")) ||
+        col("minr") =!= 1 || col("maxr") =!= col("picked"))
+    assert(bad.isEmpty, "per-stratum pick counts/ranks broken")
+    // equals the window formulation (the oracle's shape) bit for bit
+    val m53 = shiftrightunsigned(graft.functions.HashFunctions.md5_lo64(
+      concat(lit("es:"), col("doc_id").cast("string"))), 11) + lit(1L)
+    val es = round(log(m53.cast("double") / lit(9007199254740992.0))
+      / greatest(col("n_chars"), lit(1L)).cast("double") * lit(1e6), 0).cast("long")
+    val win = docs.select(col("lang").as("stratum"), col("doc_id"), es.as("es_scaled"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+          .orderBy(col("es_scaled").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= n)
+      .select("stratum", "rank", "doc_id", "es_scaled")
+    assert(out.select("stratum", "rank", "doc_id", "es_scaled")
+      .except(win).isEmpty && win.except(out).isEmpty,
+      "TopKPairs selection differs from the window formulation")
+    // a weight orders of magnitude above the rest must always be picked first:
+    // ln(u)/w -> 0- as w grows, and every other key is strictly more negative
+    val skewed = Corpus.weightedSample(docs,
+      col("lang"), col("doc_id"),
+      when(col("doc_id") === 7L, lit(1e12)).otherwise(lit(1.0)), n)
+    val seven = skewed.filter(col("doc_id") === 7L).collect()
+    assert(seven.length === 1 && seven.head.getAs[Int]("rank") === 1,
+      "the dominant-weight doc was not rank 1")
+    // pure function of the key: partitioning cannot change a bit
+    val again = Corpus.weightedSample(docs.repartition(7), col("lang"), col("doc_id"),
+      greatest(col("n_chars"), lit(1L)), n).collect()
+    assert(out.collect().map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    out.unpersist()
+  }
+
+  test("centroidOutliers: bottom-k by own-centroid cosine, ascending ranks, centroids never outliers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outlier_ivf").toString
+    Similarity.buildIvfIndex(emb, tmp)
+    val out = Similarity.centroidOutliers(spark, tmp, k = 10).cache()
+    val rows = out.orderBy("rank").collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+    val cos = rows.map(_.getAs[Double]("centroid_cos"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a <= b }, "scores not ascending")
+    // every corpus vector scores >= the worst outlier (bottom-k is global)
+    val centroids = spark.read.parquet(s"$tmp/centroids")
+    val all = spark.read.parquet(s"$tmp/postings")
+      .join(broadcast(centroids), col("cluster_id") === col("centroid_id"))
+      .withColumn("c", round(cosine_sim(col("c_vec"), col("centroid_vec")), 6))
+    assert(all.filter(col("c") < cos.last).count() <= 10,
+      "a vector below the k-th outlier score escaped the bottom-k")
+    // a centroid is its own cluster's exemplar: cosine 1 — never in bottom-k here
+    val centroidIds = centroids.select(col("centroid_id")).collect().map(_.getLong(0)).toSet
+    assert(!rows.map(_.getAs[Long]("vec_id")).exists(centroidIds), "a centroid ranked as an outlier")
+    out.unpersist()
+  }
+
+  test("datacard: one row per source, counts reconcile, planted cross-source dup counted on both sides") {
+    // plant a verbatim copy of doc 0 in a DIFFERENT source so dup exposure
+    // shows up on both sources' rows
+    val clone = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(200000L)).withColumn("source", lit("srcX"))
+    val planted = docs.unionByName(clone)
+    val quality = TextStats.qualityScore(planted).select(col("doc_id"), col("quality_score"))
+    val card = Corpus.datacard(planted, TextStats.tokenCount(col("text")), quality).cache()
+    assert(card.count() === planted.select("source").distinct().count())
+    assert(card.agg(sum("n_docs")).head.getLong(0) === planted.count())
+    val src0 = planted.filter(col("doc_id") === 0).head.getAs[String]("source")
+    val dupRows = card.filter(col("source").isin(src0, "srcX"))
+      .select("source", "dup_docs").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dupRows("srcX") === 1L, "clone source must see 1 dup doc")
+    assert(dupRows(src0) >= 1L, "original source must see its copy too")
+    // majority language is deterministic: recompute independently
+    val lc = planted.groupBy("source", "lang").count()
+    val expTop = lc.groupBy("source").agg(max("count").as("mx"))
+      .join(lc, "source").filter(col("count") === col("mx"))
+      .groupBy("source").agg(min("lang").as("exp"))
+    assert(card.join(expTop, "source").filter(col("top_lang") =!= col("exp")).isEmpty)
+    card.unpersist()
+  }
+
+  test("crossStratumLeakage: shared-cluster counts over a known assignment") {
+    val clusters = Seq(
+      (1L, 100L, 2L), (2L, 100L, 2L), // cluster 100 spans a, b
+      (3L, 200L, 2L), (4L, 200L, 2L), // cluster 200 inside a only
+      (5L, 300L, 3L), (6L, 300L, 3L), (7L, 300L, 3L) // cluster 300 spans a, b, c
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val strata = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "a"),
+      (5L, "a"), (6L, "b"), (7L, "c")).toDF("doc_id", "stratum")
+    val got = Cluster.crossStratumLeakage(clusters, strata)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("mixturePlanSqrt: weights normalize to 1, flatten toward uniform, budgets sum to ~budget") {
     val plan = Corpus.mixturePlanSqrt(docs, col("source"),
       TextStats.tokenCount(col("text")), tokenBudget = 1000000L).cache()
