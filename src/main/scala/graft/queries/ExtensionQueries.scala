@@ -911,9 +911,23 @@ object ExtensionQueries {
   // treatment as the cosine paths. The oracle states the scoring expression
   // with IDENTICAL association, so the hash compare pins every score.
   // ---------------------------------------------------------------------------
+  /** The whitespace-token inverted file staged once per corpus content —
+    * the build-once/consume-many pattern (IVF index, dup clusters) applied
+    * to text retrieval: x37 and x43's BM25 leg both probe it instead of
+    * re-tokenizing the corpus per query. Probes are bitwise-identical to
+    * the inline formulation (same tf/df/dl/N integers, same scoring
+    * expression — asserted in ExtSpec). */
+  private[queries] def ensureTermIndex(spark: SparkSession, dir: String): String =
+    Staging.stageDir("graft_text_index_v1", "terms", dir,
+      Seq("documents.parquet")) { tmp =>
+      graft.ext.Retrieval.buildTermIndex(Tables.documents(spark, dir), tmp.toString)
+    }.toString
+
+  private val bm25Terms = Seq("table", "query", "stream", "window")
+
   def x37Bm25(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.Retrieval.bm25(Tables.documents(spark, dir),
-      Seq("table", "query", "stream", "window"), k = 10)
+    graft.ext.Retrieval.bm25FromIndex(spark, ensureTermIndex(spark, dir),
+      bm25Terms, k = 10)
 
   private val x37Sql =
     """WITH d AS (
@@ -1103,9 +1117,8 @@ object ExtensionQueries {
   // IEEE, so the oracle replays the fused ranking bit for bit.
   // ---------------------------------------------------------------------------
   def x43HybridRrf(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.Retrieval.hybridRrf(
-      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
-      Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10)
+    graft.ext.Retrieval.hybridRrfFromIndex(spark, ensureTermIndex(spark, dir),
+      Tables.embeddings(spark, dir), bm25Terms, queryVecId = 0L, k = 10)
 
   private val x43Sql =
     """WITH d AS (

@@ -42,6 +42,27 @@ class ExtSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("term index: bm25 and hybridRrf probes equal the inline formulations bitwise") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_term_index").toString
+    Retrieval.buildTermIndex(docs, tmp)
+    val terms = Seq("table", "query", "stream", "window")
+    val inline = Retrieval.bm25(docs, terms, k = 10).collect()
+    val probed = Retrieval.bm25FromIndex(spark, tmp, terms, k = 10).collect()
+    assert(inline.map(_.toString).toSeq === probed.map(_.toString).toSeq,
+      "indexed bm25 differs from inline")
+    // the filtered probe (x43's sparse leg) equals filtering docs up front
+    val inlineF = Retrieval.bm25(docs.filter(col("doc_id") =!= 0L), terms, k = 20).collect()
+    val probedF = Retrieval.bm25FromIndex(spark, tmp, terms, k = 20,
+      filterDocs = col("doc_id") =!= 0L).collect()
+    assert(inlineF.map(_.toString).toSeq === probedF.map(_.toString).toSeq,
+      "doc-filtered indexed bm25 differs from inline")
+    val fusedInline = Retrieval.hybridRrf(docs, emb, terms, queryVecId = 0L).collect()
+    val fusedProbed = Retrieval.hybridRrfFromIndex(spark, tmp, emb, terms,
+      queryVecId = 0L).collect()
+    assert(fusedInline.map(_.toString).toSeq === fusedProbed.map(_.toString).toSeq,
+      "indexed hybridRrf differs from inline")
+  }
+
   test("weightedSample: n per stratum, huge weight always wins, matches window formulation, deterministic") {
     val n = 5
     val out = Corpus.weightedSample(docs, col("lang"), col("doc_id"),
