@@ -175,4 +175,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("SortMergeJoin \\[term".r.findFirstIn(p).isEmpty,
       s"token->weight join must broadcast:\n$p")
   }
+
+  test("indexed BM25 probe pushes the term IN filter into the postings scan (x37)") {
+    val p = plan("x37_bm25")
+    // the whole point of the staged inverted file: a probe reads the probe
+    // terms' postings rows, not the corpus — the IN literal must reach the
+    // parquet scan (row-group pruning via the term-sorted layout)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(p).isDefined,
+      s"term IN filter did not reach the postings scan:\n$p")
+  }
+
+  test("weighted sampling selects via the bounded aggregate — no window sort (x50)") {
+    val p = plan("x50_weighted_sample")
+    // a row_number window would shuffle and sort EVERY row of every stratum
+    // (one language = most of a crawl = one sorting partition at 100 TB);
+    // TopKPairs plans as ObjectHashAggregate with k-bounded buffers
+    assert(!p.contains("Window"), s"selection degraded to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("outlier scan: centroids broadcast, bottom-k is a heap merge (x51)") {
+    val p = plan("x51_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"nlist centroids must broadcast, not shuffle the postings:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must plan as per-partition heaps:\n$p")
+  }
+
+  test("datacard: the dup-fingerprint join broadcasts the >=2 groups, not the corpus (x52)") {
+    val p = plan("x52_datacard")
+    // only hash groups with count >= 2 survive to the join side — tiny on a
+    // mostly-unique corpus — so the join must be a broadcast; a sort-merge
+    // join on the fingerprint re-shuffles every doc's hash
+    assert("BroadcastHashJoin \\[_fp".r.findFirstIn(p).isDefined,
+      s"dup-fingerprint join must broadcast:\n$p")
+  }
 }
