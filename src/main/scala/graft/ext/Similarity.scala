@@ -329,6 +329,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Lloyd (k-means) refinement of the coarse quantizer: start from the
+    * deterministic md5-ordered centroid sample ([[ivfCentroids]]) and run
+    * `iters` assign-then-recenter iterations, returning the assignment
+    * against the refined centroids. One-pass sampling is what the IVF paths
+    * ship by default; real vector stacks refine the codebook with a few
+    * Lloyd rounds because better centroids mean tighter clusters and fewer
+    * probes for the same recall (the spec measures the fit gain).
+    *
+    * Determinism — the whole iteration is a pure function of the corpus:
+    *  - assignment is argmax cosine with ties to the lower centroid id (the
+    *    IVF rule, bit-replayed by the oracle's window);
+    *  - re-centering sums each (cluster, dimension) as DECIMAL of
+    *    6dp-rounded coordinates (exact, order-independent — the money trick
+    *    applied to vector means), divides once, and stores the coordinate
+    *    as float32 (one correctly-rounded cast on either engine);
+    *  - clusters that lose all members simply drop out of the next round
+    *    (inner-join semantics on both engines).
+    *
+    * Scale shape: per iteration, one narrow fan-out + broadcast-nlist
+    * assignment pass and one map-side-combined (cluster, dim) aggregation
+    * bounded by nlist x dim rows — the textbook distributed k-means step.
+    * Nothing quadratic, nothing driver-side beyond the bounded codebook. */
+  def kmeansRefine(corpus: DataFrame, nlist: Int = 16, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "kmeansRefine needs at least one Lloyd iteration")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    var centroids = ivfCentroids(corpus, nlist, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val assigned = nearestCentroids(c, centroids, "vec_id", "v", keep = 1)
+      centroids = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(
+          sum(round(col("x").cast("double"), 6).cast("decimal(27,6)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cluster_id"), col("dim"),
+          (col("s").cast("double") / col("n").cast("double")).cast("float").as("cv"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("_p"))
+        .select(col("cluster_id").as("centroid_id"),
+          expr("transform(_p, e -> e.cv)").as("centroid_vec"))
+    }
+    val fin = nearestCentroids(c, centroids, "vec_id", "v", keep = 1)
+    val sizes = fin.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    fin
+      .join(broadcast(centroids.withColumnRenamed("centroid_id", "cluster_id")),
+        "cluster_id")
+      .withColumn("fit", round(cosine_sim(col("v"), col("centroid_vec")), 6))
+      .join(broadcast(sizes), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"), col("fit"))
+  }
+
   /** Build and PERSIST the IVF index: `path/centroids` (nlist rows) and
     * `path/postings`, the corpus partitioned by cluster_id. Partitioning is
     * the inverted file: a probe joins postings on cluster_id against a

@@ -1701,6 +1701,50 @@ object ExtensionQueries {
        |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x54 — Lloyd (k-means) refinement of the coarse quantizer: one
+  // assign-then-recenter round from the md5-ordered seed centroids, output
+  // the assignment against the refined codebook. The oracle unrolls the
+  // identical iteration: the seed + first assignment are x13's replay, the
+  // per-(cluster, dim) mean sums DECIMAL of 6dp-rounded coordinates (exact,
+  // order-free), one division, one float32 cast — then re-assigns with the
+  // same argmax-cosine window. Every fit cosine compares bitwise.
+  // ---------------------------------------------------------------------------
+  def x54KmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansRefine(Tables.embeddings(spark, dir), nlist = 16, iters = 1)
+
+  private lazy val x54Sql =
+    s"""WITH $ivfAssignCte,
+       |m AS (
+       |  SELECT cluster_id, j,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(27,6))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS mv
+       |  FROM (
+       |    SELECT cluster_id, generate_subscripts(c_vec, 1) AS j, unnest(c_vec) AS x
+       |    FROM assigned)
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cluster_id AS centroid_id,
+       |    list(CAST(mv AS FLOAT) ORDER BY j) AS cv
+       |  FROM m GROUP BY 1),
+       |a2 AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(c.cv AS DOUBLE[])) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c1 c)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM a2 GROUP BY 1)
+       |SELECT a2.vec_id, a2.cluster_id, sz.cluster_size,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                               CAST(c.cv AS DOUBLE[])), 6) AS fit
+       |FROM a2
+       |JOIN embeddings e ON e.vec_id = a2.vec_id
+       |JOIN c1 c ON c.centroid_id = a2.cluster_id
+       |JOIN sz ON sz.cluster_id = a2.cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x17 — reproducible stratified sampling: per-language keep rates applied
   // via md5-bucket membership (pure function of the doc key — the same
   // sample on every run/cluster/backfill, no RNG state). The oracle replays
@@ -1916,6 +1960,7 @@ object ExtensionQueries {
     "x51_centroid_outliers" -> (x51CentroidOutliers _),
     "x52_datacard" -> (x52Datacard _),
     "x53_cross_source_leakage" -> (x53CrossSourceLeakage _),
+    "x54_kmeans_refine" -> (x54KmeansRefine _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -1974,6 +2019,7 @@ object ExtensionQueries {
     "x51_centroid_outliers" -> x51Sql,
     "x52_datacard" -> x52Sql,
     "x53_cross_source_leakage" -> x53Sql,
+    "x54_kmeans_refine" -> x54Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

@@ -42,6 +42,44 @@ class ExtSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("kmeansRefine: refinement does not worsen mean fit, assignment total and deterministic") {
+    def meanFit(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("fit"))).head.getDouble(0)
+    val r1 = Similarity.kmeansRefine(emb, nlist = 8, iters = 1).cache()
+    assert(r1.count() === emb.count(), "assignment must be total over the corpus")
+    assert(r1.select("vec_id").distinct().count() === emb.count(), "one cluster per vector")
+    // cluster sizes reconcile with the assignment
+    val bad = r1.groupBy("cluster_id", "cluster_size").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("cluster_size"))
+    assert(bad.isEmpty, "cluster_size disagrees with the actual member count")
+    // Lloyd monotonicity (in expectation): the refined codebook must fit at
+    // least as well as the raw md5 seed sample it started from
+    val seedFit = {
+      // fit of the UNrefined assignment: cosine to the seed centroid
+      val c = emb.select(col("vec_id"), col("embedding").as("v"))
+      val cents = emb.select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"),
+          graft.functions.HashFunctions.md5_lo64(
+            concat(lit("ivf:"), col("vec_id").cast("string"))).as("_h"))
+        .orderBy(col("_h")).limit(8).drop("_h")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("_c").desc, col("centroid_id").asc)
+      c.crossJoin(broadcast(cents))
+        .withColumn("_c", cosine_sim(col("v"), col("centroid_vec")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .agg(avg(round(col("_c"), 6))).head.getDouble(0)
+    }
+    assert(meanFit(r1) >= seedFit - 1e-9,
+      s"one Lloyd round worsened mean fit: ${meanFit(r1)} < $seedFit")
+    // a second round must not regress the first
+    val r2 = Similarity.kmeansRefine(emb, nlist = 8, iters = 2)
+    assert(meanFit(r2) >= meanFit(r1) - 1e-9, "second Lloyd round regressed fit")
+    // pure function of the corpus: partitioning cannot change a bit
+    val again = Similarity.kmeansRefine(emb.repartition(7), nlist = 8, iters = 1).collect()
+    assert(r1.collect().map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    r1.unpersist()
+  }
+
   test("term index: bm25 and hybridRrf probes equal the inline formulations bitwise") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_term_index").toString
     Retrieval.buildTermIndex(docs, tmp)
