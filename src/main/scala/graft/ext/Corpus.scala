@@ -223,6 +223,70 @@ object Corpus {
         md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
   }
 
+  /** Sub-document (paragraph-granularity) exact dedup — the CCNet move:
+    * instead of dropping whole near-duplicate documents, drop the REPEATED
+    * paragraphs and keep the rest. The fixture corpus has no paragraph
+    * markers, so the unit is the disjoint `window`-token chunk
+    * ([[chunkDocs]] with stride == window); each chunk's fingerprint
+    * competes corpus-wide and the FIRST occurrence in (doc_id, chunk_index)
+    * order survives. Output is the per-document survivorship report a
+    * curation funnel thresholds on: chunk counts, kept counts, kept token
+    * mass, and the duplicated-chunk fraction.
+    *
+    * Shape: chunking is narrow (see chunkDocs); survivorship is ONE hash
+    * shuffle on chunk_fp — the per-fp window sorts groups whose size is the
+    * duplicate multiplicity (tiny), never the corpus; the per-doc rollup is
+    * one more shuffle on doc_id. No driver state, no all-pairs anything —
+    * the same two-exchange plan at any corpus size. Differs from the
+    * Lee-et-al span pass ([[Dedup.duplicatedSpanStats]]) in granularity and
+    * in semantics: spans measure repeated token runs at every offset;
+    * chunk dedup makes a positional keep/drop decision per fixed block. */
+  def chunkDedup(docs: DataFrame, window: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("chunk_fp").orderBy(col("doc_id"), col("chunk_index"))
+    chunkDocs(docs, window, window, idCol, textCol)
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept") === 1, col("chunk_tokens").cast("long")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("dup_chunk_frac",
+        lit(1.0) - col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Curriculum packing: documents ordered by DESCENDING quality score
+    * (easy/clean first — the curriculum-learning schedule), then cut into
+    * fixed token-budget stages by exclusive prefix sum, exactly like
+    * [[packTokenShards]] but on a computed order. The order key
+    * (quality desc, doc_id asc) is encoded into one long —
+    * round((1-q)*1e9)*1e7 + doc_id — so the distributed two-pass scan
+    * ([[graft.ops.PrefixSum]]) can range-partition on it; doc_id is
+    * recovered arithmetically (key % 1e7), so nothing joins back. Requires
+    * doc_id < 1e7 and quality in [0,1] (both hold for any per-shard corpus
+    * slice; shard first at larger id spaces).
+    *
+    * Scale: the prefix sum is the two-pass scan — range partition + per-
+    * partition totals + broadcast offsets — NOT a single-partition global
+    * window; every stage is fully parallel. */
+  def curriculumStages(docs: DataFrame, quality: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCount: Column => Column = TextStats.tokenCount): DataFrame = {
+    val keyed = docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .join(quality.select(col(idCol), col("quality_score")), Seq(idCol))
+      .select(
+        (round((lit(1.0) - col("quality_score")) * lit(1e9)).cast("long") * lit(10000000L)
+          + col(idCol)).as("ckey"),
+        col("n_tokens"))
+    graft.ops.PrefixSum.exclusiveRunningTotal(keyed, "ckey", "n_tokens")
+      .select(
+        (col("ckey") % 10000000L).as("doc_id"),
+        col("n_tokens"),
+        expr(s"running_total div $budget").as("stage_id"),
+        (col("running_total") % budget).as("stage_offset"))
+  }
+
   /** DSIR-style importance-resampling weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score every
     * raw document by how much more likely its features are under a TARGET

@@ -213,6 +213,40 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-vector neighborhood statistics of the cosine-threshold graph —
+    * the density diagnostic a dedup deployment reads before choosing how
+    * aggressive to cut: degree (how many neighbors at >= threshold),
+    * strongest neighbor, and mean neighbor similarity, with isolated
+    * vectors kept at degree 0 via the corpus spine.
+    *
+    * Edges come from the SAME hyperplane-LSH bucket join as
+    * [[embeddingNearDupPairsLsh]] (cost ~ bucket collisions, never
+    * all-pairs); the rollup symmetrizes pairs with a union (narrow) and
+    * pays one hash shuffle on vec_id plus the spine's left join on the
+    * same key. The mean sums 6dp-rounded cosines as DECIMAL (order-free,
+    * exact) and divides once — bitwise on any engine. */
+  def cosineGraphDegree(embeddings: DataFrame, threshold: Double,
+      tables: Int = 16, bits: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = embeddingNearDupPairsLsh(embeddings, 0.0, tables, bits, dim, idCol, vecCol)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .filter(col("cosine") >= threshold)
+    val sym = pairs.select(col("vec_a").as("vec_id"), col("cosine"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"), col("cosine")))
+    val deg = sym.groupBy("vec_id").agg(
+      count(lit(1)).as("degree"),
+      max(col("cosine")).as("max_cosine"),
+      sum(col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("cos_sum"))
+    embeddings.select(col(idCol).as("vec_id"), col("label"))
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        when(col("degree").isNull, lit(0.0))
+          .otherwise(col("cos_sum").cast("double") / col("degree").cast("double"))
+          .as("avg_cosine"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): assign
     * every embedding to its nearest coarse centroid — the SAME deterministic
     * IVF quantizer as [[cosineTopKIvf]] — and run exact cosine ONLY within

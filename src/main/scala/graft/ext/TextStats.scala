@@ -69,6 +69,47 @@ object TextStats {
       .select("doc_id", "term", "tf", "df", "salience", "rank")
   }
 
+  /** Per-document top-k terms by tf-idf with the smoothed log idf
+    * (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never negative,
+    * never div0), plus the document's tf-idf L2 norm — the weighting
+    * [[topTerms]]'s cheap tf/(df+1) salience approximates. N is the
+    * non-empty corpus count, attached as a ONE-ROW broadcast join (never a
+    * driver action in the plan).
+    *
+    * Shape: tf is one partial-agged shuffle on (doc, term); df rides a
+    * window over term (second shuffle, term-hashed); the norm and the
+    * per-doc top-k share the doc_id exchange. Scores are rounded to 6dp
+    * BEFORE ranking and the rank order is total ((tfidf desc, term asc)),
+    * so the cut is deterministic on any engine; the norm sums 6dp-rounded
+    * squares as DECIMAL — order-free, bitwise. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    val tok = graft.ops.Par.fanOut(nonEmpty)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val nDf = nonEmpty.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + lit(1.0)) /
+             (col("df").cast("double") + lit(1.0))) + lit(1.0)), 6))
+      .drop("n_docs")
+    val norms = scored.groupBy("doc_id").agg(
+      sqrt(sum(round(col("tfidf") * col("tfidf"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")).as("doc_norm"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(wDoc).cast("int"))
+      .filter(col("rank") <= k)
+      .join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("doc_norm"), col("rank"))
+  }
+
   /** Gopher-style repetition signals: the quality dimension length/stopword
     * ratios can't see — machine-generated and boilerplate text repeats
     * n-grams far above natural rates (Rae et al. 2021 §A1.1 filter family,

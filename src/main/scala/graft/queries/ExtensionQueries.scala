@@ -1949,6 +1949,155 @@ object ExtensionQueries {
       |       ELSE 0 END AS keep
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x55 — sub-document (chunk/paragraph) exact dedup: disjoint 32-token
+  // blocks compete corpus-wide, first occurrence in (doc_id, chunk_index)
+  // order survives, per-doc survivorship report (CCNet's paragraph-hash
+  // dedup mapped to the marker-less fixture corpus). Every number is
+  // integer except dup_chunk_frac — ONE IEEE division per row, replayed in
+  // the same order by the oracle, so the gate compares bitwise.
+  // ---------------------------------------------------------------------------
+  def x55ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.chunkDedup(Tables.documents(spark, dir), window = 32)
+
+  private val x55Sql =
+    """WITH c AS (
+      |  SELECT doc_id, i AS chunk_index,
+      |    len(list_slice(toks, i * 32 + 1, i * 32 + 32)) AS chunk_tokens,
+      |    md5(array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')) AS chunk_fp
+      |  FROM (
+      |    SELECT doc_id, toks, unnest(range(0, 1 + greatest((len(toks) - 32 + 31) // 32, 0))) AS i
+      |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |          FROM documents WHERE length(trim(text)) > 0))),
+      |k AS (
+      |  SELECT doc_id, chunk_tokens,
+      |    CASE WHEN row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_index) = 1
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM c)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN kept = 1 THEN chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  1.0 - CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_chunk_frac
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x56 — tf-idf top-3 terms per doc with the smoothed log idf
+  // (ln((N+1)/(df+1)) + 1) and the per-doc tf-idf L2 norm — the real
+  // weighting behind x25's cheap salience. N rides a one-row broadcast
+  // join; scores round to 6dp before the (tfidf desc, term asc) cut; the
+  // norm sums 6dp-rounded squares as DECIMAL then takes one sqrt. ln on
+  // identical doubles agrees across engines (the x37 BM25 precedent), so
+  // the whole row compares bitwise.
+  // ---------------------------------------------------------------------------
+  def x56TfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(Tables.documents(spark, dir), k = 3)
+
+  private val x56Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT count(*) AS n_docs FROM d),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM d),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, term, tf,
+      |    count(*) OVER (PARTITION BY term) AS df,
+      |    round(CAST(tf AS DOUBLE) *
+      |      (ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1.0)
+      |         / (CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf),
+      |nm AS (
+      |  SELECT doc_id,
+      |    sqrt(CAST(sum(CAST(round(tfidf * tfidf, 6) AS DECIMAL(27,6))) AS DOUBLE)) AS doc_norm
+      |  FROM sc GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |  FROM sc)
+      |SELECT r.doc_id, r.term, r.tf, r.df, r.tfidf, nm.doc_norm,
+      |  CAST(r.rnk AS INTEGER) AS rank
+      |FROM r JOIN nm ON nm.doc_id = r.doc_id
+      |WHERE r.rnk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x57 — curriculum packing: docs ordered easy-first (quality_score desc,
+  // doc_id asc — x20's exact score arithmetic), cut into 5000-token stages
+  // by exclusive prefix sum. The engine runs the two-pass distributed scan
+  // on the encoded long key round((1-q)*1e9)*1e7 + doc_id (no global
+  // window); the oracle replays the identical key then uses the window
+  // formulation — bitwise-equal integers either way.
+  // ---------------------------------------------------------------------------
+  private val curriculumBudget = 5000L
+
+  def x57Curriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.curriculumStages(
+      Tables.documents(spark, dir),
+      TextStats.qualityScore(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("quality_score")),
+      budget = curriculumBudget)
+
+  private val x57Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, token_count,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+       |         END AS digit_ratio,
+       |    CASE WHEN token_count = 0 THEN 0.0
+       |         ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> w IN ('the','a','and','of','to','in'))) * 1.0 / token_count
+       |         END AS stopword_ratio
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id, token_count,
+       |    least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - digit_ratio) * 0.3
+       |      + least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score
+       |  FROM g),
+       |t AS (
+       |  SELECT doc_id, token_count AS n_tokens,
+       |    CAST(round((1.0 - quality_score) * 1000000000.0) AS BIGINT) * 10000000
+       |      + doc_id AS ckey
+       |  FROM s),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY ckey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum // $curriculumBudget AS BIGINT) AS stage_id,
+       |  CAST(cum % $curriculumBudget AS BIGINT) AS stage_offset
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x58 — cosine-threshold graph degree per vector: how dense is each
+  // vector's near-dup neighborhood at >= 0.4 (degree, strongest neighbor,
+  // mean neighbor cosine; isolated vectors at degree 0 via the corpus
+  // spine). Edges are x15's exact LSH pair set (same plane replay, same
+  // rounding), so the oracle reuses x15's SQL verbatim as its edge CTE.
+  // ---------------------------------------------------------------------------
+  def x58GraphDegree(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineGraphDegree(Tables.embeddings(spark, dir), threshold = 0.4)
+
+  private lazy val x58Sql =
+    s"""WITH p AS ($x15Sql),
+       |sym AS (
+       |  SELECT vec_a AS vec_id, cosine FROM p
+       |  UNION ALL
+       |  SELECT vec_b AS vec_id, cosine FROM p),
+       |d AS (
+       |  SELECT vec_id, count(*) AS degree, max(cosine) AS max_cosine,
+       |    CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) AS cs
+       |  FROM sym GROUP BY 1)
+       |SELECT e.vec_id, e.label,
+       |  coalesce(d.degree, 0) AS degree,
+       |  coalesce(d.max_cosine, 0.0) AS max_cosine,
+       |  CASE WHEN d.degree IS NULL THEN 0.0
+       |       ELSE d.cs / CAST(d.degree AS DOUBLE) END AS avg_cosine
+       |FROM embeddings e LEFT JOIN d USING (vec_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -1961,6 +2110,10 @@ object ExtensionQueries {
     "x52_datacard" -> (x52Datacard _),
     "x53_cross_source_leakage" -> (x53CrossSourceLeakage _),
     "x54_kmeans_refine" -> (x54KmeansRefine _),
+    "x55_chunk_dedup" -> (x55ChunkDedup _),
+    "x56_tfidf_terms" -> (x56TfidfTerms _),
+    "x57_curriculum" -> (x57Curriculum _),
+    "x58_graph_degree" -> (x58GraphDegree _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2020,6 +2173,10 @@ object ExtensionQueries {
     "x52_datacard" -> x52Sql,
     "x53_cross_source_leakage" -> x53Sql,
     "x54_kmeans_refine" -> x54Sql,
+    "x55_chunk_dedup" -> x55Sql,
+    "x56_tfidf_terms" -> x56Sql,
+    "x57_curriculum" -> x57Sql,
+    "x58_graph_degree" -> x58Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

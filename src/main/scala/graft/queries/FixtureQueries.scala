@@ -901,6 +901,141 @@ object FixtureQueries {
        |SELECT user_id, 'out_amount' AS metric, out_amount AS amount FROM base""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q31 — explicit GROUPING SETS (the reporting shape between q4's cascade of
+  // separate GROUP BYs and q25's full cube): exactly the three levels the
+  // reference's daily report emits — per-(type,dow) detail, per-type subtotal,
+  // grand total — in ONE scan. Spark's DataFrame API only exposes rollup/cube,
+  // so this goes through the SQL surface; Catalyst plans it as one Expand +
+  // hash agg (3 replicas per row, not 4 like cube — Expand width tracks the
+  // requested sets). Scale: single shuffle on the expanded keys.
+  // ---------------------------------------------------------------------------
+  def q31GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    eventsInWindow(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+      .createOrReplaceTempView("g_events_q31")
+    spark.sql(
+      """SELECT event_type, dow,
+        |  CAST(2 * grouping(event_type) + grouping(dow) AS BIGINT) AS gid,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM g_events_q31
+        |GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())""".stripMargin)
+  }
+
+  private val q31Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, value
+       |  FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1')
+       |SELECT event_type, dow,
+       |  CAST(2 * GROUPING(event_type) + GROUPING(dow) AS BIGINT) AS gid,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+       |FROM e GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q32 — lead/lag event-sequence deltas: per-user previous-event gap (exact
+  // integer microseconds via timestampdiff) and next-event value — the
+  // session-reconstruction primitive under funnel/attribution reports. Order
+  // is total ((ts, event_id) with event_id unique), so lead/lag are
+  // deterministic on both engines. Scale: one shuffle on user_id, then a
+  // narrow per-partition sort — no global ordering anywhere.
+  // ---------------------------------------------------------------------------
+  def q32LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsInWindow(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_us", expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_value", lead(money(col("value")), 1).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("gap_us"), col("prev_type"), col("next_value"))
+  }
+
+  private val q32Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |w AS (
+       |  SELECT user_id, event_id, ts,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       |    lead(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+       |  FROM e)
+       |SELECT user_id, event_id,
+       |  date_diff('microsecond', prev_ts, ts) AS gap_us,
+       |  prev_type, CAST(next_value AS DOUBLE) AS next_value
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q33 — ntile quartile report: per-market-segment balance quartiles (count /
+  // decimal-exact sum / min / max per tile). ntile's SQL-standard definition
+  // (first buckets take the remainder) matches DuckDB's; the order
+  // (c_acctbal, c_custkey) is total so tile assignment is deterministic.
+  // Scale: the window partitions by segment — each segment sorts within its
+  // own shuffle partition; no global sort. Segment cardinality is tiny (5)
+  // with big partitions at 100 TB — production would pre-bucket by range
+  // (approx quantile cuts) instead; the per-segment window keeps the exact
+  // standard semantics the report asks for.
+  // ---------------------------------------------------------------------------
+  def q33Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("tile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("bal_sum"),
+        min(money(col("c_acctbal"))).cast("double").as("bal_min"),
+        max(money(col("c_acctbal"))).cast("double").as("bal_max"))
+  }
+
+  private val q33Sql =
+    """WITH t AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS tile
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(tile AS INTEGER) AS tile,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum,
+      |  CAST(min(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_min,
+      |  CAST(max(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_max
+      |FROM t GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q34 — running window frames: per-user running balance (ROWS UNBOUNDED
+  // PRECEDING decimal sum — order-dependent but exact, so bitwise across
+  // engines), trailing 3-row max, and row_number — the cumulative-ledger
+  // shape of the reference's per-player statements. One shuffle on user_id;
+  // all three frames share a single per-partition sort (same window spec).
+  // ---------------------------------------------------------------------------
+  def q34RunningFrames(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    eventsInWindow(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        sum(money(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("trail3_max",
+        max(money(col("value"))).over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+      .select(col("user_id"), col("event_id"), col("rn"), col("running_total"), col("trail3_max"))
+  }
+
+  private val q34Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1')
+       |SELECT user_id, event_id,
+       |  CAST(row_number() OVER w AS INTEGER) AS rn,
+       |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       |  CAST(max(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail3_max
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -932,7 +1067,11 @@ object FixtureQueries {
     "q27_asof_native" -> (q27AsOfNative _),
     "q28_range_native" -> (q28RangeNative _),
     "q29_lateral" -> (q29Lateral _),
-    "q30_unpivot" -> (q30Unpivot _))
+    "q30_unpivot" -> (q30Unpivot _),
+    "q31_grouping_sets" -> (q31GroupingSets _),
+    "q32_lead_lag" -> (q32LeadLag _),
+    "q33_ntile" -> (q33Ntile _),
+    "q34_running_frames" -> (q34RunningFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -964,5 +1103,9 @@ object FixtureQueries {
     "q27_asof_native" -> q20Sql,
     "q28_range_native" -> q21Sql,
     "q29_lateral" -> q29Sql,
-    "q30_unpivot" -> q30Sql)
+    "q30_unpivot" -> q30Sql,
+    "q31_grouping_sets" -> q31Sql,
+    "q32_lead_lag" -> q32Sql,
+    "q33_ntile" -> q33Sql,
+    "q34_running_frames" -> q34Sql)
 }

@@ -724,6 +724,68 @@ class ExtSpec extends AnyFunSuite {
     assert(self.forall(_.getDouble(2) === 1.0))
   }
 
+  test("chunkDedup: kept chunks = distinct fingerprints, planted dup doc keeps nothing") {
+    val out = Corpus.chunkDedup(docs, window = 32).cache()
+    val chunks = Corpus.chunkDocs(docs, 32, 32).cache()
+    // survivorship is exactly one winner per distinct fingerprint
+    val kept = out.agg(sum("n_kept")).head.getLong(0)
+    assert(kept === chunks.select("chunk_fp").distinct().count())
+    assert(out.agg(sum("n_chunks")).head.getLong(0) === chunks.count())
+    assert(out.filter(col("n_kept") > col("n_chunks")).isEmpty)
+    // a verbatim copy of doc 0 appended with a HIGHER id keeps zero chunks
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(900000L)))
+    val copyRow = Corpus.chunkDedup(planted, window = 32)
+      .filter(col("doc_id") === 900000L).head()
+    assert(copyRow.getLong(2) === 0L, "copy's chunks must all lose to doc 0")
+    assert(copyRow.getDouble(4) === 1.0)
+    chunks.unpersist(); out.unpersist()
+  }
+
+  test("tfidfTopTerms: ranks total, idf monotone — rarer terms outscore common ones at equal tf") {
+    val out = TextStats.tfidfTopTerms(docs, k = 3).cache()
+    assert(out.filter(col("rank") < 1 || col("rank") > 3).isEmpty)
+    assert(out.groupBy("doc_id", "rank").count().filter(col("count") > 1).isEmpty,
+      "duplicate rank within a doc")
+    assert(out.filter(col("doc_norm") <= 0.0).isEmpty, "non-empty docs have positive norms")
+    // within a doc's top-3, (tfidf desc, term asc) ordering holds
+    val pairs = out.alias("a").join(out.alias("b"),
+      col("a.doc_id") === col("b.doc_id") && (col("a.rank") + 1) === col("b.rank"))
+      .filter(col("b.tfidf") > col("a.tfidf") ||
+        (col("b.tfidf") === col("a.tfidf") && col("b.term") < col("a.term")))
+    assert(pairs.isEmpty, "rank order violates (tfidf desc, term asc)")
+    out.unpersist()
+  }
+
+  test("curriculumStages: total over docs, stages contiguous, best-quality doc leads stage 0") {
+    val quality = TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    val out = Corpus.curriculumStages(docs, quality, budget = 5000L).cache()
+    assert(out.count() === docs.count())
+    // offsets stay inside the stage budget; stage ids are 0..max with no holes
+    assert(out.filter(col("stage_offset") < 0 || col("stage_offset") >= 5000L).isEmpty)
+    val ids = out.select("stage_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(0L to ids.max))
+    // the doc at (stage 0, offset 0) is the quality argmax (ties to min id)
+    val first = out.filter(col("stage_id") === 0 && col("stage_offset") === 0)
+      .join(quality, "doc_id").head()
+    val best = quality.orderBy(col("quality_score").desc, col("doc_id")).head()
+    assert(first.getLong(0) === best.getLong(0))
+    out.unpersist()
+  }
+
+  test("cosineGraphDegree: spine-total, handshake parity with the LSH pair set") {
+    val out = Similarity.cosineGraphDegree(emb, threshold = 0.4).cache()
+    assert(out.count() === emb.count(), "every vector appears, isolated ones at degree 0")
+    val pairs = Similarity.embeddingNearDupPairsLsh(emb, 0.0)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .filter(col("cosine") >= 0.4).count()
+    assert(out.agg(sum("degree")).head.getLong(0) === 2 * pairs, "handshake lemma")
+    assert(out.filter(col("degree") === 0 &&
+      (col("max_cosine") =!= 0.0 || col("avg_cosine") =!= 0.0)).isEmpty)
+    assert(out.filter(col("degree") > 0 && col("avg_cosine") > col("max_cosine")).isEmpty)
+    out.unpersist()
+  }
+
   test("hybridRrf: fused ranking is consistent with its two legs") {
     val fused = Retrieval.hybridRrf(docs, emb,
       Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
