@@ -31,6 +31,19 @@ object AggFunctions {
     column(TopKPairs(expression(score), expression(item), k)
       .toAggregateExpression())
 
+  /** KMV (k-minimum-values) distinct-count sketch over pre-hashed 63-bit
+    * values: keeps the k smallest DISTINCT hashes per group; estimate =
+    * (k-1) * 2^63 / kth_smallest once >= k distinct hashes exist, the exact
+    * distinct count below that. O(k) state per group at every stage (map
+    * partial, shuffle, merge) — the sketch an exact count(distinct) can't
+    * be at 100 TB, where the dedup hash set for a hot group is the thing
+    * that OOMs. Deterministic: a pure function of the input VALUE SET
+    * (never of row order or partitioning), so the result is bit-stable and
+    * oracle-replayable — which approx_count_distinct's HLL is not across
+    * engines. Feed it `shiftrightunsigned(md5_lo64(key), 1)`. */
+  def kmv_distinct(hash63: Column, k: Int): Column =
+    column(KmvDistinct(expression(hash63), k).toAggregateExpression())
+
   /** collect_list with a hard per-group size cap: groups that exceed `cap`
     * elements evaluate to NULL instead of materializing the full list.
     *
@@ -215,4 +228,92 @@ case class TopKPairs(
       newChildren: IndexedSeq[Expression]): TopKPairs =
     copy(scoreExpr = newChildren(0), itemExpr = newChildren(1))
   override def prettyName: String = "topk_pairs"
+}
+
+/** See [[AggFunctions.kmv_distinct]]. Input must be non-negative longs
+  * (63-bit hashes); the estimate divides by the kth smallest, so the hash
+  * space must be [0, 2^63) for (k-1)*2^63/kth to be unbiased. */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]] {
+
+  require(k > 1, "kmv_distinct needs k > 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_distinct expects an integral hash column, got $other")
+    }
+
+  private type Buf = scala.collection.mutable.ArrayBuffer[Long]
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  // k smallest DISTINCT hashes; amortized: grow to 4k, then sort-dedup-cut.
+  // Keeping only distinct values is what makes the sketch a pure function
+  // of the value set — duplicates must never displace a smaller hash.
+  private def compact(buf: Buf): Buf = {
+    if (buf.length > k) {
+      val cut = buf.toArray.sorted.distinct.take(k)
+      buf.clear(); buf ++= cut
+    }
+    buf
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf += v.asInstanceOf[Number].longValue
+      if (buf.length >= 4 * k) compact(buf)
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = { a ++= b; compact(a) }
+
+  private val two63 = java.lang.Math.scalb(1.0, 63)
+
+  override def eval(buf: Buf): Any = {
+    val ds = buf.toArray.sorted.distinct
+    if (ds.length < k) ds.length.toDouble
+    else ((k - 1).toDouble * two63) / ds(k - 1).toDouble
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val best = compact(buf)
+    val n = math.min(best.length, 4 * k)
+    val bb = ByteBuffer.allocate(4 + n * 8)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putLong(best(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinct =
+    copy(child = newChildren(0))
+  override def prettyName: String = "kmv_distinct"
 }

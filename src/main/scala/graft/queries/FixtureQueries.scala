@@ -1036,6 +1036,63 @@ object FixtureQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q35 — KMV distinct-count sketch vs exact: per-event-type approximate
+  // distinct users from the k=64 minimum-values sketch (custom Catalyst
+  // TypedImperativeAggregate, graft.functions.KmvDistinct) next to the
+  // exact count and the realized relative error. The sketch holds O(k)
+  // state per group at every stage — map partial, shuffle, reduce merge —
+  // where exact count(distinct) holds the whole per-group value set; at
+  // 100 TB the sketch is the only per-group-distinct that fits. Unlike
+  // HLL (approx_count_distinct), KMV over a shared hash is a pure function
+  // of the value set, so the oracle replays it bitwise: DuckDB takes the
+  // same 63-bit md5 hashes, ranks them per group, and applies the same
+  // (k-1)*2^63/kth estimator.
+  // ---------------------------------------------------------------------------
+  def q35ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("h", shiftrightunsigned(
+        graft.functions.HashFunctions.md5_lo64(col("user_id").cast("string")), 1))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        graft.functions.AggFunctions.kmv_distinct(col("h"), 64).as("approx_users"))
+      .withColumn("rel_err",
+        col("approx_users") / col("exact_users").cast("double") - lit(1.0))
+
+  private val q35Sql =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |h AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 1 AS BIGINT) AS h
+       |  FROM e),
+       |r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h),
+       |k AS (
+       |  SELECT event_type, max(nd) AS nd,
+       |    max(CASE WHEN rn = 64 THEN h END) AS kth
+       |  FROM r GROUP BY 1),
+       |b AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |    count(DISTINCT user_id) AS exact_users
+       |  FROM e GROUP BY 1),
+       |s AS (
+       |  SELECT b.event_type, b.n_events, b.exact_users,
+       |    CASE WHEN k.nd < 64 THEN CAST(k.nd AS DOUBLE)
+       |         ELSE (CAST(63 AS DOUBLE) * power(2.0, 63)) / CAST(k.kth AS DOUBLE)
+       |         END AS approx_users
+       |  FROM b JOIN k USING (event_type))
+       |SELECT event_type, n_events, exact_users, approx_users,
+       |  approx_users / CAST(exact_users AS DOUBLE) - 1.0 AS rel_err
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -1071,7 +1128,8 @@ object FixtureQueries {
     "q31_grouping_sets" -> (q31GroupingSets _),
     "q32_lead_lag" -> (q32LeadLag _),
     "q33_ntile" -> (q33Ntile _),
-    "q34_running_frames" -> (q34RunningFrames _))
+    "q34_running_frames" -> (q34RunningFrames _),
+    "q35_approx_distinct" -> (q35ApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -1107,5 +1165,6 @@ object FixtureQueries {
     "q31_grouping_sets" -> q31Sql,
     "q32_lead_lag" -> q32Sql,
     "q33_ntile" -> q33Sql,
-    "q34_running_frames" -> q34Sql)
+    "q34_running_frames" -> q34Sql,
+    "q35_approx_distinct" -> q35Sql)
 }

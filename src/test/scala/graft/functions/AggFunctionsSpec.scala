@@ -83,4 +83,27 @@ class AggFunctionsSpec extends AnyFunSuite {
       .select(explode(col("top"))).collect()
     assert(out.length === 1 && out(0).getStruct(0).getLong(0) === 2L)
   }
+
+  test("kmv_distinct: exact below k, estimator above, invariant to partitioning and duplication") {
+    import graft.functions.HashFunctions.md5_lo64
+    def h = shiftrightunsigned(md5_lo64(col("v").cast("string")), 1)
+    // below k: the sketch IS the exact distinct count
+    val small = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "v")
+    val got = small.groupBy("g").agg(AggFunctions.kmv_distinct(h, 64).as("d"))
+      .head.getDouble(1)
+    assert(got === 40.0)
+    // above k: estimate within 25% of truth for 2000 distinct values at k=64
+    val big = (1 to 2000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val est = big.groupBy("g").agg(AggFunctions.kmv_distinct(h, 64).as("d"))
+      .head.getDouble(1)
+    assert(math.abs(est / 2000.0 - 1.0) < 0.25, s"estimate $est too far from 2000")
+    // pure function of the value SET: duplicating rows and re-partitioning
+    // (different partial/merge orders) must not move a single bit
+    val dup = big.unionAll(big).unionAll(big.limit(500))
+    for (p <- Seq(1, 7, 64)) {
+      val e2 = dup.repartition(p).groupBy("g")
+        .agg(AggFunctions.kmv_distinct(h, 64).as("d")).head.getDouble(1)
+      assert(e2 === est, s"partitioning $p changed the sketch")
+    }
+  }
 }
