@@ -614,7 +614,71 @@ object StreamingQueries {
       |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Streaming distinct-user estimation: daily per-event-type approximate
+    * distinct users from the KMV sketch ([[graft.functions.KmvDistinct]])
+    * as a watermarked windowed streaming aggregation. count(DISTINCT) is
+    * not legal in a streaming aggregate AT ALL (state would be the whole
+    * per-group value set); the k-minimum-values buffer is the streaming-
+    * shaped answer — O(k) state per (day, event_type) group carried across
+    * micro-batches by the state store, merged exactly like a shuffle
+    * partial. The sketch is a pure function of the value set, so the batch
+    * DuckDB replay matches bitwise no matter how the stream was
+    * micro-batched. */
+  def s13StreamKmv(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s13kmv", dir, Seq("events.parquet")) { out =>
+      Tables.events(spark, dir).select(col("ts"), col("event_type"), col("user_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = "graft_s13_" + java.lang.Long.toHexString(System.nanoTime())
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .withColumn("h", shiftrightunsigned(
+          graft.functions.HashFunctions.md5_lo64(col("user_id").cast("string")), 1))
+        // UTC session: NTZ -> TIMESTAMP keeps the wall clock; watermarks
+        // only accept TIMESTAMP (same move as StreamingSummary:33)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          graft.functions.AggFunctions.kmv_distinct(col("h"), 64).as("approx_users"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s13 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name).select(
+      date_format(col("window.start"), "yyyyMMdd").cast("int").as("summary_date"),
+      col("event_type"), col("n_events"), col("approx_users"))
+  }
+
+  private val s13Sql =
+    """WITH e AS (SELECT date_trunc('day', ts) AS d, event_type, user_id FROM events),
+      |h AS (
+      |  SELECT DISTINCT d, event_type,
+      |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 1 AS BIGINT) AS h
+      |  FROM e),
+      |r AS (
+      |  SELECT d, event_type, h,
+      |    row_number() OVER (PARTITION BY d, event_type ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY d, event_type) AS nd
+      |  FROM h),
+      |k AS (
+      |  SELECT d, event_type, max(nd) AS nd,
+      |    max(CASE WHEN rn = 64 THEN h END) AS kth
+      |  FROM r GROUP BY 1, 2),
+      |b AS (SELECT d, event_type, count(*) AS n_events FROM e GROUP BY 1, 2)
+      |SELECT CAST(strftime(b.d, '%Y%m%d') AS INTEGER) AS summary_date,
+      |  b.event_type, b.n_events,
+      |  CASE WHEN k.nd < 64 THEN CAST(k.nd AS DOUBLE)
+      |       ELSE (CAST(63 AS DOUBLE) * power(2.0, 63)) / CAST(k.kth AS DOUBLE)
+      |       END AS approx_users
+      |FROM b JOIN k USING (d, event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_stream_kmv" -> (s13StreamKmv _),
     "s12_stream_datacard" -> (s12StreamDatacard _),
     "s11_stream_capped" -> (s11StreamCapped _),
     "s10_stream_dsir" -> (s10StreamDsir _),
@@ -629,6 +693,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s13_stream_kmv" -> s13Sql, // same sketch arithmetic, batch-replayed
     "s12_stream_datacard" -> s12Sql, // x52's counters, streamed (integer state)
     "s11_stream_capped" -> s11Sql, // batch-planned rates enforced on the stream
     "s10_stream_dsir" -> ExtensionQueries.x42Sql, // same scoring, batch-trained model, streamed docs

@@ -236,4 +236,36 @@ class StreamingSpec extends AnyFunSuite {
     attributionFn(7L, stale.iterator, st).toSeq
     assert(st.v.get.viewId === 201L) // regression guard held
   }
+
+  test("KMV sketch in a streaming aggregation merges state across micro-batches bit-stably") {
+    import graft.functions.{AggFunctions, HashFunctions}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_kmv").toString
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("user_id"))
+    // 4 input files + maxFilesPerTrigger=1 forces 4 micro-batches: the
+    // sketch buffer must serialize into the state store and merge across
+    // batch boundaries, not just across shuffle partials
+    events.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def h = shiftrightunsigned(HashFunctions.md5_lo64(col("user_id").cast("string")), 1)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = stream.withColumn("h", h)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(AggFunctions.kmv_distinct(col("h"), 8).as("approx_users"))
+      .writeStream.outputMode("complete").format("memory").queryName("stream_kmv")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.length >= 4, "expected one micro-batch per staged file")
+    val got = spark.table("stream_kmv")
+      .select(col("window.start").as("d"), col("event_type"), col("approx_users"))
+    val want = events.withColumn("h", h)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("d"), col("event_type"))
+      .agg(AggFunctions.kmv_distinct(col("h"), 8).as("batch_users"))
+    val bad = got.join(want, Seq("d", "event_type"), "full_outer")
+      .filter(col("approx_users").isNull || col("batch_users").isNull ||
+        col("approx_users") =!= col("batch_users"))
+    assert(bad.isEmpty, "streamed sketch diverged from the batch sketch")
+  }
 }
