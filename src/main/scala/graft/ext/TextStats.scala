@@ -98,14 +98,19 @@ object TextStats {
         (log((col("n_docs").cast("double") + lit(1.0)) /
              (col("df").cast("double") + lit(1.0))) + lit(1.0)), 6))
       .drop("n_docs")
-    val norms = scored.groupBy("doc_id").agg(
-      sqrt(sum(round(col("tfidf") * col("tfidf"), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")).as("doc_norm"))
+    // the norm is a windowed aggregate over the SAME doc_id partitioning the
+    // top-k rank uses — one exchange serves both; a groupBy+join formulation
+    // would recompute the whole tf/df subtree on the second branch
+    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(wDoc).cast("int"))
+    scored
+      .withColumn("doc_norm",
+        sqrt(sum(round(col("tfidf") * col("tfidf"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 6))).over(wDocAll)
+          .cast("double")))
+      .withColumn("rank", row_number().over(wDoc).cast("int"))
       .filter(col("rank") <= k)
-      .join(norms, "doc_id")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("doc_norm"), col("rank"))
   }

@@ -211,4 +211,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin \\[_fp".r.findFirstIn(p).isDefined,
       s"dup-fingerprint join must broadcast:\n$p")
   }
+
+  test("grouping sets plan as ONE Expand + one shuffle — not a union of re-scans (q31)") {
+    val p = plan("q31_grouping_sets")
+    assert(count(p, "Expand") == 1, p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "Scan parquet") == 1, s"grouping sets must share one scan:\n$p")
+  }
+
+  test("running frames: three window specs share ONE exchange + sort (q34)") {
+    val p = plan("q34_running_frames")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"rn/running_total/trail3_max must ride the same user_id shuffle:\n$p")
+    assert(count(p, "Sort \\[") == 1, s"same order => one sort:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global window crept in:\n$p")
+  }
+
+  test("ntile report: the tile agg reuses the window's partitioning — one exchange total (q33)") {
+    val p = plan("q33_ntile")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"groupBy(segment, tile) must reuse the segment partitioning:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("KMV sketch aggregates partially map-side — ObjectHashAggregate, filters pushed (q35)") {
+    val p = plan("q35_approx_distinct")
+    assert(p.contains("ObjectHashAggregate"), s"sketch must plan as object agg:\n$p")
+    assert(!p.contains("PushedFilters: []"), s"window filter must reach the scan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("chunk dedup is exactly two hash exchanges — fp survivorship + doc rollup (x55)") {
+    val p = plan("x55_chunk_dedup")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(count(p, "Scan parquet") == 1, s"chunking must stay fused with the scan:\n$p")
+  }
+
+  test("tf-idf: norm + top-k share one doc_id exchange; the scored subtree is not duplicated (x56)") {
+    val p = plan("x56_tfidf_terms")
+    assert(p.contains("BroadcastExchange"), s"the N row must broadcast:\n$p")
+    // exactly one SinglePartition exchange is legitimate: the global count
+    // that makes the one-row N (bytes). The df/top-k windows must NOT add
+    // another — a second one means a corpus-wide window collapsed.
+    assert(count(p, "Exchange SinglePartition") <= 1,
+      s"df/top-k windows must stay key-partitioned:\n$p")
+    // docs scan + the one-row N scan; a third means the norm branch
+    // recomputed tf/df from scratch
+    assert(count(p, "Scan parquet") <= 2, s"scored subtree duplicated:\n$p")
+  }
+
+  test("curriculum packing has NO window operator — the prefix sum is the two-pass scan (x57)") {
+    val p = plan("x57_curriculum")
+    assert(!p.contains("Window"), s"global running total degraded to a window:\n$p")
+  }
+
+  test("graph degree: LSH self-join stays bucket-keyed, no nested-loop fallback (x58)") {
+    val p = plan("x58_graph_degree")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation degraded to all-pairs:\n$p")
+  }
 }
