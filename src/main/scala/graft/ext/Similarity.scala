@@ -213,6 +213,69 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998) diversity
+    * re-ranking of a brute-force candidate pool: greedily pick the candidate
+    * maximizing lambdaRel * relevance - lambdaDiv * max-similarity-to-
+    * already-selected. The first pick is pure relevance (its mmr_score IS
+    * rel); ties always break to the smaller candidate id.
+    *
+    * Determinism contract: relevance and candidate-pairwise cosines are
+    * rounded to 6dp BEFORE any ranking; the MMR score rounds once after the
+    * fixed-order expression lambdaRel*rel - lambdaDiv*maxSim. lambdaRel and
+    * lambdaDiv are SEPARATE literals — deriving one as 1-lambda would
+    * change the double (1-0.7 != 0.3 in IEEE) and break external replay.
+    *
+    * Shape: the greedy loop is inherently sequential in k, but each of the
+    * k steps is ONE distributed job over ALL queries at once (per-query
+    * argmax via a window over the poolK-bounded candidate set) — a million
+    * queries re-rank in the same k stages. Pool and pairwise-sim tables are
+    * poolK- and poolK^2-bounded per query and pinned once
+    * (localCheckpoint) so the k-step lineage stays flat. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, poolK: Int, k: Int,
+      lambdaRel: Double, lambdaDiv: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val pool = cosineScores(corpus, queries, idCol, vecCol)
+      .withColumn("rel", round(col("cosine"), 6))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rel"))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= poolK)
+      .drop("rn")
+      .localCheckpoint()
+    val vecs = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("v"))
+    val poolV = pool.join(vecs, "cand_id")
+    val pairs = poolV.select(col("query_id"), col("cand_id").as("a"), col("v").as("va"))
+      .join(poolV.select(col("query_id"), col("cand_id").as("b"), col("v").as("vb")),
+        Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine_sim(col("va"), col("vb")), 6).as("sim"))
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_score").desc, col("cand_id").asc)
+    var result = pool
+      .withColumn("rn", row_number().over(wPool)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        col("rel").as("mmr_score"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val pick = pool
+        .join(result.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+        .join(pairs.withColumnRenamed("a", "cand_id"), Seq("query_id", "cand_id"))
+        .join(result.select(col("query_id"), col("cand_id").as("b")), Seq("query_id", "b"))
+        .groupBy("query_id", "cand_id", "rel").agg(max(col("sim")).as("max_sim"))
+        .withColumn("mmr_score",
+          round(lit(lambdaRel) * col("rel") - lit(lambdaDiv) * col("max_sim"), 6))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          col("mmr_score"), lit(step).as("rank"))
+      result = result.unionByName(pick).localCheckpoint()
+    }
+    result
+  }
+
   /** Per-vector neighborhood statistics of the cosine-threshold graph —
     * the density diagnostic a dedup deployment reads before choosing how
     * aggressive to cut: degree (how many neighbors at >= threshold),

@@ -2098,6 +2098,67 @@ object ExtensionQueries {
        |       ELSE d.cs / CAST(d.degree AS DOUBLE) END AS avg_cosine
        |FROM embeddings e LEFT JOIN d USING (vec_id)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x59 — MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
+  // lambda-tradeoff selection of 5 from each query's brute top-12 pool —
+  // relevance wants near-duplicates, diversity penalizes them by the max
+  // cosine to the already-selected set. The oracle replays the greedy loop
+  // with a recursive CTE carrying the selected-id array; every score is
+  // 6dp-rounded before its argmax with ties to the smaller id, and the
+  // lambda pair (0.7, 0.3) ships as two literals (1-0.7 is a DIFFERENT
+  // double than 0.3), so each of the 5 picks compares bitwise.
+  // ---------------------------------------------------------------------------
+  def x59MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 4),
+      poolK = 12, k = 5, lambdaRel = 0.7, lambdaDiv = 0.3)
+  }
+
+  private val x59Sql =
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS rel
+      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+      |pool AS (
+      |  SELECT query_id, cand_id, rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rel DESC, cand_id) AS rn FROM scored)
+      |  WHERE rn <= 12),
+      |pv AS (
+      |  SELECT p.query_id, p.cand_id, p.rel, e.embedding
+      |  FROM pool p JOIN embeddings e ON e.vec_id = p.cand_id),
+      |pr AS (
+      |  SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+      |sel AS (
+      |  SELECT query_id, cand_id, rel, rel AS mmr_score, 1 AS rank,
+      |    [cand_id] AS sel_ids
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY rel DESC, cand_id) AS rn FROM pool)
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.query_id, pick.cand_id, pick.rel, pick.mmr_score, s.rank + 1,
+      |    list_append(s.sel_ids, pick.cand_id)
+      |  FROM sel s JOIN LATERAL (
+      |    SELECT c.cand_id, c.rel,
+      |      round(0.7 * c.rel - 0.3 * max(p.sim), 6) AS mmr_score
+      |    FROM pool c JOIN pr p
+      |      ON p.query_id = c.query_id AND p.a = c.cand_id
+      |    WHERE c.query_id = s.query_id
+      |      AND NOT list_contains(s.sel_ids, c.cand_id)
+      |      AND list_contains(s.sel_ids, p.b)
+      |    GROUP BY c.cand_id, c.rel
+      |    ORDER BY mmr_score DESC, c.cand_id
+      |    LIMIT 1) pick ON true
+      |  WHERE s.rank < 5)
+      |SELECT query_id, cand_id, rel, mmr_score, CAST(rank AS INTEGER) AS rank
+      |FROM sel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -2114,6 +2175,7 @@ object ExtensionQueries {
     "x56_tfidf_terms" -> (x56TfidfTerms _),
     "x57_curriculum" -> (x57Curriculum _),
     "x58_graph_degree" -> (x58GraphDegree _),
+    "x59_mmr_rerank" -> (x59MmrRerank _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2177,6 +2239,7 @@ object ExtensionQueries {
     "x56_tfidf_terms" -> x56Sql,
     "x57_curriculum" -> x57Sql,
     "x58_graph_degree" -> x58Sql,
+    "x59_mmr_rerank" -> x59Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

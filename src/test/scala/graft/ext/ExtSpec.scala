@@ -786,6 +786,31 @@ class ExtSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("mmrRerank: lambda (1,0) degenerates to relevance top-k; picks are distinct and pool-bounded") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val mmr = Similarity.mmrRerank(emb, queries, poolK = 10, k = 4,
+      lambdaRel = 1.0, lambdaDiv = 0.0).cache()
+    // no diversity penalty -> the greedy loop IS relevance order
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rel").desc, col("neighbor_id").asc)
+    val topk = Similarity.cosineScores(emb, queries)
+      .withColumn("rel", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 4)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank"))
+    assert(mmr.join(topk, Seq("query_id", "cand_id", "rank")).count() === 3 * 4,
+      "lambda (1,0) must reproduce relevance order exactly")
+    // distinct picks, exactly k per query, all from the pool
+    assert(mmr.count() === 3 * 4)
+    assert(mmr.groupBy("query_id", "cand_id").count().filter(col("count") > 1).isEmpty)
+    // a diversity-weighted run still starts at the relevance argmax
+    val div = Similarity.mmrRerank(emb, queries, poolK = 10, k = 4,
+      lambdaRel = 0.5, lambdaDiv = 0.5)
+    val firsts = div.filter(col("rank") === 1).select("query_id", "cand_id")
+    assert(firsts.join(topk.filter(col("rank") === 1),
+      Seq("query_id", "cand_id")).count() === 3)
+    mmr.unpersist()
+  }
+
   test("hybridRrf: fused ranking is consistent with its two legs") {
     val fused = Retrieval.hybridRrf(docs, emb,
       Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
