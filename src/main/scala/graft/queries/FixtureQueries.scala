@@ -1093,6 +1093,87 @@ object FixtureQueries {
        |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q36 — INTERSECT (the set op q11's union/except battery lacks): users
+  // active in BOTH the first and last week of the window. Spark's
+  // `intersect` is distinct-intersection (SQL INTERSECT), planned as a
+  // left-semi join over pre-aggregated distincts — both sides shrink to
+  // their key sets BEFORE the join, so at 100 TB the join moves user ids,
+  // not events.
+  // ---------------------------------------------------------------------------
+  def q36Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val week1 = eventsInWindow(spark, dir, W0, "2024-01-08 00:00:00").select("user_id")
+    val week4 = eventsInWindow(spark, dir, "2024-01-24 00:00:00", W1).select("user_id")
+    week1.intersect(week4)
+  }
+
+  private val q36Sql =
+    s"""SELECT user_id FROM events
+       |WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+       |INTERSECT
+       |SELECT user_id FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' AND ts < TIMESTAMP '$W1'""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q37 — correlated scalar aggregate: customers whose balance exceeds
+  // their nation's average. Catalyst de-correlates to an aggregate +
+  // broadcast join (25 nation rows), never a per-row subquery; the oracle
+  // writes the textbook correlated form. The avg is sum(DECIMAL)/count —
+  // one IEEE division per nation on both engines — and the comparison uses
+  // the decimal balance, so membership is exact.
+  // ---------------------------------------------------------------------------
+  def q37CorrelatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val natAvg = c.groupBy(col("c_nationkey"))
+      .agg((sum(money(col("c_acctbal"))).cast("double")
+        / count(lit(1)).cast("double")).as("nation_avg"))
+    c.join(broadcast(natAvg), Seq("c_nationkey"))
+      .filter(money(col("c_acctbal")).cast("double") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_name"),
+        money(col("c_acctbal")).cast("double").as("bal"), col("nation_avg"))
+  }
+
+  private val q37Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+      |  (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |          / CAST(count(*) AS DOUBLE)
+      |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+      |FROM customer c
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+      |  (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |          / CAST(count(*) AS DOUBLE)
+      |   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q38 — relative-rank windows: percent_rank and cume_dist of order value
+  // per priority class. Both are pure integer-ratio formulas
+  // ((rank-1)/(n-1), rank_le/n) evaluated as ONE IEEE division, so they
+  // compare bitwise; the order (o_totalprice desc, o_orderkey) is total.
+  // Same shuffle discipline as q34: one exchange, one sort, both window
+  // functions share the frame.
+  // ---------------------------------------------------------------------------
+  def q38RelativeRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        money(col("o_totalprice")).as("price"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("price").cast("double").as("price"), col("pct_rank"), col("cume"))
+  }
+
+  private val q38Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -1129,7 +1210,10 @@ object FixtureQueries {
     "q32_lead_lag" -> (q32LeadLag _),
     "q33_ntile" -> (q33Ntile _),
     "q34_running_frames" -> (q34RunningFrames _),
-    "q35_approx_distinct" -> (q35ApproxDistinct _))
+    "q35_approx_distinct" -> (q35ApproxDistinct _),
+    "q36_intersect" -> (q36Intersect _),
+    "q37_correlated_avg" -> (q37CorrelatedAvg _),
+    "q38_relative_rank" -> (q38RelativeRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -1166,5 +1250,8 @@ object FixtureQueries {
     "q32_lead_lag" -> q32Sql,
     "q33_ntile" -> q33Sql,
     "q34_running_frames" -> q34Sql,
-    "q35_approx_distinct" -> q35Sql)
+    "q35_approx_distinct" -> q35Sql,
+    "q36_intersect" -> q36Sql,
+    "q37_correlated_avg" -> q37Sql,
+    "q38_relative_rank" -> q38Sql)
 }
