@@ -261,11 +261,13 @@ object Corpus {
     * fixed token-budget stages by exclusive prefix sum, exactly like
     * [[packTokenShards]] but on a computed order. The order key
     * (quality desc, doc_id asc) is encoded into one long —
-    * round((1-q)*1e9)*1e7 + doc_id — so the distributed two-pass scan
+    * round((1-q)*1e6)*1e12 + doc_id — so the distributed two-pass scan
     * ([[graft.ops.PrefixSum]]) can range-partition on it; doc_id is
-    * recovered arithmetically (key % 1e7), so nothing joins back. Requires
-    * doc_id < 1e7 and quality in [0,1] (both hold for any per-shard corpus
-    * slice; shard first at larger id spaces).
+    * recovered arithmetically (key % 1e12), so nothing joins back.
+    * Quality quantizes to 6dp (the engine-wide rounding convention; ties
+    * beyond that break by doc_id on both engines). Requires doc_id < 1e12
+    * and quality in [0,1] — 1e12 covers the sf1 id-stride layout with
+    * room; shard first at larger id spaces.
     *
     * Scale: the prefix sum is the two-pass scan — range partition + per-
     * partition totals + broadcast offsets — NOT a single-partition global
@@ -276,12 +278,12 @@ object Corpus {
     val keyed = docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
       .join(quality.select(col(idCol), col("quality_score")), Seq(idCol))
       .select(
-        (round((lit(1.0) - col("quality_score")) * lit(1e9)).cast("long") * lit(10000000L)
+        (round((lit(1.0) - col("quality_score")) * lit(1e6)).cast("long") * lit(1000000000000L)
           + col(idCol)).as("ckey"),
         col("n_tokens"))
     graft.ops.PrefixSum.exclusiveRunningTotal(keyed, "ckey", "n_tokens")
       .select(
-        (col("ckey") % 10000000L).as("doc_id"),
+        (col("ckey") % 1000000000000L).as("doc_id"),
         col("n_tokens"),
         expr(s"running_total div $budget").as("stage_id"),
         (col("running_total") % budget).as("stage_offset"))

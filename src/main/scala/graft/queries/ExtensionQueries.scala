@@ -2058,7 +2058,7 @@ object ExtensionQueries {
        |  FROM g),
        |t AS (
        |  SELECT doc_id, token_count AS n_tokens,
-       |    CAST(round((1.0 - quality_score) * 1000000000.0) AS BIGINT) * 10000000
+       |    CAST(round((1.0 - quality_score) * 1000000.0) AS BIGINT) * 1000000000000
        |      + doc_id AS ckey
        |  FROM s),
        |c AS (

@@ -1174,6 +1174,87 @@ object FixtureQueries {
       |  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q39 — time-weighted average value (TWAP) per user-day: each event's
+  // value holds until the next event; the average weights by that holding
+  // gap. All weighting is INTEGER arithmetic — cents (exact decimal*100)
+  // times whole-second gaps summed as BIGINT — so the only IEEE ops are the
+  // two final divisions in fixed order, and the result compares bitwise.
+  // The day's last event has no successor and carries no weight (the
+  // standard left-closed TWAP convention). One shuffle on user_id; the lag
+  // window and the day rollup share it.
+  // ---------------------------------------------------------------------------
+  def q39Twap(spark: SparkSession, dir: String): DataFrame = {
+    eventsInWindow(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        (money(col("value")) * lit(100)).cast("long").as("cents"))
+      // gaps are non-negative, so `div` (truncation) == `//` (floor)
+      .withColumn("gap_s",
+        expr("timestampdiff(MICROSECOND, ts, lead(ts, 1) over " +
+          "(partition by user_id, day order by ts, event_id)) div 1000000"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(coalesce(col("gap_s"), lit(0L))).as("active_s"),
+        sum(when(col("gap_s").isNotNull, col("cents") * col("gap_s"))
+          .otherwise(0L)).as("wsum"))
+      .filter(col("active_s") > 0)
+      .withColumn("twap",
+        col("wsum").cast("double") / lit(100.0) / col("active_s").cast("double"))
+      .drop("wsum")
+  }
+
+  private val q39Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts, CAST(ts AS DATE) AS day,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |g AS (
+       |  SELECT user_id, day, cents,
+       |    date_diff('microsecond', ts,
+       |      lead(ts) OVER (PARTITION BY user_id, day ORDER BY ts, event_id))
+       |      // 1000000 AS gap_s
+       |  FROM e),
+       |a AS (
+       |  SELECT user_id, day, count(*) AS n_events,
+       |    CAST(sum(coalesce(gap_s, 0)) AS BIGINT) AS active_s,
+       |    CAST(sum(CASE WHEN gap_s IS NOT NULL THEN cents * gap_s ELSE 0 END) AS BIGINT) AS wsum
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id, day, n_events, active_s,
+       |  CAST(wsum AS DOUBLE) / 100.0 / CAST(active_s AS DOUBLE) AS twap
+       |FROM a WHERE active_s > 0""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q40 — retention cohort matrix: users bucketed by first-activity day,
+  // counted on each later activity day as an offset from their cohort —
+  // the triangle every growth dashboard draws. Everything is integer
+  // (dates, day offsets, distinct-user counts), so the compare is exact.
+  // Shape: distinct (user, day) collapses the events first (the matrix
+  // never sees raw rows); the cohort min is a second agg on user_id; the
+  // join back is on user_id (broadcast-able per-user row at fixture scale,
+  // co-partitioned at 100 TB) and the final rollup is one more shuffle.
+  // ---------------------------------------------------------------------------
+  def q40RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsInWindow(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q40Sql =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |  FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+       |SELECT c.cohort_day,
+       |  CAST(date_diff('day', c.cohort_day, d.day) AS INTEGER) AS day_offset,
+       |  count(*) AS n_users
+       |FROM d JOIN c USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -1213,7 +1294,9 @@ object FixtureQueries {
     "q35_approx_distinct" -> (q35ApproxDistinct _),
     "q36_intersect" -> (q36Intersect _),
     "q37_correlated_avg" -> (q37CorrelatedAvg _),
-    "q38_relative_rank" -> (q38RelativeRank _))
+    "q38_relative_rank" -> (q38RelativeRank _),
+    "q39_twap" -> (q39Twap _),
+    "q40_retention" -> (q40RetentionCohorts _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -1253,5 +1336,7 @@ object FixtureQueries {
     "q35_approx_distinct" -> q35Sql,
     "q36_intersect" -> q36Sql,
     "q37_correlated_avg" -> q37Sql,
-    "q38_relative_rank" -> q38Sql)
+    "q38_relative_rank" -> q38Sql,
+    "q39_twap" -> q39Sql,
+    "q40_retention" -> q40Sql)
 }

@@ -1,0 +1,42 @@
+#!/bin/bash
+# The sf1 (10x) bitwise scale gate: every query whose DuckDB oracle is
+# cheap enough to replay on 10x data. Excluded, with reasons:
+#  - x2/x10: labeled quadratic ground-truth twins (scale paths x3/x15)
+#  - x3/x4/x9/x15/x58: recursive-CTE minhash/simhash/hyperplane-LCG replays
+#    (oracle cost, not engine cost) — covered bitwise at the three driver SFs
+#  - x14: winnowing window replay (same)
+#  - x16/x46/x48/x53: transitive-closure cluster replays (same)
+#  - x11/x12/x22/x23/x26: media byte-hash oracles over 10x payloads (same)
+#  - x54/x59: the kmeans-refine and MMR oracles re-walk assignments /
+#    greedy steps in recursive SQL — too slow on 10x (covered at driver SFs)
+#  - x5: avg(double) is order-dependent float addition — passes at 1e-6,
+#    not bitwise, by design (the DECIMAL money surface is immune)
+#  - x15/x21/x27/x30/x44/x45/x41's span twins where the oracle re-walks
+#    blocks quadratically are kept OUT only if measured slow; x41/x45 run.
+#  - s2-s10 streaming twins share batch oracles already replayed above at
+#    driver SFs; s1/s11/s12/s13 run here as the streaming representatives.
+# Usage: tools/sf1_gate.sh [sf1dir]
+set -e
+SF1=${1:-/root/repo/localdata/sf1}
+ONLY=$(printf '%s,' \
+  q1_trans_summary q2_player_summary q3_clamped q4_rollup_month q5_dim_enrich \
+  q6_wma q7_risky q8_ledger_merge q9_ranking q10_new_register q11_set_ops \
+  q12_dep_count q13_watermark q14_slices q15_encodings q16_anti_filter \
+  q17_json q18_three_way q19_sessions q20_asof q21_range_join q22_quantiles \
+  q23_distinct q24_pivot q25_cube q26_star_join q27_asof_native \
+  q28_range_native q29_lateral q30_unpivot q31_grouping_sets q32_lead_lag \
+  q33_ntile q34_running_frames q35_approx_distinct q36_intersect \
+  q37_correlated_avg q38_relative_rank q39_twap q40_retention \
+  r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
+  s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
+  x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
+  x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
+  x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
+  x13_knn_ivf x33_quantize_int8 x34_quantized_knn x35_quantized_ivf \
+  x39_semantic_dup x44_ann_recall \
+  x36_bpe_tokens x37_bm25 x38_repetition x40_lm_quality \
+  x41_dup_spans x42_dsir_weights x43_hybrid_rrf x45_span_removal \
+  x47_mixture_plan x49_frequency_cap x50_weighted_sample \
+  x51_centroid_outliers x52_datacard x55_chunk_dedup x56_tfidf_terms \
+  x57_curriculum | sed 's/,$//')
+SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
