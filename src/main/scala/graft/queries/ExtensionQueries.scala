@@ -2159,6 +2159,48 @@ object ExtensionQueries {
       |SELECT query_id, cand_id, rel, mmr_score, CAST(rank AS INTEGER) AS rank
       |FROM sel""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x60 — tokenizer efficiency report: per-language compression of the REAL
+  // BPE subword stream (pinned vocab, same greedy loop the x36 gate pins) —
+  // chars-per-token and the merged-token rate, the two numbers a tokenizer
+  // upgrade is judged by. All counts are integers off one narrow pass
+  // (tokenize -> per-doc fold, no shuffle until the |langs|-group rollup);
+  // the two ratios are single fixed-order IEEE divisions, so the gate
+  // compares bitwise. The oracle re-derives the identical subword stream
+  // through the recursive-CTE BPE replay.
+  // ---------------------------------------------------------------------------
+  def x60TokenizerStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), TextStats.bpeTokens(col("text")).as("sw"))
+      .select(col("lang"),
+        size(col("sw")).as("n_sw"),
+        aggregate(col("sw"), lit(0), (a, t) => a + length(t)).as("n_chars"),
+        size(filter(col("sw"), t => length(t) > 1)).as("n_multi"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_sw").cast("long")).as("subwords"),
+        sum(col("n_chars").cast("long")).as("chars"),
+        sum(col("n_multi").cast("long")).as("multi_subwords"))
+      .withColumn("chars_per_token",
+        col("chars").cast("double") / col("subwords").cast("double"))
+      .withColumn("merge_rate",
+        col("multi_subwords").cast("double") / col("subwords").cast("double"))
+
+  private lazy val x60Sql =
+    s"""$bpeCte
+       |SELECT d.lang, count(*) AS docs,
+       |  CAST(sum(len(s.sw)) AS BIGINT) AS subwords,
+       |  CAST(sum(list_sum(list_transform(s.sw, t -> length(t)))) AS BIGINT) AS chars,
+       |  CAST(sum(len(list_filter(s.sw, t -> length(t) > 1))) AS BIGINT) AS multi_subwords,
+       |  CAST(sum(list_sum(list_transform(s.sw, t -> length(t)))) AS DOUBLE)
+       |    / CAST(sum(len(s.sw)) AS DOUBLE) AS chars_per_token,
+       |  CAST(sum(len(list_filter(s.sw, t -> length(t) > 1))) AS DOUBLE)
+       |    / CAST(sum(len(s.sw)) AS DOUBLE) AS merge_rate
+       |FROM dstream s JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -2176,6 +2218,7 @@ object ExtensionQueries {
     "x57_curriculum" -> (x57Curriculum _),
     "x58_graph_degree" -> (x58GraphDegree _),
     "x59_mmr_rerank" -> (x59MmrRerank _),
+    "x60_tokenizer_stats" -> (x60TokenizerStats _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2240,6 +2283,7 @@ object ExtensionQueries {
     "x57_curriculum" -> x57Sql,
     "x58_graph_degree" -> x58Sql,
     "x59_mmr_rerank" -> x59Sql,
+    "x60_tokenizer_stats" -> x60Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

@@ -79,6 +79,23 @@ object StreamingQueries {
     }
   }
 
+  /** A fresh unique memory-sink table name for `prefix`, dropping any STALE
+    * sink tables a previous invocation of the same query registered. Memory
+    * sinks hold their full result on the driver heap for as long as the temp
+    * view references them — under a bench/gate harness that runs every query
+    * three times (warm-up + two timed passes), 14 streaming queries x 3
+    * invocations of sf1-sized complete-mode results accumulated ~GBs of
+    * dead tables and OOM'd the run. Capping at one live table per query
+    * bounds sink memory by the CURRENT result set. resetTerminated drops
+    * the manager's awaitAnyTermination bookkeeping reference too. */
+  private def freshMemorySink(spark: SparkSession, prefix: String): String = {
+    spark.streams.resetTerminated()
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith(prefix) && t.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    prefix + java.lang.Long.toHexString(System.nanoTime())
+  }
+
   /** Stage a derived parquet input for a file-source stream — content-keyed,
     * race-free build-once via [[Staging.stageDir]]. */
   private def stageInput(tag: String, dir: String, srcFiles: Seq[String])
@@ -128,7 +145,7 @@ object StreamingQueries {
 
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s1_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s1_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = StreamingSummary.transFiveMinStream(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
@@ -183,7 +200,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
       .as[graft.streaming.StreamingSummary.AttrEvent]
-    val name = "graft_s2_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s2_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = graft.streaming.StreamingSummary.attributionStream(stream)
         .writeStream.outputMode("append").format("memory").queryName(name)
@@ -233,7 +250,7 @@ object StreamingQueries {
     val deduped = StreamingSummary
       .dedupStream(stream, Seq("event_id"), "trade_time")
       .drop("event_id")
-    val name = "graft_s3_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s3_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
         .writeStream.outputMode("complete").format("memory").queryName(name)
@@ -279,7 +296,7 @@ object StreamingQueries {
     val rDir = stage.resolve("r").toString
     val tStream = spark.readStream.schema(spark.read.parquet(tDir).schema).parquet(tDir)
     val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema).parquet(rDir)
-    val name = "graft_s4_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s4_")
     withStateSizedShuffle(spark, Seq(tDir, rDir)) {
       val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
         .writeStream.outputMode("append").format("memory").queryName(name)
@@ -389,7 +406,7 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val probe = graft.ext.Dedup.dedupAgainstIndex(
       spark, table, stream, ExtensionQueries.minhashThreshold)
-    val name = "graft_s6_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s6_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = probe.writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -411,7 +428,7 @@ object StreamingQueries {
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s7_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s7_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream.groupBy(col("lang"))
         .agg(graft.functions.AggFunctions.topk_pairs(
@@ -438,7 +455,7 @@ object StreamingQueries {
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s8_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s8_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       // same tokenizer as the batch twin (x29): the shared oracle replays
       // the BPE subword stream, so the streamed chunker must cut it too
@@ -468,7 +485,7 @@ object StreamingQueries {
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s9_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s9_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       // watermarks require TIMESTAMP (ltz); the session math is relative to
       // the event times themselves, so the ntz->ltz->ntz round trip under
@@ -515,7 +532,7 @@ object StreamingQueries {
       graft.Tables.documents(spark, dir), col("lang") === "en")
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s10_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s10_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream
         .filter(length(trim(col("text"))) > 0)
@@ -556,7 +573,7 @@ object StreamingQueries {
       col("source"), ExtensionQueries.capShare)
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s11_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s11_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream
         .join(broadcast(rates), col("source") === col("stratum"))
@@ -590,7 +607,7 @@ object StreamingQueries {
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s12_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s12_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream
         .groupBy(col("source"))
@@ -631,7 +648,7 @@ object StreamingQueries {
     }
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
-    val name = "graft_s13_" + java.lang.Long.toHexString(System.nanoTime())
+    val name = freshMemorySink(spark, "graft_s13_")
     withStateSizedShuffle(spark, Seq(inDir)) {
       val q = stream
         .withColumn("h", shiftrightunsigned(
