@@ -2201,6 +2201,74 @@ object ExtensionQueries {
        |FROM dstream s JOIN documents d USING (doc_id)
        |GROUP BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x61 — nDCG@5 of the IVF probe against the brute ideal: the GRADED
+  // companion to x44's set recall — a near-miss neighbor with almost the
+  // ideal cosine scores nearly 1.0 where recall charges a full miss. Gain
+  // is the (6dp-rounded) true cosine; each DCG term gain/ln(rank+1) is
+  // rounded to 6dp and summed as DECIMAL (order-free, exact), and the
+  // final nDCG is one division — bitwise on any engine. ln over log2 so
+  // both engines use the libm ln already proven stable by the BM25 gate.
+  // ---------------------------------------------------------------------------
+  def x61NdcgIvf(spark: SparkSession, dir: String): DataFrame = {
+    def dcg(df: DataFrame, out: String) = df
+      .withColumn("term",
+        round(round(col("cosine"), 6) / log(col("rank").cast("double") + lit(1.0)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("query_id").agg(sum(col("term")).cast("double").as(out))
+    dcg(x8KnnBrute(spark, dir), "idcg")
+      .join(dcg(x13KnnIvf(spark, dir), "dcg"), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
+  private lazy val x61Sql =
+    s"""WITH $ivfAssignCte,
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= 4),
+       |ivf_scored AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id,
+       |    round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+       |                                 CAST(a.c_vec AS DOUBLE[])), 6) AS cosine
+       |  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+       |  WHERE p.query_id <> a.neighbor_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM ivf_scored QUALIFY rank <= 5),
+       |bq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |brute_scored AS (
+       |  SELECT bq.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(CAST(bq.embedding AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM bq JOIN embeddings e ON bq.vec_id <> e.vec_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM brute_scored QUALIFY rank <= 5),
+       |d AS (
+       |  SELECT query_id, CAST(sum(CAST(round(cosine / ln(rank + 1.0), 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+       |  FROM ivf GROUP BY 1),
+       |i AS (
+       |  SELECT query_id, CAST(sum(CAST(round(cosine / ln(rank + 1.0), 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+       |  FROM brute GROUP BY 1)
+       |SELECT i.query_id, coalesce(d.dcg, 0.0) AS dcg, i.idcg,
+       |  coalesce(d.dcg, 0.0) / i.idcg AS ndcg
+       |FROM i LEFT JOIN d USING (query_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -2219,6 +2287,7 @@ object ExtensionQueries {
     "x58_graph_degree" -> (x58GraphDegree _),
     "x59_mmr_rerank" -> (x59MmrRerank _),
     "x60_tokenizer_stats" -> (x60TokenizerStats _),
+    "x61_ndcg_ivf" -> (x61NdcgIvf _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2284,6 +2353,7 @@ object ExtensionQueries {
     "x58_graph_degree" -> x58Sql,
     "x59_mmr_rerank" -> x59Sql,
     "x60_tokenizer_stats" -> x60Sql,
+    "x61_ndcg_ivf" -> x61Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

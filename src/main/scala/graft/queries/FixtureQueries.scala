@@ -1255,6 +1255,56 @@ object FixtureQueries {
        |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q41 — exact-deterministic Pearson correlation: does event value
+  // correlate with time of day, per event type? Spark's corr() (and any
+  // streaming-sum formulation over doubles) is order-dependent float
+  // addition — nondeterministic across partitionings. This one gathers the
+  // SIX sufficient statistics as exact integers (cents x second-of-day,
+  // all BIGINT sums — one shuffle, map-side partial), then evaluates the
+  // textbook formula in a fixed order of IEEE ops; same integers + same
+  // op order = same bits on any engine or partitioning.
+  // ---------------------------------------------------------------------------
+  def q41Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val sums = eventsInWindow(spark, dir)
+      .select(col("event_type"),
+        (money(col("value")) * lit(100)).cast("long").as("x"),
+        expr("timestampdiff(SECOND, date_trunc('DAY', ts), ts)").as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    sums.select(col("event_type"), col("n"),
+      ((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("value_tod_corr"))
+  }
+
+  private val q41Sql =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+       |    date_diff('second', date_trunc('day', ts), ts) AS y
+       |  FROM events WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |s AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM e GROUP BY 1)
+       |SELECT event_type, n,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  AS value_tod_corr
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -1296,7 +1346,8 @@ object FixtureQueries {
     "q37_correlated_avg" -> (q37CorrelatedAvg _),
     "q38_relative_rank" -> (q38RelativeRank _),
     "q39_twap" -> (q39Twap _),
-    "q40_retention" -> (q40RetentionCohorts _))
+    "q40_retention" -> (q40RetentionCohorts _),
+    "q41_correlation" -> (q41Correlation _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -1338,5 +1389,6 @@ object FixtureQueries {
     "q37_correlated_avg" -> q37Sql,
     "q38_relative_rank" -> q38Sql,
     "q39_twap" -> q39Sql,
-    "q40_retention" -> q40Sql)
+    "q40_retention" -> q40Sql,
+    "q41_correlation" -> q41Sql)
 }
