@@ -289,6 +289,46 @@ object Corpus {
         (col("running_total") % budget).as("stage_offset"))
   }
 
+  /** Distribution-matched resampling: thin the corpus so a FEATURE's
+    * distribution matches a target slice's (the DoReMi/DSIR idea applied to
+    * a single observable feature — here any integer bucket column, e.g.
+    * length buckets). Per bucket b the importance ratio is
+    * r(b) = p_target(b) / p_corpus(b) (ratios of exact integer counts);
+    * keep rates normalize by the max ratio so the best-matched bucket keeps
+    * everything: rate(b) = r(b) / max_b r(b). Selection is the md5-bucket
+    * membership of [[stratifiedSample]] — a pure function of the key, so
+    * re-runs mint the identical sample. Buckets absent from the target keep
+    * nothing (rate 0).
+    *
+    * Shape: two |buckets|-row aggregations (one scan — target counts ride a
+    * conditional sum), a one-row max, and a broadcast of the rate table
+    * back onto the corpus — the corpus itself never shuffles. Every rate is
+    * integer-count arithmetic in a fixed order of IEEE ops and the
+    * threshold is an integer, so membership replays bitwise. */
+  def distributionMatch(df: DataFrame, bucketCol: Column, targetPred: Column,
+      keyCol: Column, buckets: Int = 10000): DataFrame = {
+    val counts = df
+      .select(bucketCol.as("bucket"), targetPred.cast("int").as("is_target"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_corpus"), sum(col("is_target")).cast("long").as("n_target"))
+    val totals = counts.agg(
+      sum(col("n_corpus")).as("tot_corpus"), sum(col("n_target")).as("tot_target"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .withColumn("ratio",
+        (col("n_target").cast("double") / col("tot_target").cast("double"))
+          / (col("n_corpus").cast("double") / col("tot_corpus").cast("double")))
+    val maxRatio = ratios.agg(max(col("ratio")).as("max_ratio"))
+    val rates = ratios.crossJoin(broadcast(maxRatio))
+      .withColumn("keep_rate", col("ratio") / col("max_ratio"))
+      .withColumn("threshold", round(col("keep_rate") * buckets).cast("int"))
+      .select("bucket", "n_corpus", "n_target", "keep_rate", "threshold")
+    df.select(col("*"), bucketCol.as("bucket"),
+        graft.functions.HashFunctions.md5_bucket(keyCol, buckets).as("mb"))
+      .join(broadcast(rates), Seq("bucket"))
+      .withColumn("kept", (col("mb") < col("threshold")).cast("int"))
+      .drop("mb")
+  }
+
   /** DSIR-style importance-resampling weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score every
     * raw document by how much more likely its features are under a TARGET

@@ -2081,8 +2081,24 @@ object ExtensionQueries {
   def x58GraphDegree(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineGraphDegree(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  // x15's CTE chain FLATTENED to top level rather than nested as
+  // `p AS (WITH ...)`: the nested form made DuckDB materialize the whole
+  // signature pipeline a second time and OOM at sf0.1; flat, the peak
+  // matches x15's own oracle (which passes there).
   private lazy val x58Sql =
-    s"""WITH p AS ($x15Sql),
+    s"""WITH $lshSigsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |p AS (
+       |  SELECT vec_a, vec_b,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                 CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = vec_a
+       |  JOIN embeddings eb ON eb.vec_id = vec_b
+       |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4),
        |sym AS (
        |  SELECT vec_a AS vec_id, cosine FROM p
        |  UNION ALL
@@ -2269,6 +2285,56 @@ object ExtensionQueries {
        |  coalesce(d.dcg, 0.0) / i.idcg AS ndcg
        |FROM i LEFT JOIN d USING (query_id)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x62 — distribution-matched resampling: thin the corpus so its LENGTH
+  // distribution matches the English slice's (importance ratio of exact
+  // integer bucket counts, normalized by the max ratio, enforced by
+  // md5-bucket membership — the DoReMi/DSIR idea on one observable
+  // feature). The corpus never shuffles: two 20-row aggregations and a
+  // broadcast rate table. All rates are fixed-order IEEE over integer
+  // counts and the threshold is an integer, so every kept flag replays.
+  // ---------------------------------------------------------------------------
+  def x62LengthMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.distributionMatch(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).as("token_count")),
+      bucketCol = least(expr("token_count div 10"), lit(19)).cast("int"),
+      targetPred = col("lang") === "en",
+      keyCol = concat(lit("lm:"), col("doc_id").cast("string")))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_corpus"),
+        col("n_target"), col("keep_rate"), col("threshold"), col("kept"))
+
+  private val x62Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        CAST(least(token_count // 10, 19) AS INTEGER) AS bucket FROM f),
+      |c AS (
+      |  SELECT bucket, count(*) AS n_corpus,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS tot_corpus,
+      |             CAST(sum(n_target) AS BIGINT) AS tot_target FROM c),
+      |r AS (
+      |  SELECT bucket, n_corpus, n_target,
+      |    (CAST(n_target AS DOUBLE) / CAST(t.tot_target AS DOUBLE))
+      |      / (CAST(n_corpus AS DOUBLE) / CAST(t.tot_corpus AS DOUBLE)) AS ratio
+      |  FROM c, t),
+      |m AS (SELECT max(ratio) AS max_ratio FROM r),
+      |k AS (
+      |  SELECT bucket, n_corpus, n_target,
+      |    ratio / m.max_ratio AS keep_rate,
+      |    CAST(round(ratio / m.max_ratio * 10000) AS INTEGER) AS threshold
+      |  FROM r, m)
+      |SELECT b.doc_id, b.lang, b.bucket, k.n_corpus, k.n_target,
+      |  k.keep_rate, k.threshold,
+      |  CASE WHEN CAST(md5_number_lower('lm:' || CAST(b.doc_id AS VARCHAR)) % 10000
+      |            AS INTEGER) < k.threshold THEN 1 ELSE 0 END AS kept
+      |FROM b JOIN k USING (bucket)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -2288,6 +2354,7 @@ object ExtensionQueries {
     "x59_mmr_rerank" -> (x59MmrRerank _),
     "x60_tokenizer_stats" -> (x60TokenizerStats _),
     "x61_ndcg_ivf" -> (x61NdcgIvf _),
+    "x62_length_match" -> (x62LengthMatch _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2354,6 +2421,7 @@ object ExtensionQueries {
     "x59_mmr_rerank" -> x59Sql,
     "x60_tokenizer_stats" -> x60Sql,
     "x61_ndcg_ivf" -> x61Sql,
+    "x62_length_match" -> x62Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

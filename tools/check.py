@@ -127,6 +127,16 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
+            # a failed oracle (OOM mid-make_views on the retry path) can
+            # leave `con` without its table views — every later query would
+            # then cascade-fail with "Catalog Error: Table does not exist".
+            # Rebuild defensively so one poisoned query stays one failure.
+            try:
+                del con
+                con = connect()
+                make_views(con)
+            except Exception:
+                pass
             continue
         ok = True
         if list(got.columns) != list(want.columns):

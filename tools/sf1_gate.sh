@@ -32,7 +32,7 @@ ONLY=$(printf '%s,' \
   x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
   x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
   x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
-  x13_knn_ivf x33_quantize_int8 x34_quantized_knn x35_quantized_ivf \
+  x62_length_match x13_knn_ivf x33_quantize_int8 x34_quantized_knn x35_quantized_ivf \
   x39_semantic_dup x44_ann_recall \
   x36_bpe_tokens x37_bm25 x38_repetition x40_lm_quality \
   x41_dup_spans x42_dsir_weights x43_hybrid_rrf x45_span_removal \
