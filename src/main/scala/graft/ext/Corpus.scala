@@ -305,8 +305,13 @@ object Corpus {
     * back onto the corpus — the corpus itself never shuffles. Every rate is
     * integer-count arithmetic in a fixed order of IEEE ops and the
     * threshold is an integer, so membership replays bitwise. */
-  def distributionMatch(df: DataFrame, bucketCol: Column, targetPred: Column,
-      keyCol: Column, buckets: Int = 10000): DataFrame = {
+  /** The trained half of [[distributionMatch]]: the |buckets'|-row rate
+    * table (bucket, counts, keep_rate, threshold). Exposed separately so a
+    * STREAMING admission stage can enforce batch-planned rates on the
+    * ingest path (the s11 plan/enforce split) — the table is the
+    * broadcastable artifact; enforcement is a stateless join + filter. */
+  def distributionMatchRates(df: DataFrame, bucketCol: Column, targetPred: Column,
+      buckets: Int = 10000): DataFrame = {
     val counts = df
       .select(bucketCol.as("bucket"), targetPred.cast("int").as("is_target"))
       .groupBy("bucket")
@@ -318,10 +323,15 @@ object Corpus {
         (col("n_target").cast("double") / col("tot_target").cast("double"))
           / (col("n_corpus").cast("double") / col("tot_corpus").cast("double")))
     val maxRatio = ratios.agg(max(col("ratio")).as("max_ratio"))
-    val rates = ratios.crossJoin(broadcast(maxRatio))
+    ratios.crossJoin(broadcast(maxRatio))
       .withColumn("keep_rate", col("ratio") / col("max_ratio"))
       .withColumn("threshold", round(col("keep_rate") * buckets).cast("int"))
       .select("bucket", "n_corpus", "n_target", "keep_rate", "threshold")
+  }
+
+  def distributionMatch(df: DataFrame, bucketCol: Column, targetPred: Column,
+      keyCol: Column, buckets: Int = 10000): DataFrame = {
+    val rates = distributionMatchRates(df, bucketCol, targetPred, buckets)
     df.select(col("*"), bucketCol.as("bucket"),
         graft.functions.HashFunctions.md5_bucket(keyCol, buckets).as("mb"))
       .join(broadcast(rates), Seq("bucket"))

@@ -694,7 +694,77 @@ object StreamingQueries {
       |       END AS approx_users
       |FROM b JOIN k USING (d, event_type)""".stripMargin
 
+  /** Stream-enforced distribution matching — x62's plan/enforce split on
+    * the ingest path (same pattern as s11's frequency caps): the 20-row
+    * rate table is planned batch-side from the corpus
+    * ([[graft.ext.Corpus.distributionMatchRates]], exact integer-count
+    * arithmetic) and broadcast as the static side of a stream-static join;
+    * admission is a stateless bucket-membership filter — zero state
+    * stores, so the hot path scales with input alone. */
+  def s14StreamLengthMatch(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s14lm", dir, Seq("documents.parquet")) { out =>
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        graft.ext.TextStats.tokenCount(col("text")).as("token_count"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val rates = graft.ext.Corpus.distributionMatchRates(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        graft.ext.TextStats.tokenCount(col("text")).as("token_count")),
+      bucketCol = least(expr("token_count div 10"), lit(19)).cast("int"),
+      targetPred = col("lang") === "en")
+      .select("bucket", "threshold")
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s14_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .withColumn("bucket", least(expr("token_count div 10"), lit(19)).cast("int"))
+        .join(broadcast(rates), Seq("bucket"))
+        .withColumn("mb", graft.functions.HashFunctions.md5_bucket(
+          concat(lit("lm:"), col("doc_id").cast("string")), 10000))
+        .filter(col("mb") < col("threshold"))
+        .select("doc_id", "lang", "bucket", "mb")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s14 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  private val s14Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        CAST(least(token_count // 10, 19) AS INTEGER) AS bucket FROM f),
+      |c AS (
+      |  SELECT bucket, count(*) AS n_corpus,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS tot_corpus,
+      |             CAST(sum(n_target) AS BIGINT) AS tot_target FROM c),
+      |r AS (
+      |  SELECT bucket,
+      |    (CAST(n_target AS DOUBLE) / CAST(t.tot_target AS DOUBLE))
+      |      / (CAST(n_corpus AS DOUBLE) / CAST(t.tot_corpus AS DOUBLE)) AS ratio
+      |  FROM c, t),
+      |m AS (SELECT max(ratio) AS max_ratio FROM r),
+      |k AS (
+      |  SELECT bucket,
+      |    CAST(round(ratio / m.max_ratio * 10000) AS INTEGER) AS threshold
+      |  FROM r, m)
+      |SELECT b.doc_id, b.lang, b.bucket,
+      |  CAST(md5_number_lower('lm:' || CAST(b.doc_id AS VARCHAR)) % 10000
+      |       AS INTEGER) AS mb
+      |FROM b JOIN k USING (bucket)
+      |WHERE CAST(md5_number_lower('lm:' || CAST(b.doc_id AS VARCHAR)) % 10000
+      |           AS INTEGER) < k.threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_length_match" -> (s14StreamLengthMatch _),
     "s13_stream_kmv" -> (s13StreamKmv _),
     "s12_stream_datacard" -> (s12StreamDatacard _),
     "s11_stream_capped" -> (s11StreamCapped _),
@@ -710,6 +780,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s14_stream_length_match" -> s14Sql, // x62's kept rows, stream-enforced
     "s13_stream_kmv" -> s13Sql, // same sketch arithmetic, batch-replayed
     "s12_stream_datacard" -> s12Sql, // x52's counters, streamed (integer state)
     "s11_stream_capped" -> s11Sql, // batch-planned rates enforced on the stream
