@@ -2100,9 +2100,9 @@ object ExtensionQueries {
        |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4),
        |sym AS (
-       |  SELECT vec_a AS vec_id, cosine FROM p
-       |  UNION ALL
-       |  SELECT vec_b AS vec_id, cosine FROM p),
+       |  -- single reference to p (a double reference makes DuckDB
+       |  -- materialize the whole LSH pipeline; at sf0.1 that was the OOM)
+       |  SELECT unnest([vec_a, vec_b]) AS vec_id, cosine FROM p),
        |d AS (
        |  SELECT vec_id, count(*) AS degree, max(cosine) AS max_cosine,
        |    CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DOUBLE) AS cs

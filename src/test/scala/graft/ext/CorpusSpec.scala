@@ -236,4 +236,35 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(byLang("en") === byLang.values.max, "en target must rank top on mean weight")
   }
+
+  test("distributionMatch: kept sample's bucket distribution moves toward the target's") {
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val bucket = least(expr("token_count div 10"), lit(19)).cast("int")
+    val feats = docs.select(col("doc_id"), col("lang"),
+      TextStats.tokenCount(col("text")).as("token_count"))
+    val out = Corpus.distributionMatch(feats, bucket, col("lang") === "en",
+      concat(lit("lm:"), col("doc_id").cast("string"))).cache()
+    // totality + membership determinism
+    assert(out.count() === docs.count())
+    val again = Corpus.distributionMatch(feats, bucket, col("lang") === "en",
+      concat(lit("lm:"), col("doc_id").cast("string")))
+    assert(out.select("doc_id", "kept").except(again.select("doc_id", "kept")).isEmpty)
+    // the best-matched bucket keeps everything (rate 1 -> threshold = buckets)
+    assert(out.filter(col("threshold") === 10000).count() > 0, "max-ratio bucket must keep all")
+    // L1 distance between bucket distributions: kept vs target must be <= corpus vs target
+    def dist(df: DataFrame): Map[Int, Double] = {
+      val rows = df.groupBy("bucket").count().collect()
+      val tot = rows.map(_.getLong(1)).sum.toDouble
+      rows.map(r => r.getInt(0) -> r.getLong(1) / tot).toMap
+    }
+    val target = dist(out.filter(col("lang") === "en"))
+    val corpus = dist(out)
+    val kept = dist(out.filter(col("kept") === 1))
+    def l1(a: Map[Int, Double], b: Map[Int, Double]): Double =
+      (a.keySet ++ b.keySet).toSeq.map(k => math.abs(a.getOrElse(k, 0.0) - b.getOrElse(k, 0.0))).sum
+    assert(l1(kept, target) <= l1(corpus, target) + 1e-9,
+      s"matching must not move the distribution AWAY from the target: ${l1(kept, target)} vs ${l1(corpus, target)}")
+    out.unpersist()
+  }
 }

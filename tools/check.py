@@ -80,14 +80,19 @@ def connect():
     limit_gb = max(1, min(24, total // 2 // (1 << 30)))
     con.sql(f"SET memory_limit='{limit_gb}GB'")
     con.sql("SET threads TO 8")
+    # let the heavy recursive-CTE oracles SPILL instead of failing when the
+    # budget is tight — an oracle-side OOM is a harness failure, not an
+    # engine finding, so trade disk for robustness
+    # (preserve_insertion_order=false was tried here and REGRESSED: it
+    # re-parallelizes the recursive-CTE oracles into a thread-local-state
+    # blowup that aborts the process on the LSH replays. Keep the default.)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     return con
 
 
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
-    con = connect()
-    make_views(con)
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     # --only=a,b,c restricts the compare (e.g. spot-checking cheap oracles
     # at sf1, where the heavy recursive-CTE oracles are impractical)
@@ -106,35 +111,52 @@ def main():
             except Exception as e:
                 print(f"ROWS {d.name}: unreadable ({e})")
     n_pass = n_fail = 0
+    # ONE connection for the whole sweep. Two failure shapes were chased
+    # here and BOTH were connection-churn, not query cost: every extra
+    # duckdb.connect() spins up its own thread pool and allocator arenas,
+    # and a sweep that reconnects per query (or retries too eagerly) dies
+    # around oracle ~110 with "cannot allocate memory for thread-local
+    # data" / hard segfaults, while each individual oracle peaks under
+    # 200 MB. Reuse the connection; recycle it ONLY on a failed oracle
+    # (closing the old one first) so one poisoned query can't cascade
+    # catalog errors to the rest.
+    import gc
+    con = connect()
+    make_views(con)
     for name in sorted(oracle):
         try:
             got = canon(pd.read_parquet(OUT / name))
-            # The heavy recursive-CTE oracles can transiently OOM in DuckDB
-            # right after the Spark JVM exits (page-cache pressure). Retry a
-            # few times with a fresh connection before calling it a failure.
+            # Transient OOM (page-cache pressure right after the Spark JVM
+            # exits): one paused retry on a recycled connection.
             want = None
-            for attempt in range(6):
+            for attempt in range(2):
                 try:
                     want = canon(con.sql(oracle[name]).df())
                     break
                 except Exception as e:
-                    if "Out of Memory" not in str(e) or attempt == 5:
+                    if "Out of Memory" not in str(e) or attempt == 1:
                         raise
                     import time
-                    time.sleep(10 * (attempt + 1))
+                    time.sleep(15)
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    gc.collect()
                     con = connect()
                     make_views(con)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
-            # a failed oracle (OOM mid-make_views on the retry path) can
-            # leave `con` without its table views — every later query would
-            # then cascade-fail with "Catalog Error: Table does not exist".
-            # Rebuild defensively so one poisoned query stays one failure.
             try:
-                del con
-                con = connect()
-                make_views(con)
+                con.close()
+            except Exception:
+                pass
+            gc.collect()
+            try:
+                fresh = connect()
+                make_views(fresh)
+                con = fresh
             except Exception:
                 pass
             continue
