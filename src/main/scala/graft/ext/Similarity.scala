@@ -276,6 +276,43 @@ object Similarity {
     result
   }
 
+  /** Embedding-distribution drift between two corpus slices: per group
+    * (label), the cosine between the slice-A mean vector and the slice-B
+    * mean vector, plus slice counts — the monitor a production embedding
+    * pipeline watches for upstream model/data changes (a drifting source
+    * shows cos << 1 long before downstream metrics move).
+    *
+    * Exactness: per-(group, slice, dim) means use the x54 trick — sum
+    * DECIMAL of 6dp-rounded coordinates (exact, order-free), ONE division,
+    * then the cosine of the two mean vectors in the compiled kernel,
+    * rounded to 6dp. One shuffle on (group, dim); means are |groups|x|dim|
+    * rows — broadcast-size at any corpus scale. */
+  def centroidDrift(embeddings: DataFrame, slicePred: Column,
+      groupCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dims = embeddings
+      .select(col(groupCol).as("grp"), slicePred.cast("int").as("in_b"),
+        posexplode(col(vecCol)).as(Seq("j", "x")))
+      .groupBy(col("grp"), col("in_b"), col("j"))
+      .agg((sum(round(col("x").cast("double"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(27, 6))).cast("double")
+        / count(lit(1)).cast("double")).as("mv"))
+    val means = dims.groupBy("grp", "in_b")
+      .agg(array_sort(collect_list(struct(col("j"), col("mv")))).as("jm"))
+      .select(col("grp"), col("in_b"),
+        expr("transform(jm, p -> cast(p.mv as float))").as("mean_vec"))
+    val counts = embeddings.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(slicePred.cast("long")).as("n_b"))
+    means.filter(col("in_b") === 0).select(col("grp"), col("mean_vec").as("va"))
+      .join(means.filter(col("in_b") === 1).select(col("grp"), col("mean_vec").as("vb")), Seq("grp"))
+      .join(counts, Seq("grp"))
+      .select(col("grp").as(groupCol),
+        col("n_total"), col("n_b"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 6)
+          .as("drift_cosine"))
+  }
+
   /** Per-vector neighborhood statistics of the cosine-threshold graph —
     * the density diagnostic a dedup deployment reads before choosing how
     * aggressive to cut: degree (how many neighbors at >= threshold),

@@ -2335,6 +2335,45 @@ object ExtensionQueries {
       |            AS INTEGER) < k.threshold THEN 1 ELSE 0 END AS kept
       |FROM b JOIN k USING (bucket)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x63 — embedding drift monitor: per label, the cosine between the mean
+  // vector of slice A (even vec_ids) and slice B (odd vec_ids) — the
+  // production check for upstream embedding-model or source drift. Means
+  // use x54's exact-decimal trick (6dp-rounded coords summed as DECIMAL,
+  // one division, float32 cast); the final cosine runs in the compiled
+  // kernel and rounds to 6dp, so the whole monitor replays bitwise.
+  // ---------------------------------------------------------------------------
+  def x63CentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(Tables.embeddings(spark, dir),
+      slicePred = col("vec_id") % 2 === 1)
+
+  private val x63Sql =
+    """WITH e AS (
+      |  SELECT label, CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS in_b, embedding
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT label, in_b, generate_subscripts(embedding, 1) AS j,
+      |    unnest(embedding) AS x
+      |  FROM e),
+      |m AS (
+      |  SELECT label, in_b, j,
+      |    CAST(sum(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(27,6))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS mv
+      |  FROM d GROUP BY 1, 2, 3),
+      |v AS (
+      |  SELECT label, in_b, list(CAST(mv AS FLOAT) ORDER BY j) AS mean_vec
+      |  FROM m GROUP BY 1, 2),
+      |c AS (
+      |  SELECT label, count(*) AS n_total,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM embeddings GROUP BY 1)
+      |SELECT c.label, c.n_total, c.n_b,
+      |  round(list_cosine_similarity(CAST(a.mean_vec AS DOUBLE[]),
+      |                               CAST(b.mean_vec AS DOUBLE[])), 6) AS drift_cosine
+      |FROM v a
+      |JOIN v b ON a.label = b.label AND a.in_b = 0 AND b.in_b = 1
+      |JOIN c ON c.label = a.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
@@ -2355,6 +2394,7 @@ object ExtensionQueries {
     "x60_tokenizer_stats" -> (x60TokenizerStats _),
     "x61_ndcg_ivf" -> (x61NdcgIvf _),
     "x62_length_match" -> (x62LengthMatch _),
+    "x63_centroid_drift" -> (x63CentroidDrift _),
     "x17_stratified_sample" -> (x17StratifiedSample _),
     "x18_token_shards" -> (x18TokenShards _),
     "x19_ngram_topk" -> (x19NgramTopk _),
@@ -2422,6 +2462,7 @@ object ExtensionQueries {
     "x60_tokenizer_stats" -> x60Sql,
     "x61_ndcg_ivf" -> x61Sql,
     "x62_length_match" -> x62Sql,
+    "x63_centroid_drift" -> x63Sql,
     "x17_stratified_sample" -> x17Sql,
     "x18_token_shards" -> x18Sql,
     "x19_ngram_topk" -> x19Sql,

@@ -1305,6 +1305,58 @@ object FixtureQueries {
        |FROM s""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q42 — trailing 7-day distinct users per day, via the KMV sketch: the
+  // classic hard sliding-window metric. Exact distinct over a sliding
+  // window can't partial-aggregate (every day re-deduplicates a week);
+  // the sketch CAN, because a merged sketch equals the sketch of the
+  // union — so each event fans out narrowly into the <=7 window-days it
+  // feeds (an Expand, no shuffle), and ONE hash aggregation builds every
+  // day's sketch with O(k) state per day. The oracle replays the same
+  // fan-out and the same (k-1)*2^63/kth estimator per window directly
+  // over the union — equality is exactly the sketch-merge law.
+  // ---------------------------------------------------------------------------
+  def q42SlidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    eventsInWindow(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .withColumn("window_day", explode(expr("sequence(day, date_add(day, 6))")))
+      .filter(col("window_day") < to_date(lit(W1)))
+      .withColumn("h", shiftrightunsigned(
+        graft.functions.HashFunctions.md5_lo64(col("user_id").cast("string")), 1))
+      .groupBy("window_day")
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.AggFunctions.kmv_distinct(col("h"), 64).as("approx_users_7d"))
+
+  private val q42Sql =
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+       |  WHERE ts >= TIMESTAMP '$W0' AND ts < TIMESTAMP '$W1'),
+       |f AS (
+       |  SELECT user_id, unnest(range(0, 7)) AS o, day FROM e),
+       |w AS (
+       |  SELECT user_id, day + CAST(o AS INTEGER) AS window_day FROM f
+       |  WHERE day + CAST(o AS INTEGER) < CAST(TIMESTAMP '$W1' AS DATE)),
+       |h AS (
+       |  SELECT DISTINCT window_day,
+       |    CAST(md5_number_lower(CAST(user_id AS VARCHAR)) >> 1 AS BIGINT) AS h
+       |  FROM w),
+       |r AS (
+       |  SELECT window_day, h,
+       |    row_number() OVER (PARTITION BY window_day ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY window_day) AS nd
+       |  FROM h),
+       |k AS (
+       |  SELECT window_day, max(nd) AS nd,
+       |    max(CASE WHEN rn = 64 THEN h END) AS kth
+       |  FROM r GROUP BY 1),
+       |b AS (SELECT window_day, count(*) AS n_events FROM w GROUP BY 1)
+       |SELECT b.window_day, b.n_events,
+       |  CASE WHEN k.nd < 64 THEN CAST(k.nd AS DOUBLE)
+       |       ELSE (CAST(63 AS DOUBLE) * power(2.0, 63)) / CAST(k.kth AS DOUBLE)
+       |       END AS approx_users_7d
+       |FROM b JOIN k USING (window_day)""".stripMargin
+
+  // ---------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trans_summary" -> (q1TransSummary _),
@@ -1347,7 +1399,8 @@ object FixtureQueries {
     "q38_relative_rank" -> (q38RelativeRank _),
     "q39_twap" -> (q39Twap _),
     "q40_retention" -> (q40RetentionCohorts _),
-    "q41_correlation" -> (q41Correlation _))
+    "q41_correlation" -> (q41Correlation _),
+    "q42_sliding_distinct" -> (q42SlidingDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_trans_summary" -> q1Sql,
@@ -1390,5 +1443,6 @@ object FixtureQueries {
     "q38_relative_rank" -> q38Sql,
     "q39_twap" -> q39Sql,
     "q40_retention" -> q40Sql,
-    "q41_correlation" -> q41Sql)
+    "q41_correlation" -> q41Sql,
+    "q42_sliding_distinct" -> q42Sql)
 }

@@ -26,14 +26,14 @@ ONLY=$(printf '%s,' \
   q23_distinct q24_pivot q25_cube q26_star_join q27_asof_native \
   q28_range_native q29_lateral q30_unpivot q31_grouping_sets q32_lead_lag \
   q33_ntile q34_running_frames q35_approx_distinct q36_intersect \
-  q37_correlated_avg q38_relative_rank q39_twap q40_retention q41_correlation \
+  q37_correlated_avg q38_relative_rank q39_twap q40_retention q41_correlation q42_sliding_distinct \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
   s14_stream_length_match \
   x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
   x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
   x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
-  x62_length_match x13_knn_ivf x33_quantize_int8 x34_quantized_knn x35_quantized_ivf \
+  x62_length_match x63_centroid_drift x13_knn_ivf x33_quantize_int8 x34_quantized_knn x35_quantized_ivf \
   x39_semantic_dup x44_ann_recall \
   x36_bpe_tokens x37_bm25 x38_repetition x40_lm_quality \
   x41_dup_spans x42_dsir_weights x43_hybrid_rrf x45_span_removal \
