@@ -2347,7 +2347,7 @@ object ExtensionQueries {
     Similarity.centroidDrift(Tables.embeddings(spark, dir),
       slicePred = col("vec_id") % 2 === 1)
 
-  private val x63Sql =
+  private[queries] val x63Sql =
     """WITH e AS (
       |  SELECT label, CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS in_b, embedding
       |  FROM embeddings),

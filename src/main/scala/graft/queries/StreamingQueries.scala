@@ -763,7 +763,57 @@ object StreamingQueries {
       |WHERE CAST(md5_number_lower('lm:' || CAST(b.doc_id AS VARCHAR)) % 10000
       |           AS INTEGER) < k.threshold""".stripMargin
 
+  /** Streaming drift monitor — x63's state-heavy half run as a stream: the
+    * per-(label, slice, dimension) exact-decimal sums/counts are a
+    * complete-mode streaming aggregation (state = |labels| x 2 x |dim|
+    * rows of DECIMAL — bounded, micro-batch merge order cannot change a
+    * bit), and the tiny finish (divide, assemble mean vectors, one cosine
+    * per label) runs batch-side on the drained table. Shares x63's oracle
+    * bitwise: streamed sums == batch sums, and everything after is the
+    * same fixed-order arithmetic. */
+  def s15StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s15drift", dir, Seq("embeddings.parquet")) { out =>
+      Tables.embeddings(spark, dir).write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s15_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .select(col("label").as("grp"), (col("vec_id") % 2 === 1).cast("int").as("in_b"),
+          posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("grp", "in_b", "j")
+        .agg(
+          sum(round(col("x").cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(27, 6))).as("xsum"),
+          count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s15 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    val dims = spark.table(name)
+      .withColumn("mv", col("xsum").cast("double") / col("n").cast("double"))
+    val means = dims.groupBy("grp", "in_b")
+      .agg(array_sort(collect_list(struct(col("j"), col("mv")))).as("jm"))
+      .select(col("grp"), col("in_b"),
+        expr("transform(jm, p -> cast(p.mv as float))").as("mean_vec"))
+      // pinned: the A/B self-join below would otherwise carry two copies of
+      // the memory-sink lineage and fail attribute resolution (640 rows)
+      .localCheckpoint()
+    val counts = Tables.embeddings(spark, dir).groupBy(col("label").as("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("vec_id") % 2 === 1).cast("long")).as("n_b"))
+    means.filter(col("in_b") === 0).select(col("grp"), col("mean_vec").as("va"))
+      .join(means.filter(col("in_b") === 1).select(col("grp"), col("mean_vec").as("vb")), Seq("grp"))
+      .join(counts, Seq("grp"))
+      .select(col("grp").as("label"), col("n_total"), col("n_b"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb")), 6)
+          .as("drift_cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_drift" -> (s15StreamDrift _),
     "s14_stream_length_match" -> (s14StreamLengthMatch _),
     "s13_stream_kmv" -> (s13StreamKmv _),
     "s12_stream_datacard" -> (s12StreamDatacard _),
@@ -780,6 +830,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s15_stream_drift" -> ExtensionQueries.x63Sql, // same exact sums, streamed
     "s14_stream_length_match" -> s14Sql, // x62's kept rows, stream-enforced
     "s13_stream_kmv" -> s13Sql, // same sketch arithmetic, batch-replayed
     "s12_stream_datacard" -> s12Sql, // x52's counters, streamed (integer state)
