@@ -507,4 +507,40 @@ object Corpus {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("empty_docs"),
         col("n_langs"), col("top_lang"), col("dup_docs"), col("mean_quality"))
   }
+
+  /** Seeded global training-order shuffle: every document gets a
+    * deterministic position in a pseudo-random permutation of the corpus,
+    * plus the training shard that position lands in. This is the "global
+    * shuffle before training" stage of a data pipeline — at 100 TB it must
+    * NOT be `orderBy(rand())` (non-reproducible, and a re-run of one failed
+    * shard would need the whole sort again) nor a single-partition
+    * `row_number()` window (serializes the corpus through one task).
+    *
+    * Design: a 20-bit mixed congruential hash of the id (exact in 64-bit
+    * integer arithmetic even for ids up to 2^43, so the DuckDB oracle
+    * replays it bitwise) gives the shuffle bucket; the total order is
+    * (bucket, id) encoded into one long key `bucket * 2^43 + id`, and the
+    * global position is a two-pass distributed prefix count over that key
+    * ([[graft.ops.PrefixSum]]: range-partition + per-partition offsets, no
+    * global window). Re-running any partition reproduces its exact rows.
+    */
+  def seededShuffle(df: DataFrame, seed: Long, shardSize: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    require(seed >= 0 && seed < Int.MaxValue, "seed must fit in [0, 2^31)")
+    val idSlot = 8796093022208L // 2^43: id capacity per bucket; key fills Long exactly
+    // seed folds in BEFORE the multiply: an additive post-multiply seed would
+    // only rotate bucket values mod 2^20, leaving the permutation ORDER almost
+    // unchanged; pre-multiply it reshuffles genuinely per seed. All terms stay
+    // below 2^63 for ids < 2^43 and seeds < 2^31 (exact 64-bit arithmetic).
+    val bucket = ((col(idCol) % 1048576L + lit(seed)) * 2654435761L
+      + (expr(s"$idCol div 1048576") * 40503L)) % 1048576L
+    val keyed = df.select((bucket * idSlot + col(idCol)).as("skey"), lit(1L).as("one"))
+    graft.ops.PrefixSum.exclusiveRunningTotal(keyed, "skey", "one", outCol = "position")
+      .select(
+        (col("skey") % idSlot).as(idCol),
+        expr(s"skey div $idSlot").as("shuffle_bucket"),
+        col("position"),
+        expr(s"position div $shardSize").as("shard_id"))
+  }
 }

@@ -315,4 +315,44 @@ object TextStats {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),
       graft.functions.HashFunctions.winnowing_fp(col(textCol), k, window).as("fingerprints"))
+
+  /** Collocation mining: top-k term pairs by document-level pointwise mutual
+    * information, `pmi = ln(co_docs * n_docs / (df_a * df_b))` — the signal
+    * behind phrase detection and vocabulary merging in corpus pipelines.
+    *
+    * Scale shape: the per-doc DISTINCT term table shuffles once on
+    * (doc_id, term); the df table is filtered to terms with `df >= minDf`
+    * and broadcast (rare-term pairs are statistical noise AND the fan-out
+    * bound — dropping them caps the per-doc self-join width), so pair
+    * generation is a co-partitioned self-join on doc_id with map-side
+    * combine on the pair counts. Nothing global until the final
+    * TakeOrderedAndProject k-cut. All PMI arithmetic is exact-integer-valued
+    * doubles (products < 2^53) rounded to 6dp, so the DuckDB oracle replays
+    * it bitwise. */
+  def pmiPairs(docs: DataFrame, minDf: Int = 5, minPair: Int = 3, k: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    val docTerm = graft.ops.Par.fanOut(nonEmpty)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("term"))
+    val dfTab = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDf = nonEmpty.agg(count(lit(1)).as("n_docs"))
+    val frequent = docTerm.join(broadcast(dfTab), "term")
+      .select(col("doc_id"), col("term"), col("df"))
+    val pairs = frequent.as("a")
+      .join(frequent.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("co_docs"),
+        first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+      .filter(col("co_docs") >= minPair)
+    pairs.crossJoin(broadcast(nDf))
+      .withColumn("pmi", round(
+        log(col("co_docs").cast("double") * col("n_docs").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6))
+      .drop("n_docs")
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
 }

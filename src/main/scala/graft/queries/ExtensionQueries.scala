@@ -2374,7 +2374,103 @@ object ExtensionQueries {
       |JOIN v b ON a.label = b.label AND a.in_b = 0 AND b.in_b = 1
       |JOIN c ON c.label = a.label""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x64 — seeded global training-order shuffle: deterministic pseudo-random
+  // permutation of the corpus + shard assignment. The engine computes the
+  // exact-integer 20-bit mixed hash, encodes (bucket, doc_id) into one long
+  // key, and derives the global position with the two-pass distributed
+  // prefix count (no single-partition window, no rand()); the oracle replays
+  // the identical integer hash and uses the window formulation — bitwise-
+  // equal integers either way.
+  // ---------------------------------------------------------------------------
+  private val shuffleSeed = 17L
+  private val shuffleShard = 64L
+
+  def x64SeededShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Corpus.seededShuffle(
+      Tables.documents(spark, dir), seed = shuffleSeed, shardSize = shuffleShard)
+
+  private[queries] val x64Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ((doc_id % 1048576 + $shuffleSeed) * 2654435761
+       |      + (doc_id // 1048576) * 40503) % 1048576 AS shuffle_bucket
+       |  FROM documents)
+       |SELECT doc_id, shuffle_bucket,
+       |  row_number() OVER (ORDER BY shuffle_bucket, doc_id) - 1 AS position,
+       |  (row_number() OVER (ORDER BY shuffle_bucket, doc_id) - 1) // $shuffleShard
+       |    AS shard_id
+       |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x65 — PMI collocation mining: top-50 term pairs by document-level
+  // pointwise mutual information over the distinct-terms-per-doc table
+  // (df >= 5, co-occurrence >= 3). The engine broadcasts the frequent-term
+  // table and self-joins on doc_id (co-partitioned, map-side combined);
+  // the oracle replays the identical exact-integer arithmetic.
+  // ---------------------------------------------------------------------------
+  def x65PmiPairs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.pmiPairs(Tables.documents(spark, dir), minDf = 5, minPair = 3, k = 50)
+
+  private[queries] val x65Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT count(*) AS n_docs FROM d),
+      |t AS (SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM d)),
+      |f AS (SELECT term, count(*) AS df FROM t GROUP BY 1 HAVING count(*) >= 5),
+      |ft AS (SELECT t.doc_id, t.term, f.df FROM t JOIN f USING (term)),
+      |p AS (
+      |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS co_docs,
+      |    min(a.df) AS df_a, min(b.df) AS df_b
+      |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT term_a, term_b, co_docs, df_a, df_b,
+      |  round(ln(CAST(co_docs AS DOUBLE) * CAST((SELECT n_docs FROM n) AS DOUBLE)
+      |    / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+      |FROM p
+      |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x66 — Z-order layout audit: events mapped onto a 256x256 (user, minute)
+  // grid, Morton-interleaved, cut into 64 fixed-width z-ranges (= aligned
+  // 32x32 rectangles). Per range: row count + the (u, m) bounding box — the
+  // stats a parquet row group written in this order would carry, i.e. the
+  // pruning power a predicate on EITHER dimension gets. The interleave is a
+  // pure integer Catalyst expression; the oracle replays it from the same
+  // generated SQL (Layout.zValueSql).
+  // ---------------------------------------------------------------------------
+  def x66ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val minute = floor((unix_timestamp(col("ts").cast("timestamp")) - lit(1704067200L))
+      / lit(60)).cast("long")
+    val cells = ev.select(
+      (col("user_id") % 256L).as("uc"),
+      graft.ext.Layout.gridCell(minute, cap = 44639L, bits = 8).as("mc"))
+    cells
+      .withColumn("zval", graft.ext.Layout.zValue(col("uc"), col("mc"), bits = 8))
+      .groupBy(expr("zval div 1024").as("z_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("uc")).as("min_u"), max(col("uc")).as("max_u"),
+        min(col("mc")).as("min_m"), max(col("mc")).as("max_m"))
+  }
+
+  private[queries] val x66Sql = {
+    val z = graft.ext.Layout.zValueSql("uc", "mc", bits = 8)
+    s"""WITH e AS (
+       |  SELECT user_id % 256 AS uc,
+       |    least((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 60, 44639)
+       |      * 256 // 44640 AS mc
+       |  FROM events),
+       |z AS (SELECT uc, mc, ($z) AS zval FROM e)
+       |SELECT zval // 1024 AS z_bucket, count(*) AS n_events,
+       |  min(uc) AS min_u, max(uc) AS max_u, min(mc) AS min_m, max(mc) AS max_m
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x64_seeded_shuffle" -> (x64SeededShuffle _),
+    "x65_pmi_pairs" -> (x65PmiPairs _),
+    "x66_zorder_layout" -> (x66ZorderLayout _),
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
     "x46_canonical_docs" -> (x46CanonicalDocs _),
@@ -2440,6 +2536,9 @@ object ExtensionQueries {
     "x10_embedding_pairs" -> (x10EmbeddingPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "x64_seeded_shuffle" -> x64Sql,
+    "x65_pmi_pairs" -> x65Sql,
+    "x66_zorder_layout" -> x66Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -267,4 +267,29 @@ class CorpusSpec extends AnyFunSuite {
       s"matching must not move the distribution AWAY from the target: ${l1(kept, target)} vs ${l1(corpus, target)}")
     out.unpersist()
   }
+
+  test("seededShuffle: bijective positions, shard math, layout-invariant, sf1-scale ids safe") {
+    // ids with the sf1 stride shape (1e9 apart) plus small ids — the hash must
+    // stay exact in 64-bit arithmetic across the whole id range
+    val ids = (0L until 40L) ++ (0L until 5L).map(i => 5_000_000_000L + i * 1_000_000_000L)
+    val docs = ids.toDF("doc_id")
+    val out = Corpus.seededShuffle(docs, seed = 17L, shardSize = 8L)
+      .select("doc_id", "shuffle_bucket", "position", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSet == ids.toSet, "every doc appears exactly once")
+    assert(out.map(_._3).toSeq == (0L until ids.length).toSeq, "positions are 0..n-1")
+    assert(out.forall(r => r._4 == r._3 / 8L), "shard = position div shardSize")
+    // position order IS (bucket, doc_id) order
+    val sortedKeys = out.map(r => (r._2, r._1)).toSeq
+    assert(sortedKeys == sortedKeys.sorted, "global order follows (bucket, id)")
+    // replay on a different partition layout: bitwise-identical assignment
+    val again = Corpus.seededShuffle(docs.repartition(7), seed = 17L, shardSize = 8L)
+      .select("doc_id", "shuffle_bucket", "position", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == again.toSeq, "shuffle order is a pure function of (ids, seed)")
+    // a different seed produces a different permutation (not the identity map)
+    val reseeded = Corpus.seededShuffle(docs, seed = 18L, shardSize = 8L)
+      .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    assert(out.exists(r => reseeded(r._1) != r._3), "seed changes the order")
+  }
 }

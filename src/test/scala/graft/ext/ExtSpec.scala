@@ -830,4 +830,61 @@ class ExtSpec extends AnyFunSuite {
       Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
     assert(fused.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("zValue: known interleave; fixed-width z-ranges are aligned rectangles beating 1-dim sort") {
+    import spark.implicits._
+    // interleave(a=5 (101b), b=9 (1001b)) = 1 + 2 + 16 + 128 = 147
+    val known = Seq((5L, 9L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), bits = 8)).as[Long].head()
+    assert(known == 147L, s"zValue(5, 9) must be 147, got $known")
+    // scattered points over the 256x256 grid
+    val pts = (0 until 8192).map(i => ((i * 37L) % 256L, (i * 91L) % 256L)).toDF("a", "b")
+    val spans = pts
+      .withColumn("zval", Layout.zValue(col("a"), col("b"), bits = 8))
+      .groupBy(expr("zval div 1024").as("bk"))
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .select("sa", "sb").as[(Long, Long)].collect()
+    // a 1024-wide aligned z-range is exactly one 32x32 tile: both spans <= 31
+    assert(spans.forall(s => s._1 <= 31 && s._2 <= 31),
+      s"z-range must bound BOTH dims to its 32-cell tile: ${spans.filterNot(s => s._1 <= 31 && s._2 <= 31).take(3).toSeq}")
+    // the same row budget laid out by b alone leaves `a` unbounded per range
+    val bSorted = pts.groupBy(expr("b div 4").as("bk"))
+      .agg((max("a") - min("a")).as("sa")).select("sa").as[Long].collect()
+    assert(bSorted.max > 200, "single-dim layout must NOT bound the other dim (sanity)")
+  }
+
+  test("zOrderLayout: range partitions carry disjoint z-ranges (prunable file stats)") {
+    import spark.implicits._
+    val pts = (0 until 4096).map(i => ((i * 53L) % 256L, (i * 29L) % 256L)).toDF("a", "b")
+    val laid = Layout.zOrderLayout(pts, col("a"), col("b"), files = 8, bits = 8)
+    val ranges = laid.select(spark_partition_id().as("pid"), col("_zval"))
+      .groupBy("pid").agg(min("_zval").as("lo"), max("_zval").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1, "layout must spread across multiple files")
+    ranges.sliding(2).foreach {
+      case Array(p, q) => assert(p._3 <= q._2, s"file z-ranges overlap: $p vs $q")
+      case _ =>
+    }
+  }
+
+  test("pmiPairs: perfect collocation tops the list with exact pmi; rare terms pruned") {
+    import spark.implicits._
+    // "neural network" co-occur in all 6 of their docs; "the" is everywhere
+    // (pmi ~ 0 against anything); "rare" appears twice (df < minDf, pruned)
+    val docs = ((0 until 6).map(i =>
+        (i.toLong, "neural network the " + (if (i < 2) "rare" else "ignored" + i))) ++
+      (6 until 24).map(i => (i.toLong, "the filler" + (i % 9) + " pad" + i)))
+      .toDF("doc_id", "text")
+    val out = TextStats.pmiPairs(docs, minDf = 3, minPair = 2, k = 10)
+      .select("term_a", "term_b", "co_docs", "df_a", "df_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val top = out.head
+    assert((top._1, top._2) == ("network", "neural"), s"collocation must rank first, got $top")
+    // exact arithmetic: pmi = ln(co * N / (df_a * df_b)) rounded to 6dp
+    val expected = BigDecimal(math.log(6.0 * 24.0 / (6.0 * 6.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top._6 == expected, s"pmi ${top._6} != $expected")
+    assert(!out.exists(r => r._1 == "rare" || r._2 == "rare"), "df < minDf terms pruned")
+    assert(out.forall(r => r._3 >= 2 && r._1 < r._2), "pair floor and canonical order hold")
+  }
 }
