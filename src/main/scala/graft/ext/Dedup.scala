@@ -320,6 +320,66 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** 4b. Exact n-gram Jaccard pairs WITHOUT the all-shingles self-join:
+    * prefix-filtered similarity join (the SSJoin/PPJoin family). Bitwise the
+    * same output as [[jaccardPairs]], but candidate generation only explodes
+    * each document's PREFIX — its `n - ceil(t*n) + 1` globally rarest
+    * shingles under the total order (df asc, shingle asc).
+    *
+    * Completeness: if jaccard(A,B) >= t then `|A∩B| >= ceil(t*|A|)`, and by
+    * pigeonhole the globally smallest common shingle cannot fit in A's
+    * `ceil(t*|A|) - 1`-sized suffix, so it lies in A's prefix — and
+    * symmetrically in B's — hence the prefix equijoin emits every
+    * qualifying pair. Survivors are verified exactly on the full shingle
+    * arrays (`array_intersect`), so false candidates only cost compute.
+    *
+    * Scale: [[jaccardPairs]] self-joins EVERY shingle occurrence — a
+    * stop-shingle shared by 1M docs alone produces 5*10^11 joined rows.
+    * Here the join key set is the rare prefix (~(1-t) of each doc), and
+    * because tokens are prefix-eligible in rarity order, hot shingles are
+    * exactly the ones that drop out first; the df table costs one extra
+    * shuffle, the candidate join moves (1-t)-scaled data, and verification
+    * is per-candidate. The size predicate `t*na <= nb <= na/t` prunes
+    * cross-size candidates before the distinct. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sh = graft.ops.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint() // reused by df ranking, candidates, and verification
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .withColumn("n", size(col("ranked")))
+      // alpha = ceil(t*n) exactly: t*n in doubles can land a hair above an
+      // integer (5 * 0.8 = 4.0000000000000002) and a too-large alpha
+      // BREAKS completeness; 6dp rounding restores the exact product for
+      // any threshold with a short decimal expansion
+      .withColumn("plen",
+        (col("n") - ceil(round(col("n") * lit(threshold), 6)) + 1).cast("int"))
+    val pref = ranked
+      .select(col("doc_id"), col("n"), explode(expr("slice(ranked, 1, plen)")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.s").as("s"))
+    val cand = pref.alias("a").join(pref.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          // 6dp-rounded products: the raw double 5 * 0.8 = 4.0000000000000002
+          // would wrongly prune the exactly-at-threshold contained pair
+          && round(col("b.n") * lit(threshold), 6) <= col("a.n")
+          && round(col("a.n") * lit(threshold), 6) <= col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), size(col("sh")).as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"), size(col("sh")).as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 3. SimHash: 64-bit fingerprint from token hashes — one compiled
     * bit-vote pass per row (graft.functions.SimHash64), no shuffle.
     * Votes on the md5-low-64 token hash so a DuckDB oracle can rebuild the

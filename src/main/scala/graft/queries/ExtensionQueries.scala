@@ -2467,10 +2467,23 @@ object ExtensionQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // x67 — prefix-filtered EXACT Jaccard join (SSJoin/PPJoin family): the
+  // scalable plan for x2's semantics. Candidates come only from each doc's
+  // rarest (df asc, shingle asc) prefix of length n - ceil(t*n) + 1 —
+  // provably complete by the pigeonhole bound — then exact array-intersect
+  // verification. Same oracle as x2: the results must be identical; only
+  // the plan differs (no all-shingle self-join, hot shingles drop out of
+  // prefixes first).
+  // ---------------------------------------------------------------------------
+  def x67PpjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(Tables.documents(spark, dir), jaccardThreshold)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x65_pmi_pairs" -> (x65PmiPairs _),
     "x66_zorder_layout" -> (x66ZorderLayout _),
+    "x67_ppjoin_pairs" -> (x67PpjoinPairs _),
     "x20_quality_filter" -> (x20QualityFilter _),
     "x16_dup_clusters" -> (x16DupClusters _),
     "x46_canonical_docs" -> (x46CanonicalDocs _),
@@ -2539,6 +2552,7 @@ object ExtensionQueries {
     "x64_seeded_shuffle" -> x64Sql,
     "x65_pmi_pairs" -> x65Sql,
     "x66_zorder_layout" -> x66Sql,
+    "x67_ppjoin_pairs" -> x2Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -831,6 +831,29 @@ class ExtSpec extends AnyFunSuite {
     assert(fused.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("jaccardPairsPrefix: bitwise-equal to the all-shingles join on the fixture, two thresholds") {
+    for (t <- Seq(0.8, 0.6)) {
+      val naive = Dedup.jaccardPairs(docs, t)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      val prefix = Dedup.jaccardPairsPrefix(docs, t)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      assert(prefix == naive, s"prefix-filtered join must equal ground truth at t=$t " +
+        s"(naive ${naive.size}, prefix ${prefix.size})")
+    }
+  }
+
+  test("jaccardPairsPrefix: exactly-at-threshold contained pair survives the size filter") {
+    import spark.implicits._
+    // shingle sets: A has 5 word-3-grams, B its first 4 => jaccard = 4/5 = 0.8
+    val a = "w1 w2 w3 w4 w5 w6 w7" // 5 shingles
+    val b = "w1 w2 w3 w4 w5 w6"    // 4 shingles, all in A
+    val pair = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(pair, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0.8)),
+      s"boundary pair (t*na == nb, jaccard == t) must be found, got ${got.toSeq}")
+  }
+
   test("zValue: known interleave; fixed-width z-ranges are aligned rectangles beating 1-dim sort") {
     import spark.implicits._
     // interleave(a=5 (101b), b=9 (1001b)) = 1 + 2 + 16 + 128 = 147
