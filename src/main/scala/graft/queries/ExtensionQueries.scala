@@ -2479,8 +2479,65 @@ object ExtensionQueries {
   def x67PpjoinPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairsPrefix(Tables.documents(spark, dir), jaccardThreshold)
 
+  // ---------------------------------------------------------------------------
+  // x68 — single-scan column profiler over lineitem (ANALYZE-style): null
+  // count, exact distinct count, canonical min/max per column, long format.
+  // One Expand+aggregate pipeline for all columns (constant shuffles in the
+  // column count); numeric extremes canonicalized through DECIMAL(27,6) so
+  // the stringified profile is engine-portable. Oracle: per-column UNION ALL.
+  // ---------------------------------------------------------------------------
+  private val profileCols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+  def x68ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.profile(Tables.lineitem(spark, dir), profileCols)
+
+  private[queries] val x68Sql = {
+    val numeric = Set("l_orderkey", "l_linenumber", "l_quantity")
+    profileCols.map { c =>
+      val mn =
+        if (numeric(c)) s"CAST(CAST(min($c) AS DECIMAL(27,6)) AS VARCHAR)"
+        else s"CAST(min($c) AS VARCHAR)"
+      val mx =
+        if (numeric(c)) s"CAST(CAST(max($c) AS DECIMAL(27,6)) AS VARCHAR)"
+        else s"CAST(max($c) AS VARCHAR)"
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct, $mn AS min_value, $mx AS max_value
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------------------
+  // x69 — next-event training pairs: per-user event streams become
+  // (3-event context, next event) supervised examples — the behavioral-LM
+  // data-prep stage. One shuffle on user_id; all lags share one Window sort.
+  // ---------------------------------------------------------------------------
+  def x69NextEventPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sequences.nextTokenPairs(
+      Tables.events(spark, dir),
+      keyCol = col("user_id"),
+      orderCols = Seq(col("ts"), col("event_id")),
+      tokenCol = col("event_type"),
+      ctx = 3,
+      keep = Seq(col("user_id"), col("event_id")))
+
+  private[queries] val x69Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type, 3) OVER w AS context_1,
+      |    lag(event_type, 2) OVER w AS context_2,
+      |    lag(event_type, 1) OVER w AS context_3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, context_1, context_2, context_3,
+      |  event_type AS target
+      |FROM s WHERE context_1 IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
+    "x68_column_profile" -> (x68ColumnProfile _),
+    "x69_next_event_pairs" -> (x69NextEventPairs _),
     "x65_pmi_pairs" -> (x65PmiPairs _),
     "x66_zorder_layout" -> (x66ZorderLayout _),
     "x67_ppjoin_pairs" -> (x67PpjoinPairs _),
@@ -2553,6 +2610,8 @@ object ExtensionQueries {
     "x65_pmi_pairs" -> x65Sql,
     "x66_zorder_layout" -> x66Sql,
     "x67_ppjoin_pairs" -> x2Sql,
+    "x68_column_profile" -> x68Sql,
+    "x69_next_event_pairs" -> x69Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

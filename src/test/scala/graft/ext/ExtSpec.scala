@@ -854,6 +854,37 @@ class ExtSpec extends AnyFunSuite {
       s"boundary pair (t*na == nb, jaccard == t) must be found, got ${got.toSeq}")
   }
 
+  test("profile: exact per-column stats in one scan; decimal-canonical numeric extremes") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")), (Some(3L), Some("a")))
+      .toDF("k", "s")
+    val out = Profile.profile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("k") == (("k", 4L, 1L, 2L, "1.000000", "3.000000")))
+    assert(out("s") == (("s", 4L, 1L, 2L, "a", "b")))
+    // single-scan shape: one source node feeds every column's aggregates
+    val scans = Profile.profile(df, Seq("k", "s")).queryExecution.optimizedPlan
+      .collectLeaves().size
+    assert(scans == 1, s"profile must read its input once, found $scans leaves")
+  }
+
+  test("nextTokenPairs: hand stream yields exactly the sliding (context, target) pairs") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"), (1L, 5L, "e"),
+      (2L, 1L, "x"), (2L, 2L, "y"), (2L, 3L, "z"))
+      .toDF("uid", "seq", "tok")
+    val out = Sequences.nextTokenPairs(ev, col("uid"), Seq(col("seq")), col("tok"),
+        ctx = 3, keep = Seq(col("uid"), col("seq")))
+      .as[(Long, Long, String, String, String, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 4L, "a", "b", "c", "d"),
+      (1L, 5L, "b", "c", "d", "e")),
+      s"got ${out.toSeq}")
+  }
+
   test("zValue: known interleave; fixed-width z-ranges are aligned rectangles beating 1-dim sort") {
     import spark.implicits._
     // interleave(a=5 (101b), b=9 (1001b)) = 1 + 2 + 16 + 128 = 147
