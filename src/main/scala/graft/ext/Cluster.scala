@@ -220,4 +220,50 @@ object Cluster {
       .groupBy(col("stratum_a"), col("stratum_b"))
       .agg(count(lit(1)).as("shared_clusters"))
   }
+
+  /** Weighted PageRank by unrolled power iteration — the generic importance
+    * measure over any extracted graph (link graphs for crawl prioritization,
+    * transition graphs for behavior modeling).
+    *
+    * Each iteration is two shuffles (join ranks to edges on src, re-group
+    * contributions on dst) — the standard Pregel-by-joins shape, linear in
+    * |edges| per round and independent of graph diameter concerns since the
+    * round count is fixed. Dangling mass is dropped (no out-edge nodes
+    * contribute nothing), the common simplification.
+    *
+    * Determinism: per-edge contributions are rounded to 6dp and summed as
+    * DECIMAL(27,6) — exact, partition-order-invariant — then the damped
+    * update is rounded to 6dp. Every float op is replayable bitwise by a
+    * SQL oracle unrolling the same iterations.
+    *
+    * `edges`: (src, dst, weight). Ranks initialize to round(1/N, 6) over the
+    * N distinct endpoint nodes. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outW = e.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val n = nodes.count()
+    // plain IEEE doubles, mirrored literally by the oracle's
+    // (1.0 - CAST(d AS DOUBLE)) / CAST(N AS DOUBLE) — both engines perform
+    // the identical correctly-rounded ops on identical inputs
+    val base = lit((1.0 - damping) / n.toDouble)
+    val rank0 = BigDecimal(1.0 / n.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // = round(1.0/N, 6)
+    var ranks = nodes.withColumn("rank", lit(rank0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outW, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          round(col("rank") * col("w") / col("out_w"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(27, 6)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_rank"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(base + lit(damping) * coalesce(col("in_rank").cast("double"), lit(0.0)), 6)
+            .as("rank"))
+    }
+    ranks
+  }
 }

@@ -2534,10 +2534,59 @@ object ExtensionQueries {
       |  event_type AS target
       |FROM s WHERE context_1 IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x70 — weighted PageRank (3 damped power iterations) over the event-type
+  // transition graph. Edge extraction is the distributed-heavy stage (one
+  // window pass + groupBy over all events); each iteration is the generic
+  // two-shuffle Pregel-by-joins step, size-independent of the node count.
+  // Per-edge contributions round to 6dp and sum as DECIMAL(27,6), so the
+  // oracle's unrolled CTEs replay every float op bitwise.
+  // ---------------------------------------------------------------------------
+  private val prIters = 3
+  private val prDamping = 0.85
+
+  def x70PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = Tables.events(spark, dir)
+      .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    Cluster.pageRank(edges, iters = prIters, damping = prDamping)
+  }
+
+  private[queries] val x70Sql = {
+    val d = s"CAST($prDamping AS DOUBLE)"
+    val n = "CAST((SELECT n FROM cnt) AS DOUBLE)"
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |    round((1.0 - $d) / $n + $d * coalesce(CAST(s.in_rank AS DOUBLE), 0.0), 6) AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(CAST(round(r.rank * e.w / ow.out_w, 6) AS DECIMAL(27,6))) AS in_rank
+         |    FROM e JOIN ow ON ow.src = e.src JOIN r${k - 1} r ON r.node = e.src
+         |    GROUP BY 1) s ON s.node = nd.node)"""
+    s"""WITH tr AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |e AS (SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+       |      FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nd),
+       |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+       |r0 AS (SELECT node, round(1.0 / $n, 6) AS rank FROM nd),
+       |${(1 to prIters).map(iter).mkString(",\n")}
+       |SELECT node, rank FROM r$prIters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x69_next_event_pairs" -> (x69NextEventPairs _),
+    "x70_pagerank" -> (x70PageRank _),
     "x65_pmi_pairs" -> (x65PmiPairs _),
     "x66_zorder_layout" -> (x66ZorderLayout _),
     "x67_ppjoin_pairs" -> (x67PpjoinPairs _),
@@ -2612,6 +2661,7 @@ object ExtensionQueries {
     "x67_ppjoin_pairs" -> x2Sql,
     "x68_column_profile" -> x68Sql,
     "x69_next_event_pairs" -> x69Sql,
+    "x70_pagerank" -> x70Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -268,6 +268,22 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("pageRank: cycle fixed point, hub dominance, layout-invariant") {
+    // symmetric 2-cycle: 0.5 is the exact fixed point of the damped update
+    val cycle = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
+    val cr = Cluster.pageRank(cycle, iters = 3).as[(String, Double)].collect().toMap
+    assert(cr == Map("a" -> 0.5, "b" -> 0.5), s"cycle must stay at the fixed point: $cr")
+    // star: every spoke points at the hub -> hub outranks all spokes
+    val star = (1 to 6).map(i => (s"s$i", "hub", 1L)).toDF("src", "dst", "weight")
+    val sr = Cluster.pageRank(star, iters = 3).as[(String, Double)].collect().toMap
+    assert(sr("hub") > sr("s1") * 3, s"hub must dominate: $sr")
+    assert((1 to 6).map(i => sr(s"s$i")).distinct.size == 1, "spokes are symmetric")
+    // partition-layout invariance (exact decimal contribution sums)
+    val again = Cluster.pageRank(star.repartition(13), iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(again == sr, "ranks must be bitwise layout-invariant")
+  }
+
   test("seededShuffle: bijective positions, shard math, layout-invariant, sf1-scale ids safe") {
     // ids with the sf1 stride shape (1e9 apart) plus small ids — the hash must
     // stay exact in 64-bit arithmetic across the whole id range
