@@ -812,7 +812,36 @@ object StreamingQueries {
           .as("drift_cosine"))
   }
 
+  /** s16 — streaming next-event training pairs (x69's twin): per-user
+    * (3-event context, next event) examples built incrementally by
+    * flatMapGroupsWithState, state = exactly the last 3 tokens per user.
+    * Shares x69's oracle: the emitted pair set equals the batch window
+    * formulation bit for bit. */
+  def s16StreamNextEvent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageInput("s16seq", dir, Seq("events.parquet")) { out =>
+      Tables.events(spark, dir).select(
+        col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+        col("event_type").as("token"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+      .as[graft.streaming.StreamingSummary.SeqEvent]
+    val name = freshMemorySink(spark, "graft_s16_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = graft.streaming.StreamingSummary.nextTokenStream(stream)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s16 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_next_event" -> (s16StreamNextEvent _),
     "s15_stream_drift" -> (s15StreamDrift _),
     "s14_stream_length_match" -> (s14StreamLengthMatch _),
     "s13_stream_kmv" -> (s13StreamKmv _),
@@ -830,6 +859,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s16_stream_next_event" -> ExtensionQueries.x69Sql, // same pairs, streamed
     "s15_stream_drift" -> ExtensionQueries.x63Sql, // same exact sums, streamed
     "s14_stream_length_match" -> s14Sql, // x62's kept rows, stream-enforced
     "s13_stream_kmv" -> s13Sql, // same sketch arithmetic, batch-replayed

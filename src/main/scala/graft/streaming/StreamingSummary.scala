@@ -232,4 +232,40 @@ object StreamingSummary {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attributionFn)
   }
+
+  case class SeqEvent(userId: Long, eventId: Long, tsMicros: Long, token: String)
+  case class SeqState(tokens: Seq[String])
+  case class SeqPair(user_id: Long, event_id: Long, context_1: String,
+      context_2: String, context_3: String, target: String)
+
+  /** Streaming twin of `graft.ext.Sequences.nextTokenPairs` (x69): the
+    * (3-token context, next token) training pairs materialize INCREMENTALLY
+    * as events arrive, instead of re-sorting each user's history. State per
+    * user is exactly the last 3 tokens — constant per key, so at 100 TB the
+    * state store holds |users| tiny rows, not the stream. Within a batch
+    * rows replay in the batch formulation's (ts, event_id) order; across
+    * batches the carried context makes the emitted pair set identical to
+    * the batch window query, bit for bit. */
+  def nextTokenFn(userId: Long, rows: Iterator[SeqEvent],
+      state: GroupState[SeqState]): Iterator[SeqPair] = {
+    var ctx = state.getOption.map(_.tokens).getOrElse(Seq.empty)
+    val out = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).flatMap { e =>
+      val pair =
+        if (ctx.length == 3)
+          Some(SeqPair(userId, e.eventId, ctx(0), ctx(1), ctx(2), e.token))
+        else None
+      ctx = (ctx :+ e.token).takeRight(3)
+      pair
+    }
+    state.update(SeqState(ctx))
+    out.iterator
+  }
+
+  /** Wire next-token pair construction into a (streaming or batch) source. */
+  def nextTokenStream(events: Dataset[SeqEvent]): Dataset[SeqPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nextTokenFn)
+  }
 }

@@ -237,6 +237,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.v.get.viewId === 201L) // regression guard held
   }
 
+  test("nextToken state function: in-batch sort, cross-batch context carry, 3-token state cap") {
+    import StreamingSummary._
+    class FakeSeqState(var v: Option[SeqState])
+        extends org.apache.spark.sql.streaming.GroupState[SeqState] {
+      override def exists: Boolean = v.isDefined
+      override def get: SeqState = v.get
+      override def getOption: Option[SeqState] = v
+      override def update(s: SeqState): Unit = v = Some(s)
+      override def remove(): Unit = v = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val st = new FakeSeqState(None)
+    // batch 1 arrives OUT of ts order: the fn must replay (ts, event_id) order
+    val b1 = Seq(
+      SeqEvent(7L, 4L, 40L, "d"), SeqEvent(7L, 1L, 10L, "a"),
+      SeqEvent(7L, 3L, 30L, "c"), SeqEvent(7L, 2L, 20L, "b"))
+    val out1 = nextTokenFn(7L, b1.iterator, st).toSeq
+    assert(out1 == Seq(SeqPair(7L, 4L, "a", "b", "c", "d")), s"got $out1")
+    assert(st.v.get.tokens == Seq("b", "c", "d"), "state holds exactly the last 3 tokens")
+    // batch 2: context carries across the batch boundary
+    val out2 = nextTokenFn(7L, Seq(SeqEvent(7L, 5L, 50L, "e")).iterator, st).toSeq
+    assert(out2 == Seq(SeqPair(7L, 5L, "b", "c", "d", "e")), s"got $out2")
+    assert(st.v.get.tokens == Seq("c", "d", "e"))
+  }
+
   test("KMV sketch in a streaming aggregation merges state across micro-batches bit-stably") {
     import graft.functions.{AggFunctions, HashFunctions}
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_kmv").toString

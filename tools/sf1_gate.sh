@@ -15,6 +15,9 @@
 #    blocks quadratically are kept OUT only if measured slow; x41/x45 run.
 #  - s2-s10 streaming twins share batch oracles already replayed above at
 #    driver SFs; s1/s11/s12/s13 run here as the streaming representatives.
+#  - x67: shares x2's oracle (the all-shingles join) — the ORACLE is the
+#    quadratic-ish side at 10x; the engine path is the scale path. Covered
+#    bitwise at the driver SFs + equality-with-x2 spec.
 # Usage: tools/sf1_gate.sh [sf1dir]
 set -e
 SF1=${1:-/root/repo/localdata/sf1}
@@ -39,5 +42,6 @@ ONLY=$(printf '%s,' \
   x41_dup_spans x42_dsir_weights x43_hybrid_rrf x45_span_removal \
   x47_mixture_plan x49_frequency_cap x50_weighted_sample \
   x51_centroid_outliers x52_datacard x55_chunk_dedup x56_tfidf_terms \
-  x57_curriculum | sed 's/,$//')
+  x57_curriculum x64_seeded_shuffle x65_pmi_pairs x66_zorder_layout \
+  x68_column_profile x69_next_event_pairs x70_pagerank | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
