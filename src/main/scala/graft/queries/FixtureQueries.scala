@@ -1357,8 +1357,46 @@ object FixtureQueries {
        |FROM b JOIN k USING (window_day)""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q43 — ordered windowed funnel (view -> click -> purchase within 24h of
+  // the first view, greedy-earliest). Every shuffle is on user_id; the
+  // per-step frames shrink monotonically; the summary is a plan-side union
+  // of single-row aggregates. Integer counts + one 6dp division = bitwise.
+  // ---------------------------------------------------------------------------
+  def q43Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnel(
+      graft.Tables.events(spark, dir),
+      keyCol = col("user_id"), tsCol = col("ts"),
+      steps = Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+      horizon = "24 HOURS")
+
+  private val q43Sql =
+    """WITH s1 AS (
+      |  SELECT user_id AS k, min(ts) AS t, min(ts) + INTERVAL 24 HOUR AS deadline
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS k, min(e.ts) AS t, min(s.deadline) AS deadline
+      |  FROM events e JOIN s1 s ON s.k = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s.t AND e.ts < s.deadline
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id AS k, min(e.ts) AS t, min(s.deadline) AS deadline
+      |  FROM events e JOIN s2 s ON s.k = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s.t AND e.ts < s.deadline
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |SELECT step, step_name, users,
+      |  round(CAST(users AS DOUBLE)
+      |    / CAST((SELECT users FROM c WHERE step = 1) AS DOUBLE), 6) AS conversion
+      |FROM c""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_funnel" -> (q43Funnel _),
     "q1_trans_summary" -> (q1TransSummary _),
     "q2_player_summary" -> (q2PlayerSummary _),
     "q3_clamped" -> (q3Clamped _),
@@ -1444,5 +1482,6 @@ object FixtureQueries {
     "q39_twap" -> q39Sql,
     "q40_retention" -> q40Sql,
     "q41_correlation" -> q41Sql,
-    "q42_sliding_distinct" -> q42Sql)
+    "q42_sliding_distinct" -> q42Sql,
+    "q43_funnel" -> q43Sql)
 }
