@@ -2582,11 +2582,90 @@ object ExtensionQueries {
        |SELECT node, rank FROM r$prIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // x71 — time-decayed activity leaderboard: per-user sum of value weighted
+  // by 2^(-age_days), top 20. NO per-contribution float rounding (a
+  // round(x,6)-per-row variant disagreed with the oracle on 3/60k boundary
+  // rows — Spark rounds the exact binary value, DuckDB rounds a scaled
+  // product): instead each 2dp amount is scaled by the exact integer
+  // 2^(62-age) and summed as DECIMAL — fully exact — then ONE double cast
+  // and ONE exact power-of-two division produce the score. Global cut is
+  // TakeOrderedAndProject.
+  // ---------------------------------------------------------------------------
+  def x71DecayedActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val secs = unix_timestamp(col("ts").cast("timestamp"))
+    val tmax = ev.agg(max(secs).as("tmax"))
+    ev.select(col("user_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)).as("amt"),
+        secs.as("es"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("age_days", least(expr("(tmax - es) div 86400"), lit(62L)))
+      .withColumn("shift", expr("shiftleft(cast(1 as bigint), cast(62 - age_days as int))"))
+      .groupBy("user_id")
+      .agg(sum(col("amt") * col("shift")).as("scaled"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (col("scaled").cast("double") / lit(4611686018427387904.0)).as("decayed_score"),
+        col("n_events"))
+      .orderBy(col("decayed_score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private[queries] val x71Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS amt,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |t AS (SELECT max(es) AS tmax FROM e),
+      |d AS (
+      |  SELECT user_id, amt,
+      |    least(((SELECT tmax FROM t) - es) // 86400, 62) AS age_days
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(sum(amt * (CAST(1 AS BIGINT) << (62 - age_days))) AS DOUBLE)
+      |    / CAST(4611686018427387904 AS DOUBLE) AS decayed_score,
+      |  count(*) AS n_events
+      |FROM d GROUP BY 1
+      |ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x72 — rendezvous-sharding movement audit: HRW placement of documents at
+  // 8 shards vs 9, aggregated into the (old_shard, new_shard) movement
+  // matrix. The HRW invariant — a key either stays or moves to the NEW
+  // shard, expected movement 1/(S+1) — is what makes growing a 100 TB
+  // corpus cost one shard of movement, not a full mod-hash reshuffle.
+  // ---------------------------------------------------------------------------
+  def x72RendezvousShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sharding.movementMatrix(
+      Tables.documents(spark, dir), col("doc_id"), fromShards = 8, toShards = 9)
+
+  private[queries] val x72Sql = {
+    def assign(s: Int) =
+      s"""SELECT doc_id, shard FROM (
+         |    SELECT doc_id, shard,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn
+         |    FROM (
+         |      SELECT d.doc_id, s.shard,
+         |        CAST(md5_number_lower(CAST(d.doc_id AS VARCHAR) || ':'
+         |          || CAST(s.shard AS VARCHAR)) >> 1 AS BIGINT) AS h
+         |      FROM documents d, (SELECT unnest(range($s)) AS shard) s))
+         |  WHERE rn = 1"""
+    s"""WITH a8 AS (
+       |  ${assign(8)}),
+       |a9 AS (
+       |  ${assign(9)})
+       |SELECT a8.shard AS old_shard, a9.shard AS new_shard, count(*) AS docs
+       |FROM a8 JOIN a9 USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x69_next_event_pairs" -> (x69NextEventPairs _),
     "x70_pagerank" -> (x70PageRank _),
+    "x71_decayed_activity" -> (x71DecayedActivity _),
+    "x72_rendezvous_shards" -> (x72RendezvousShards _),
     "x65_pmi_pairs" -> (x65PmiPairs _),
     "x66_zorder_layout" -> (x66ZorderLayout _),
     "x67_ppjoin_pairs" -> (x67PpjoinPairs _),
@@ -2662,6 +2741,8 @@ object ExtensionQueries {
     "x68_column_profile" -> x68Sql,
     "x69_next_event_pairs" -> x69Sql,
     "x70_pagerank" -> x70Sql,
+    "x71_decayed_activity" -> x71Sql,
+    "x72_rendezvous_shards" -> x72Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -921,6 +921,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvous sharding: movers only go TO the new shard; movement ~1/(S+1); deterministic") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val mm = Sharding.movementMatrix(keys, col("k"), fromShards = 8, toShards = 9)
+      .as[(Int, Int, Long)].collect()
+    val moved = mm.filter(r => r._1 != r._2)
+    assert(moved.forall(_._2 == 8), s"HRW movers must land on the NEW shard only: ${moved.toSeq}")
+    val movedFrac = moved.map(_._3).sum.toDouble / mm.map(_._3).sum
+    assert(movedFrac > 0.03 && movedFrac < 0.25,
+      s"movement should be ~1/9 of keys, got $movedFrac")
+    val again = Sharding.rendezvousAssign(keys.repartition(11), col("k"), 8)
+      .as[(Long, Int)].collect().toMap
+    val base = Sharding.rendezvousAssign(keys, col("k"), 8).as[(Long, Int)].collect().toMap
+    assert(again == base, "placement is a pure function of (key, shard count)")
+    // balance sanity: no shard holds more than 3x its fair share
+    val sizes = base.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max < 3 * 2000 / 8, s"shard sizes badly skewed: $sizes")
+  }
+
   test("pmiPairs: perfect collocation tops the list with exact pmi; rare terms pruned") {
     import spark.implicits._
     // "neural network" co-occur in all 6 of their docs; "the" is everywhere

@@ -33,7 +33,7 @@ ONLY=$(printf '%s,' \
   q43_funnel \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
-  s14_stream_length_match s15_stream_drift \
+  s14_stream_length_match s15_stream_drift s16_stream_next_event \
   x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
   x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
   x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
@@ -44,5 +44,6 @@ ONLY=$(printf '%s,' \
   x47_mixture_plan x49_frequency_cap x50_weighted_sample \
   x51_centroid_outliers x52_datacard x55_chunk_dedup x56_tfidf_terms \
   x57_curriculum x64_seeded_shuffle x65_pmi_pairs x66_zorder_layout \
+  x71_decayed_activity x72_rendezvous_shards \
   x68_column_profile x69_next_event_pairs x70_pagerank | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
