@@ -9,37 +9,38 @@ import org.apache.spark.sql.types.NumericType
   * rates for quality gates, distinct counts for join-strategy and
   * dictionary decisions, min/max for partition-pruning sanity).
   *
-  * Scale shape: ONE scan. All columns' aggregates run in a single `agg`
-  * (Spark rewrites the multiple DISTINCT aggregates into one Expand +
-  * aggregate pipeline — a constant number of shuffles regardless of column
-  * count, vs one scan per column for the naive loop). The single result row
-  * is then unpivoted driver-free with `stack`. Numeric min/max are
-  * canonicalized through DECIMAL(27,6) so the stringified profile is
-  * bit-stable across engines.
+  * Scale shape: one COLUMN-PRUNED scan per column, each a two-level
+  * aggregation — groupBy(value) first (map-side partials collapse
+  * duplicates before the shuffle, so the exchange carries distinct values,
+  * not rows), then a single-group rollup of the value histogram. On a
+  * columnar store N pruned scans read exactly the N columns once in total.
+  * The tempting alternative — every column's exact COUNT(DISTINCT) in ONE
+  * aggregate — plans as an Expand that multiplies every row by N+1 before
+  * shuffling; measured at sf0.1 it was 6.9 s vs ~1 s for this shape, and
+  * the gap widens with row count. Numeric min/max are canonicalized
+  * through DECIMAL(27,6) so the stringified profile is bit-stable across
+  * engines.
   */
 object Profile {
 
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
-    val aggs = columns.flatMap { c =>
-      val v = col(c)
-      Seq(
-        sum(when(v.isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(v).as(s"${c}__nd"),
-        min(v).as(s"${c}__mn"),
-        max(v).as(s"${c}__mx"))
-    }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    def asStr(c: String, suffix: String): String = df.schema(c).dataType match {
-      case _: NumericType => s"CAST(CAST(${c}__$suffix AS DECIMAL(27,6)) AS STRING)"
-      case _              => s"CAST(${c}__$suffix AS STRING)"
-    }
-    val stackArgs = columns.map { c =>
-      s"'$c', ${c}__nn, ${c}__nd, ${asStr(c, "mn")}, ${asStr(c, "mx")}"
-    }.mkString(", ")
-    one.selectExpr("n_rows",
-      s"stack(${columns.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_value, max_value)")
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    columns.map { c =>
+      val isNumeric = df.schema(c).dataType match {
+        case _: NumericType => true
+        case _              => false
+      }
+      def asStr(v: org.apache.spark.sql.Column) =
+        if (isNumeric) v.cast("decimal(27,6)").cast("string") else v.cast("string")
+      df.select(col(c).as("val"))
+        .groupBy("val").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+          min(col("val")).as("mn"), max(col("val")).as("mx"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), asStr(col("mn")).as("min_value"), asStr(col("mx")).as("max_value"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -702,4 +702,70 @@ object Similarity {
       .filter(col("cluster_id").isin(probeClusters: _*))
     ivfScoreQuantized(postings, centroids, queries, k, nprobe, idCol, vecCol)
   }
+
+  /** PCA top principal component by power iteration — the dimensionality
+    * audit behind embedding compression decisions (how much variance one
+    * axis explains) and a building block for random-projection/PCA
+    * reduction.
+    *
+    * Scale split: the d x d covariance matrix is ONE distributed pass
+    * (explode each vector into its d^2 coordinate pairs — rows scale as
+    * |corpus| * d^2 but aggregate map-side into d^2 cells), after which
+    * every power-iteration step is a join over the d^2-row matrix —
+    * corpus-size-independent. d is the embedding dim (64 here), so the
+    * iteration state is trivially broadcastable at any corpus scale.
+    *
+    * Determinism: coordinate products and matvec terms round to 6dp and sum
+    * as DECIMAL (partition-order-invariant); normalization is the x56
+    * sqrt-of-decimal-sum shape; v0 = 1/d with d a power of two is exact.
+    * Sign is pinned by v0 (all-positive start), so the component replays
+    * bitwise — no eigenvector sign ambiguity.
+    *
+    * Output: one row per dimension j with the component loading and the
+    * final pre-normalization magnitude (the eigenvalue estimate). */
+  def pcaTopComponent(emb: DataFrame, iters: Int = 3,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // unit-norm embeddings make covariance entries ~1e-4 and matvec terms
+    // ~1e-6 — the house 6dp rounding would zero them out (a 6dp draft died
+    // with norm == 0); the interior arithmetic rounds at 12dp instead, same
+    // cross-engine trick at a scale that preserves the signal
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val vecs = graft.ops.Par.fanOut(emb).select(col(vecCol).as("e"))
+    val byJ = vecs.select(col("e"), posexplode(col("e")).as(Seq("j", "xj")))
+    val cells = byJ.select(col("j"), col("xj").cast("double").as("xj"),
+      posexplode(col("e")).as(Seq("k", "xk")))
+      .withColumn("xk", col("xk").cast("double"))
+    val nRow = vecs.agg(count(lit(1)).as("n"))
+    val means = byJ.groupBy("j")
+      .agg(sum(round(col("xj").cast("double"), 12).cast(dec)).as("ms"))
+      .crossJoin(broadcast(nRow))
+      .select(col("j"), (col("ms").cast("double") / col("n").cast("double")).as("m"))
+    val cov = cells.groupBy("j", "k")
+      .agg(sum(round(col("xj") * col("xk"), 12).cast(dec)).as("sxx"))
+      .crossJoin(broadcast(nRow))
+      .join(means.select(col("j"), col("m").as("mj")), "j")
+      .join(means.select(col("j").as("k"), col("m").as("mk")), "k")
+      .select(col("j"), col("k"),
+        round(col("sxx").cast("double") / col("n").cast("double")
+          - col("mj") * col("mk"), 12).as("c"))
+      .localCheckpoint() // the iteration rejoins this d^2-row matrix each step
+    val d = cov.agg(max(col("j"))).head().getInt(0) + 1
+    require((d & (d - 1)) == 0, s"dim $d must be a power of two for the exact v0")
+    var v = cov.select(col("j")).distinct()
+      .select(col("j"), lit(1.0 / d).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cov.join(v.select(col("j").as("k"), col("v").as("vk")), "k")
+        .groupBy("j")
+        .agg(sum(round(col("c") * col("vk"), 12).cast(dec)).as("ws"))
+        .select(col("j"), round(col("ws").cast("double"), 12).as("w"))
+      lastNorm = w.agg(
+        sqrt(sum(round(col("w") * col("w"), 12).cast(dec)).cast("double")).as("norm"))
+      v = w.crossJoin(broadcast(lastNorm))
+        .select(col("j"), round(col("w") / col("norm"), 6).as("v"))
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("j"), col("v").as("loading"), round(col("norm"), 6).as("eigenvalue"))
+  }
 }

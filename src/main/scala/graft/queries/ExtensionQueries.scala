@@ -2659,9 +2659,56 @@ object ExtensionQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // x73 — PCA top principal component of the embedding corpus by power
+  // iteration. The covariance matrix is ONE distributed pass (d^2 cells,
+  // map-side combined); each iteration then joins the 64x64 matrix —
+  // corpus-size-independent. All float reductions are 6dp-round +
+  // DECIMAL-sum; v0 = 1/64 is exact; sign pinned by the all-positive start.
+  // ---------------------------------------------------------------------------
+  private val pcaIters = 3
+
+  def x73PcaComponent(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(Tables.embeddings(spark, dir), iters = pcaIters)
+
+  private[queries] val x73Sql = {
+    val nD = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    def iter(k: Int): String =
+      s"""w$k AS (
+         |  SELECT cov.j,
+         |    round(CAST(sum(CAST(round(c * v.v, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS w
+         |  FROM cov JOIN v${k - 1} v ON v.j = cov.k GROUP BY 1),
+         |nm$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+         |  FROM w$k),
+         |v$k AS (SELECT j, round(w / (SELECT nrm FROM nm$k), 6) AS v FROM w$k)"""
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |c1 AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS xj
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT j, CAST(sum(CAST(round(xj, 12) AS DECIMAL(38,12))) AS DOUBLE) / $nD AS m
+       |  FROM c1 GROUP BY 1),
+       |s AS (
+       |  SELECT a.j AS j, b.j AS k,
+       |    sum(CAST(round(a.xj * b.xj, 12) AS DECIMAL(38,12))) AS sxx
+       |  FROM c1 a JOIN c1 b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT s.j, s.k,
+       |    round(CAST(sxx AS DOUBLE) / $nD - mj.m * mk.m, 12) AS c
+       |  FROM s JOIN m mj ON mj.j = s.j JOIN m mk ON mk.j = s.k),
+       |v0 AS (SELECT DISTINCT j, CAST(0.015625 AS DOUBLE) AS v FROM cov),
+       |${(1 to pcaIters).map(iter).mkString(",\n")}
+       |SELECT v$pcaIters.j, v$pcaIters.v AS loading,
+       |  round((SELECT nrm FROM nm$pcaIters), 6) AS eigenvalue
+       |FROM v$pcaIters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
+    "x73_pca_component" -> (x73PcaComponent _),
     "x69_next_event_pairs" -> (x69NextEventPairs _),
     "x70_pagerank" -> (x70PageRank _),
     "x71_decayed_activity" -> (x71DecayedActivity _),
@@ -2743,6 +2790,7 @@ object ExtensionQueries {
     "x70_pagerank" -> x70Sql,
     "x71_decayed_activity" -> x71Sql,
     "x72_rendezvous_shards" -> x72Sql,
+    "x73_pca_component" -> x73Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -854,7 +854,7 @@ class ExtSpec extends AnyFunSuite {
       s"boundary pair (t*na == nb, jaccard == t) must be found, got ${got.toSeq}")
   }
 
-  test("profile: exact per-column stats in one scan; decimal-canonical numeric extremes") {
+  test("profile: exact per-column stats; pruned per-column scans; decimal-canonical extremes") {
     import spark.implicits._
     val df = Seq(
       (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")), (Some(3L), Some("a")))
@@ -864,10 +864,15 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(out("k") == (("k", 4L, 1L, 2L, "1.000000", "3.000000")))
     assert(out("s") == (("s", 4L, 1L, 2L, "a", "b")))
-    // single-scan shape: one source node feeds every column's aggregates
-    val scans = Profile.profile(df, Seq("k", "s")).queryExecution.optimizedPlan
-      .collectLeaves().size
-    assert(scans == 1, s"profile must read its input once, found $scans leaves")
+    // plan shape: one PRUNED scan per column (no Expand blow-up), and no
+    // Expand operator anywhere — the multi-distinct formulation would
+    // multiply every row by N+1 before shuffling
+    val plan = Profile.profile(df, Seq("k", "s")).queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size == 2, "one pruned scan per column")
+    val hasExpand = plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.nonEmpty
+    assert(!hasExpand, "profile must not plan an Expand")
   }
 
   test("nextTokenPairs: hand stream yields exactly the sliding (context, target) pairs") {
@@ -919,6 +924,29 @@ class ExtSpec extends AnyFunSuite {
       case Array(p, q) => assert(p._3 <= q._2, s"file z-ranges overlap: $p vs $q")
       case _ =>
     }
+  }
+
+  test("pcaTopComponent: planted dominant axis recovered; loadings unit-ish; layout-invariant") {
+    import spark.implicits._
+    // dim 4 (power of two): variance concentrated on axis 0, slight axis-1
+    // wobble, axes 2/3 constant — the top component must align with axis 0
+    val vecs = (0 until 64).map { i =>
+      val a = (i % 16) - 7.5f
+      Array(a, (i % 3) * 0.1f, 0.5f, -0.25f)
+    }.toDF("embedding")
+    val out = Similarity.pcaTopComponent(vecs, iters = 3)
+      .orderBy("j").as[(Int, Double, Double)].collect()
+    assert(out.length == 4)
+    val byJ = out.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byJ(0)) > 0.99, s"axis 0 dominates, got $byJ")
+    assert(math.abs(byJ(2)) < 0.01 && math.abs(byJ(3)) < 0.01,
+      s"constant axes carry ~no loading: $byJ")
+    assert(out.head._3 > 0, "eigenvalue estimate positive")
+    val norm = math.sqrt(out.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings ~unit norm, got $norm")
+    val again = Similarity.pcaTopComponent(
+      vecs.repartition(9), iters = 3).orderBy("j").as[(Int, Double, Double)].collect()
+    assert(again.toSeq == out.toSeq, "component must be bitwise layout-invariant")
   }
 
   test("rendezvous sharding: movers only go TO the new shard; movement ~1/(S+1); deterministic") {
