@@ -1372,7 +1372,7 @@ object FixtureQueries {
         "purchase" -> (col("event_type") === "purchase")),
       horizon = "24 HOURS")
 
-  private val q43Sql =
+  private[queries] val q43Sql =
     """WITH s1 AS (
       |  SELECT user_id AS k, min(ts) AS t, min(ts) + INTERVAL 24 HOUR AS deadline
       |  FROM events WHERE event_type = 'view' GROUP BY 1),

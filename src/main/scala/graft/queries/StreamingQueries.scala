@@ -840,8 +840,47 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** s17 — streaming funnel (q43's twin): per-user funnel progress as one
+    * fixed-size state row; every step-advance is emitted exactly once, so
+    * the final step counts are a plain aggregation of the advance log.
+    * Shares q43's oracle (step, step_name, users, conversion — bitwise). */
+  def s17StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inDir = stageInput("s17funnel", dir, Seq("events.parquet")) { out =>
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(
+          col("user_id").as("userId"),
+          unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2).otherwise(3).as("step"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+      .as[graft.streaming.StreamingSummary.FunnelEvent]
+    val name = freshMemorySink(spark, "graft_s17_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = graft.streaming.StreamingSummary
+        .funnelStream(stream, horizonMicros = 24L * 3600 * 1000000)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s17 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    val counts = spark.table(name).groupBy("step").agg(count(lit(1)).as("users"))
+      .withColumn("step_name",
+        when(col("step") === 1, "view").when(col("step") === 2, "click")
+          .otherwise("purchase"))
+    val total1 = counts.filter(col("step") === 1).select(col("users").as("u1"))
+    counts.crossJoin(total1)
+      .select(col("step"), col("step_name"), col("users"),
+        round(col("users").cast("double") / col("u1").cast("double"), 6).as("conversion"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s16_stream_next_event" -> (s16StreamNextEvent _),
+    "s17_stream_funnel" -> (s17StreamFunnel _),
     "s15_stream_drift" -> (s15StreamDrift _),
     "s14_stream_length_match" -> (s14StreamLengthMatch _),
     "s13_stream_kmv" -> (s13StreamKmv _),
@@ -860,6 +899,7 @@ object StreamingQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s16_stream_next_event" -> ExtensionQueries.x69Sql, // same pairs, streamed
+    "s17_stream_funnel" -> FixtureQueries.q43Sql, // same funnel, state-tracked
     "s15_stream_drift" -> ExtensionQueries.x63Sql, // same exact sums, streamed
     "s14_stream_length_match" -> s14Sql, // x62's kept rows, stream-enforced
     "s13_stream_kmv" -> s13Sql, // same sketch arithmetic, batch-replayed

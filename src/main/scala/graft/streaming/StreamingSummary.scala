@@ -268,4 +268,45 @@ object StreamingSummary {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nextTokenFn)
   }
+
+  case class FunnelEvent(userId: Long, tsMicros: Long, step: Int)
+  case class FunnelState(deadlineMicros: Long, reached: Int, tLastMicros: Long)
+  case class FunnelAdvance(user_id: Long, step: Int)
+
+  /** Streaming twin of `graft.ops.Funnel` (q43): per-key funnel progress as
+    * running state instead of per-step joins. State is one fixed-size row
+    * per key (anchor deadline, deepest step, last matched time); each
+    * step-advance is emitted EXACTLY once, so the downstream step counts
+    * are a plain aggregation of the advance log. Greedy-earliest semantics
+    * reproduce the batch formulation bit for bit when events arrive in
+    * event-time order (in-batch replay sorts; cross-batch order is the same
+    * watermark discipline every stateful op here rides). `horizonMicros`
+    * anchors at the key's FIRST step-1 event. */
+  def funnelFn(horizonMicros: Long)(userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+    var st = state.getOption
+    val out = rows.toSeq.sortBy(e => (e.tsMicros, e.step)).flatMap { e =>
+      st match {
+        case None if e.step == 1 =>
+          st = Some(FunnelState(e.tsMicros + horizonMicros, 1, e.tsMicros))
+          Some(FunnelAdvance(userId, 1))
+        case Some(s) if e.step == s.reached + 1 &&
+            e.tsMicros > s.tLastMicros && e.tsMicros < s.deadlineMicros =>
+          st = Some(s.copy(reached = e.step, tLastMicros = e.tsMicros))
+          Some(FunnelAdvance(userId, e.step))
+        case _ => None
+      }
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** Wire funnel tracking into a (streaming or batch) source. */
+  def funnelStream(events: Dataset[FunnelEvent], horizonMicros: Long): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelFn(horizonMicros))
+  }
 }

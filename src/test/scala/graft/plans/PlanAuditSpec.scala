@@ -270,4 +270,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"candidate generation degraded to all-pairs:\n$p")
   }
+
+  test("seeded shuffle has NO window operator — global positions are the two-pass scan (x64)") {
+    val p = plan("x64_seeded_shuffle")
+    assert(!p.contains("Window"), s"global permutation degraded to a window:\n$p")
+  }
+
+  test("PMI pairs: the frequent-term df table broadcasts; k-cut is a heap merge (x65)") {
+    val p = plan("x65_pmi_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not be a global sort:\n$p")
+  }
+
+  test("prefix jaccard join: equi-joins only, no all-pairs fallback (x67)") {
+    val p = plan("x67_ppjoin_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation degraded to all-pairs:\n$p")
+  }
+
+  test("column profile: no Expand — pruned per-column scans with partial aggs (x68)") {
+    val p = plan("x68_column_profile")
+    assert(!p.contains("Expand"), s"profiler regressed to the multi-distinct Expand:\n$p")
+    // every per-column scan must read exactly one column
+    val schemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s => s.count(_ == ':') <= 2),
+      s"a profile scan reads more than its own column:\n${schemas.mkString("\n")}")
+  }
+
+  test("decayed activity: exact-integer shift aggregation, heap-merged top-20 (x71)") {
+    val p = plan("x71_decayed_activity")
+    assert(p.contains("TakeOrderedAndProject"), s"leaderboard cut must not be a global sort:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the one-row anchor must broadcast:\n$p")
+  }
+
+  test("funnel: no window buffering; step joins are key-hashed (q43)") {
+    val p = plan("q43_funnel")
+    assert(!p.contains("Window"), s"funnel must not buffer per-key event lists in a window:\n$p")
+    // the only nested-loop is the 1-row conversion anchor; the per-step
+    // event joins must be hash joins on the funnel key
+    assert(count(p, "(?:Sort|Shuffled|Broadcast)HashJoin") >= 2,
+      s"step joins degraded from hash joins:\n$p")
+  }
 }

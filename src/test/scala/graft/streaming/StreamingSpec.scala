@@ -270,6 +270,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.v.get.tokens == Seq("c", "d", "e"))
   }
 
+  test("funnel state function: anchor-once, ordered advance, horizon cutoff, cross-batch carry") {
+    import StreamingSummary._
+    class FakeFState(var v: Option[FunnelState])
+        extends org.apache.spark.sql.streaming.GroupState[FunnelState] {
+      override def exists: Boolean = v.isDefined
+      override def get: FunnelState = v.get
+      override def getOption: Option[FunnelState] = v
+      override def update(s: FunnelState): Unit = v = Some(s)
+      override def remove(): Unit = v = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val fn = funnelFn(horizonMicros = 100L) _
+    val st = new FakeFState(None)
+    // batch 1: click before any view is dropped; first view anchors; a
+    // same-ts purchase cannot advance (strict >)
+    val b1 = Seq(FunnelEvent(5L, 5L, 2), FunnelEvent(5L, 10L, 1), FunnelEvent(5L, 10L, 3))
+    assert(fn(5L, b1.iterator, st).toSeq == Seq(FunnelAdvance(5L, 1)))
+    // batch 2: purchase arriving before any click is dropped (ordered steps);
+    // then click advances; a click past the deadline would not (t1=10 -> deadline 110)
+    val b2 = Seq(FunnelEvent(5L, 20L, 3), FunnelEvent(5L, 30L, 2))
+    assert(fn(5L, b2.iterator, st).toSeq == Seq(FunnelAdvance(5L, 2)))
+    // batch 3: purchase inside the horizon completes; a second view never re-anchors
+    val b3 = Seq(FunnelEvent(5L, 50L, 1), FunnelEvent(5L, 60L, 3))
+    assert(fn(5L, b3.iterator, st).toSeq == Seq(FunnelAdvance(5L, 3)))
+    assert(st.v.get.reached == 3 && st.v.get.deadlineMicros == 110L)
+    // horizon: a user whose purchase lands past the deadline stops at click
+    val st2 = new FakeFState(None)
+    val b4 = Seq(FunnelEvent(6L, 0L, 1), FunnelEvent(6L, 10L, 2), FunnelEvent(6L, 150L, 3))
+    assert(fn(6L, b4.iterator, st2).toSeq ==
+      Seq(FunnelAdvance(6L, 1), FunnelAdvance(6L, 2)))
+  }
+
   test("KMV sketch in a streaming aggregation merges state across micro-batches bit-stably") {
     import graft.functions.{AggFunctions, HashFunctions}
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_kmv").toString
