@@ -703,6 +703,47 @@ object Similarity {
     ivfScoreQuantized(postings, centroids, queries, k, nprobe, idCol, vecCol)
   }
 
+  /** Johnson-Lindenstrauss random projection with a Rademacher (+-1) matrix
+    * derived from md5 parity — the cheap, data-independent dimensionality
+    * reduction for embedding pipelines (shrink vectors before an ANN index
+    * or a pairwise stage; distances survive within 1+-eps w.h.p.).
+    *
+    * The matrix entry R[out, in] is +1 iff md5-low-64("out:in") is even —
+    * no RNG state, data-independent (it ships as a 1024-row literal table
+    * in the plan), and an external engine rebuilds the identical matrix
+    * from the same digests (`md5_number_lower(...) % 2`). Projection
+    * y_o = (1/sqrt(k)) * sum_in R[o,in] * round(x_in, 6) sums 6dp-rounded
+    * signed coordinates as DECIMAL — exact, order-free — and `k` must be a
+    * power of four so 1/sqrt(k) is an exact dyadic scale (one exponent
+    * shift, no rounding anywhere).
+    *
+    * Scale shape: coordinates explode to |corpus| * d rows, join the
+    * broadcast k x d sign table, and aggregate back map-side — one shuffle
+    * on (id, out-dim), nothing global.
+    *
+    * Output: long format (idCol, out_dim, y). */
+  def randomProject(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && math.pow(4, (math.log(k) / math.log(4)).round.toDouble) == k,
+      "k must be a power of four (exact 1/sqrt(k))")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val invSqrtK = 1.0 / math.sqrt(k.toDouble) // exact dyadic for k = 4^m
+    val signs = (for (o <- 0 until k; i <- 0 until 64) yield {
+      val h = graft.functions.HashKernels.md5Lo64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$o:$i"))
+      (o, i, if ((h & 1L) == 0L) 1 else -1)
+    }).toDF("out_dim", "i", "s")
+    graft.ops.Par.fanOut(emb)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("out_dim"))
+      .agg(sum((col("s") * round(col("x").cast("double"), 6))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("ys"))
+      .select(col(idCol), col("out_dim"),
+        (col("ys").cast("double") * lit(invSqrtK)).as("y"))
+  }
+
   /** PCA top principal component by power iteration — the dimensionality
     * audit behind embedding compression decisions (how much variance one
     * axis explains) and a building block for random-projection/PCA

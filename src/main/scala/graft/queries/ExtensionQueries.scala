@@ -2705,10 +2705,39 @@ object ExtensionQueries {
        |FROM v$pcaIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // x74 — Johnson-Lindenstrauss random projection 64 -> 16 dims with the
+  // md5-parity Rademacher matrix (data-independent, plan-literal, oracle-
+  // rebuildable). 6dp-rounded signed coordinates DECIMAL-sum exactly;
+  // k = 16 makes 1/sqrt(k) = 0.25 an exact dyadic scale — no float
+  // rounding anywhere in the projection.
+  // ---------------------------------------------------------------------------
+  def x74RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(spark, dir), k = 16)
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("y"))
+
+  private[queries] val x74Sql =
+    """WITH sg AS (
+      |  SELECT o.out_dim, i.i,
+      |    CASE WHEN md5_number_lower(CAST(o.out_dim AS VARCHAR) || ':'
+      |           || CAST(i.i AS VARCHAR)) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(16)) AS out_dim) o,
+      |       (SELECT unnest(range(64)) AS i) i),
+      |c AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT c.vec_id, sg.out_dim,
+      |  CAST(sum(CAST(sg.s * round(c.x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |    * CAST(0.25 AS DOUBLE) AS y
+      |FROM c JOIN sg ON sg.i = c.i
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
+    "x74_random_projection" -> (x74RandomProjection _),
     "x69_next_event_pairs" -> (x69NextEventPairs _),
     "x70_pagerank" -> (x70PageRank _),
     "x71_decayed_activity" -> (x71DecayedActivity _),
@@ -2791,6 +2820,7 @@ object ExtensionQueries {
     "x71_decayed_activity" -> x71Sql,
     "x72_rendezvous_shards" -> x72Sql,
     "x73_pca_component" -> x73Sql,
+    "x74_random_projection" -> x74Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

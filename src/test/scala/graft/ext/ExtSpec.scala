@@ -949,6 +949,34 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq, "component must be bitwise layout-invariant")
   }
 
+  test("randomProject: JL distance preservation on fixture embeddings; layout-invariant") {
+    import spark.implicits._
+    val proj = Similarity.randomProject(emb, k = 16)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    val orig = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val ratios = for (Seq(i, j) <- ids.combinations(2).toSeq) yield {
+      val od = d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+      val pd = d2(proj(i), proj(j))
+      pd / od
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL must preserve distances on average, mean=$mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.0) >= ratios.size * 9 / 10,
+      s"too many badly-distorted pairs: ${ratios.count(r => r <= 0.3 || r >= 2.0)}/${ratios.size}")
+    val again = Similarity.randomProject(emb.repartition(7), k = 16)
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq == proj.toSeq.flatMap { case (id, ys) =>
+      ys.zipWithIndex.map { case (y, o) => (id, o, y) } }.sortBy(r => (r._1, r._2)),
+      "projection must be bitwise layout-invariant")
+  }
+
   test("rendezvous sharding: movers only go TO the new shard; movement ~1/(S+1); deterministic") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
