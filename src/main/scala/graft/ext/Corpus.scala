@@ -508,6 +508,30 @@ object Corpus {
         col("n_langs"), col("top_lang"), col("dup_docs"), col("mean_quality"))
   }
 
+  /** Snapshot diff — the dataset-versioning audit between two corpus
+    * snapshots: per change class (added / removed / changed / unchanged),
+    * how many documents. Content identity is a fingerprint column (md5 of
+    * text here), so "changed" means same id, different content.
+    *
+    * Scale shape: ONE full-outer join on the id (both sides shuffle once on
+    * the same key) carrying only (id, 16-byte fingerprint) — never document
+    * bodies — then a 4-group aggregate. This is how a 100 TB corpus release
+    * is reconciled against its predecessor without reading either corpus
+    * twice. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      fingerprint: Column): DataFrame = {
+    val fa = a.select(col(idCol).as("id"), fingerprint.as("fp_a"))
+    val fb = b.select(col(idCol).as("id"), fingerprint.as("fp_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Seeded global training-order shuffle: every document gets a
     * deterministic position in a pseudo-random permutation of the corpus,
     * plus the training shard that position lands in. This is the "global

@@ -744,6 +744,15 @@ object Similarity {
         (col("ys").cast("double") * lit(invSqrtK)).as("y"))
   }
 
+  /** [[randomProject]] reassembled into float vectors (out_dim order) —
+    * the drop-in reduced `embedding` column for any downstream ANN stage. */
+  def randomProjectVectors(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    randomProject(emb, k, idCol, vecCol)
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("out_dim"), col("y")))).as("jm"))
+      .select(col(idCol), expr("transform(jm, p -> cast(p.y as float))").as(vecCol))
+
   /** PCA top principal component by power iteration — the dimensionality
     * audit behind embedding compression decisions (how much variance one
     * axis explains) and a building block for random-projection/PCA

@@ -2733,11 +2733,112 @@ object ExtensionQueries {
       |FROM c JOIN sg ON sg.i = c.i
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x75 — snapshot diff: reconcile the corpus against a simulated next
+  // release (docs with id%13==3 dropped, id%11==5 rewritten, id%17==2
+  // duplicated in under new ids). One fingerprint-only full-outer join on
+  // doc_id + a 4-group count — corpus bodies are never moved twice.
+  // ---------------------------------------------------------------------------
+  def x75SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 13 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 17 === 2)
+        .withColumn("doc_id", col("doc_id") + lit(100000000L)))
+    graft.ext.Corpus.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+  }
+
+  private[queries] val x75Sql =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 != 3
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 17 = 2),
+      |j AS (
+      |  SELECT
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(a.text) != md5(b.text) THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT change_type, count(*) AS n_docs FROM j GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x76 — recall@5 of brute-force ANN over the x74 JL projections vs the
+  // exact 64-dim top-5 (x8): the measured answer to "how much ranking
+  // quality does 4x dimension compression cost?". The approx leg searches
+  // 16-dim vectors (4x cheaper dot products + memory); both legs round to
+  // 6dp before their rank cuts (x8's cross-engine-stable-ordering trick).
+  // ---------------------------------------------------------------------------
+  def x76ProjectedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val proj = Similarity.randomProjectVectors(Tables.embeddings(spark, dir), k = 16)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val approx = Similarity.cosineScores(proj, proj.filter(col("vec_id") < 10))
+      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    Similarity.recallAtK(x8KnnBrute(spark, dir), approx, k = 5)
+  }
+
+  private[queries] val x76Sql =
+    s"""WITH sg AS (
+      |  SELECT o.out_dim, i.i,
+      |    CASE WHEN md5_number_lower(CAST(o.out_dim AS VARCHAR) || ':'
+      |           || CAST(i.i AS VARCHAR)) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(16)) AS out_dim) o,
+      |       (SELECT unnest(range(64)) AS i) i),
+      |co AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |py AS (
+      |  SELECT co.vec_id, sg.out_dim,
+      |    CAST(sum(CAST(sg.s * round(co.x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      * CAST(0.25 AS DOUBLE) AS y
+      |  FROM co JOIN sg ON sg.i = co.i GROUP BY 1, 2),
+      |prj AS (
+      |  SELECT vec_id, list(CAST(y AS FLOAT) ORDER BY out_dim) AS embedding
+      |  FROM py GROUP BY 1),
+      |ascored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM (SELECT * FROM prj WHERE vec_id < 10) q
+      |  JOIN prj e ON q.vec_id <> e.vec_id),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM ascored
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+      |qx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |escored AS (
+      |  SELECT qx.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(qx.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM qx JOIN embeddings e ON qx.vec_id <> e.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM escored
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) <= 5)
+      |SELECT x.query_id,
+      |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+      |  CAST(count(a.neighbor_id) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM exact x
+      |LEFT JOIN approx a
+      |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
     "x74_random_projection" -> (x74RandomProjection _),
+    "x75_snapshot_diff" -> (x75SnapshotDiff _),
+    "x76_projected_recall" -> (x76ProjectedRecall _),
     "x69_next_event_pairs" -> (x69NextEventPairs _),
     "x70_pagerank" -> (x70PageRank _),
     "x71_decayed_activity" -> (x71DecayedActivity _),
@@ -2821,6 +2922,8 @@ object ExtensionQueries {
     "x72_rendezvous_shards" -> x72Sql,
     "x73_pca_component" -> x73Sql,
     "x74_random_projection" -> x74Sql,
+    "x75_snapshot_diff" -> x75Sql,
+    "x76_projected_recall" -> x76Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -977,6 +977,50 @@ class ExtSpec extends AnyFunSuite {
       "projection must be bitwise layout-invariant")
   }
 
+  test("snapshotDiff: hand-built release classifies every change exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d"), (9L, "new")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L),
+      s"got $got")
+  }
+
+  test("projected recall: totals valid on the fixture; clustered data keeps its neighbors") {
+    // On ~uniform random unit vectors all cosines are near 0, so fine
+    // rankings do NOT survive compression even though distances do (JL
+    // preserves metric, not near-tie order) — the fixture run only pins
+    // well-formedness. The ranking claim is tested where it actually holds:
+    // data with real neighborhood structure.
+    val fx = graft.queries.ExtensionQueries
+      .queries("x76_projected_recall")(spark, sf)
+      .select("recall").as[Double].collect()
+    assert(fx.nonEmpty && fx.forall(r => r >= 0.0 && r <= 1.0))
+    // 3 well-separated clusters, 10 vectors each, tiny intra-cluster spread:
+    // exact top-5 = cluster mates, and the 16-dim search must keep them
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(64)(0.0f)
+      v(c * 20) = 1.0f
+      v(c * 20 + (i % 5) + 1) = 0.02f * ((i % 7) + 1)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjectVectors(vecs, k = 16)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    def top5(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineScores(corpus, corpus.filter(col("vec_id") < 6))
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val rec = Similarity.recallAtK(top5(vecs), top5(proj), k = 5)
+      .select("recall").as[Double].collect()
+    val mean = rec.sum / rec.length
+    assert(mean > 0.8, s"clustered neighborhoods must survive projection: $mean")
+  }
+
   test("rendezvous sharding: movers only go TO the new shard; movement ~1/(S+1); deterministic") {
     import spark.implicits._
     val keys = (0L until 2000L).toDF("k")
