@@ -63,4 +63,45 @@ object PrefixSum {
       }
     spark.createDataset(scanned).toDF(orderCol, valueCol, outCol)
   }
+
+  /** [[exclusiveRunningTotal]] generalized to an arbitrary total order:
+    * no unique-long-key encoding needed — the caller passes `orderCols`
+    * (which MUST be a total order, e.g. ending in a unique id, or the scan
+    * within equal keys is partition-nondeterministic) and keeps every input
+    * column. Same two-pass shape: range partition on the order, per-
+    * partition sums to the driver (P longs), broadcast offsets, one
+    * in-order pass. `valueCol` must be a long column. */
+  def exclusiveRunningTotalOrdered(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String, outCol: String = "running_total", numPartitions: Int = 0): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint()
+    val partSums = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col(valueCol)).as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = sorted.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (i <- 0 until nParts) {
+      offsets(i) = acc
+      acc += partSums.getOrElse(i, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val outSchema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType)
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { row =>
+        val r = run
+        run += row.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    spark.createDataFrame(scanned, outSchema)
+  }
 }

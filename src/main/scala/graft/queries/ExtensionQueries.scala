@@ -2832,10 +2832,45 @@ object ExtensionQueries {
       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x77 — multi-vector max-sim retrieval (late-interaction pooling): each
+  // label is a multi-vector "document"; score(query, label) = max cosine
+  // over the label's vectors, top-3 labels per query. The per-(query,
+  // label) max is map-side combinable — the shuffle carries one row per
+  // (query, label), never the vectors.
+  // ---------------------------------------------------------------------------
+  def x77MaxsimRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("label").asc)
+    Similarity.cosineScores(emb, emb.filter(col("vec_id") < 5))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(max(round(col("cosine"), 6)).as("maxsim"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+  }
+
+  private[queries] val x77Sql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.label,
+      |    max(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(e.embedding AS DOUBLE[])), 6)) AS maxsim
+      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, label, maxsim,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY maxsim DESC, label ASC) AS INTEGER) AS rank
+      |FROM scored
+      |QUALIFY rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
+    "x77_maxsim_retrieval" -> (x77MaxsimRetrieval _),
     "x74_random_projection" -> (x74RandomProjection _),
     "x75_snapshot_diff" -> (x75SnapshotDiff _),
     "x76_projected_recall" -> (x76ProjectedRecall _),
@@ -2924,6 +2959,7 @@ object ExtensionQueries {
     "x74_random_projection" -> x74Sql,
     "x75_snapshot_diff" -> x75Sql,
     "x76_projected_recall" -> x76Sql,
+    "x77_maxsim_retrieval" -> x77Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1395,8 +1395,56 @@ object FixtureQueries {
       |    / CAST((SELECT users FROM c WHERE step = 1) AS DOUBLE), 6) AS conversion
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q44 — Pareto/ABC revenue classification: parts ranked by discounted
+  // revenue, cut at 70%/90% cumulative share. The cumulative sum runs as
+  // the generalized two-pass distributed prefix scan over (revenue DESC,
+  // partkey) — no single-partition window at billion-part scale. Revenue is
+  // exact integer cents per line (the .5-cent rounding is exact in doubles:
+  // N+0.5 is representable below 2^51), so shares are one division each.
+  // ---------------------------------------------------------------------------
+  def q44Pareto(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+    val rev = li.select(
+        col("l_partkey").as("partkey"),
+        round(col("l_extendedprice").cast("decimal(12,2)").cast("double") * lit(100.0)
+          * (lit(100L) - round(col("l_discount") * lit(100.0))) / lit(100.0))
+          .cast("long").as("rev_cents"))
+      .groupBy("partkey").agg(sum(col("rev_cents")).as("rev"))
+    val scanned = graft.ops.PrefixSum.exclusiveRunningTotalOrdered(
+      rev, Seq(col("rev").desc, col("partkey").asc), "rev", outCol = "prior_rev")
+    val total = rev.agg(sum(col("rev")).as("total"))
+    scanned.crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        (col("prior_rev") + col("rev")).cast("double") / col("total").cast("double"))
+      .withColumn("pareto_class",
+        when(col("cum_share") <= 0.70, "A")
+          .when(col("cum_share") <= 0.90, "B").otherwise("C"))
+      .groupBy("pareto_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+  }
+
+  private[queries] val q44Sql =
+    """WITH r AS (
+      |  SELECT l_partkey AS partkey,
+      |    sum(CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) * 100.0
+      |      * (100 - round(l_discount * 100.0)) / 100.0) AS BIGINT)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(rev) AS total FROM r),
+      |c AS (
+      |  SELECT partkey, rev,
+      |    CAST(sum(rev) OVER (ORDER BY rev DESC, partkey
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |      / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
+      |  FROM r)
+      |SELECT CASE WHEN cum_share <= 0.70 THEN 'A'
+      |            WHEN cum_share <= 0.90 THEN 'B' ELSE 'C' END AS pareto_class,
+      |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS revenue_cents
+      |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_funnel" -> (q43Funnel _),
+    "q44_pareto" -> (q44Pareto _),
     "q1_trans_summary" -> (q1TransSummary _),
     "q2_player_summary" -> (q2PlayerSummary _),
     "q3_clamped" -> (q3Clamped _),
@@ -1483,5 +1531,6 @@ object FixtureQueries {
     "q40_retention" -> q40Sql,
     "q41_correlation" -> q41Sql,
     "q42_sliding_distinct" -> q42Sql,
-    "q43_funnel" -> q43Sql)
+    "q43_funnel" -> q43Sql,
+    "q44_pareto" -> q44Sql)
 }

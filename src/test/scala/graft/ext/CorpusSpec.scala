@@ -268,6 +268,23 @@ class CorpusSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("exclusiveRunningTotalOrdered: equals the window formulation on a desc order with ties") {
+    val df = (1L to 500L).map(i => (i, (i * 7) % 50, (i % 13) + 1))
+      .toDF("id", "rev", "v")
+    val got = PrefixSum.exclusiveRunningTotalOrdered(
+        df, Seq(col("rev").desc, col("id").asc), "v", outCol = "rt")
+      .select("id", "rt").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("rev").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.select(col("id"), coalesce(sum(col("v")).over(w), lit(0L)).as("rt"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "two-pass scan must equal the window running total")
+    // and the input columns survive (generalized variant keeps the row)
+    val cols = PrefixSum.exclusiveRunningTotalOrdered(
+      df, Seq(col("rev").desc, col("id").asc), "v").columns.toSeq
+    assert(cols == Seq("id", "rev", "v", "running_total"))
+  }
+
   test("pageRank: cycle fixed point, hub dominance, layout-invariant") {
     // symmetric 2-cycle: 0.5 is the exact fixed point of the damped update
     val cycle = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
