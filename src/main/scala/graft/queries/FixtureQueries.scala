@@ -1442,9 +1442,106 @@ object FixtureQueries {
       |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS revenue_cents
       |FROM c GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q45 — equi-depth histogram (16 buckets) of lineitem price cents: the
+  // optimizer-statistics pass. Bucket = floor(pos * k / n) over the global
+  // (cents, orderkey, linenumber) order — positions from the two-pass
+  // distributed scan, NOT ntile (whose remainder allocation differs and
+  // whose global window would serialize); the oracle replays the same
+  // row_number arithmetic. Pure integer throughout.
+  // ---------------------------------------------------------------------------
+  def q45EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir).select(
+      (col("l_extendedprice").cast("decimal(12,2)") * lit(100)).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"), lit(1L).as("one"))
+    val scanned = graft.ops.PrefixSum.exclusiveRunningTotalOrdered(
+      li, Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+      "one", outCol = "pos")
+    val n = li.agg(count(lit(1)).as("n"))
+    scanned.crossJoin(broadcast(n))
+      .withColumn("bucket", expr("pos * 16 div n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+  }
+
+  private[queries] val q45Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |n AS (SELECT count(*) AS n FROM v),
+      |p AS (
+      |  SELECT cents,
+      |    (row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1) * 16
+      |      // (SELECT n FROM n) AS bucket
+      |  FROM v)
+      |SELECT bucket, count(*) AS n_rows,
+      |  min(cents) AS lo_cents, max(cents) AS hi_cents
+      |FROM p GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q46 — referential-integrity audit: orphan counts for every foreign-key
+  // edge of the star schema. Each relationship is one anti join on its key
+  // (dimension sides broadcast where small) collapsed to a single-row
+  // aggregate; the report is a plan-side union. The audit a lake runs
+  // before promoting a snapshot.
+  // ---------------------------------------------------------------------------
+  def q46Integrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+    val ord = graft.Tables.orders(spark, dir)
+    val cust = graft.Tables.customer(spark, dir)
+    val part = graft.Tables.part(spark, dir)
+    val supp = graft.Tables.supplier(spark, dir)
+    val nat = graft.Tables.nation(spark, dir)
+    def audit(name: String, child: org.apache.spark.sql.DataFrame, childKey: String,
+        parent: org.apache.spark.sql.DataFrame, parentKey: String) = {
+      val orphans = child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")), Seq("k"), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    }
+    Seq(
+      audit("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+      audit("lineitem->part", li, "l_partkey", part, "p_partkey"),
+      audit("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+      audit("orders->customer", ord, "o_custkey", cust, "c_custkey"),
+      audit("customer->nation", cust, "c_nationkey", nat, "n_nationkey"))
+      .reduce(_ union _)
+  }
+
+  private[queries] val q46Sql =
+    """SELECT 'lineitem->orders' AS relationship, count(*) AS n_child,
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem->part', count(*),
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem->supplier', count(*),
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders->customer', count(*),
+      |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |FROM orders
+      |UNION ALL
+      |SELECT 'customer->nation', count(*),
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_funnel" -> (q43Funnel _),
     "q44_pareto" -> (q44Pareto _),
+    "q45_equidepth" -> (q45EquiDepth _),
+    "q46_integrity" -> (q46Integrity _),
     "q1_trans_summary" -> (q1TransSummary _),
     "q2_player_summary" -> (q2PlayerSummary _),
     "q3_clamped" -> (q3Clamped _),
@@ -1532,5 +1629,7 @@ object FixtureQueries {
     "q41_correlation" -> q41Sql,
     "q42_sliding_distinct" -> q42Sql,
     "q43_funnel" -> q43Sql,
-    "q44_pareto" -> q44Sql)
+    "q44_pareto" -> q44Sql,
+    "q45_equidepth" -> q45Sql,
+    "q46_integrity" -> q46Sql)
 }

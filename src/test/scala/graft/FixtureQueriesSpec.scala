@@ -136,4 +136,35 @@ class FixtureQueriesSpec extends AnyFunSuite {
         s"group $k: approx ${approx(k)} vs exact $n")
     }
   }
+
+  test("q45 equi-depth: 16 buckets, sizes within 1, value ranges strictly ordered") {
+    val rows = FixtureQueries.queries("q45_equidepth")(spark, sf)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents")))
+    assert(rows.map(_._1).toSeq == (0L until 16L).toSeq)
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"equi-depth sizes skewed: ${sizes.toSeq}")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"bucket ranges overlap: $a vs $b")
+      case _ =>
+    }
+    assert(rows.forall(r => r._3 <= r._4))
+  }
+
+  test("q46 integrity: clean fixture has zero orphans; a planted orphan is counted") {
+    val clean = FixtureQueries.queries("q46_integrity")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"))).toMap
+    assert(clean.size == 5 && clean.values.forall(_._2 == 0L),
+      s"fixture must be referentially clean: $clean")
+    // planted orphan: an order key no lineitem parent table contains
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+    val orphan = li.limit(1).withColumn("l_orderkey", lit(-999L))
+    val audited = li.unionByName(orphan)
+      .select(col("l_orderkey").as("k"))
+      .join(graft.Tables.orders(spark, sf).select(col("o_orderkey").as("k")),
+        Seq("k"), "left_anti").count()
+    assert(audited == 1L, s"planted orphan must surface, got $audited")
+  }
 }

@@ -30,7 +30,7 @@ ONLY=$(printf '%s,' \
   q28_range_native q29_lateral q30_unpivot q31_grouping_sets q32_lead_lag \
   q33_ntile q34_running_frames q35_approx_distinct q36_intersect \
   q37_correlated_avg q38_relative_rank q39_twap q40_retention q41_correlation q42_sliding_distinct \
-  q43_funnel q44_pareto \
+  q43_funnel q44_pareto q45_equidepth q46_integrity \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
   s14_stream_length_match s15_stream_drift s16_stream_next_event s17_stream_funnel \
