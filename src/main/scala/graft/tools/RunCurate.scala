@@ -151,6 +151,14 @@ object RunCurate {
       "curation pipeline is not deterministic")
     println("[curate] determinism check     : PASS")
 
+    // 5b. final training order: the seeded global shuffle a data loader
+    // would stream — a pure function of (corpus, seed), so a resumed or
+    // re-run training job sees the identical order without storing it
+    val order = Corpus.seededShuffle(written.select("doc_id"), seed = 17L, shardSize = 64L)
+    require(order.count() == written.count(), "training-order shuffle must be a bijection")
+    println(s"[curate] training order        : ${order.count()} positions, " +
+      s"${order.agg(max(col("shard_id"))).head.getLong(0) + 1} loader shards (seed 17)")
+
     // 6. steady state: persist the curated corpus's band index once, then
     // admit a simulated "tomorrow's crawl" (the curated docs themselves,
     // re-keyed — worst case: everything is a dup) plus genuinely new text.

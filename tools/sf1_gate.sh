@@ -15,6 +15,8 @@
 #    blocks quadratically are kept OUT only if measured slow; x41/x45 run.
 #  - s2-s10 streaming twins share batch oracles already replayed above at
 #    driver SFs; s1/s11/s12/s13 run here as the streaming representatives.
+#  - x76: its oracle replays TWO brute-force all-pairs searches (64-dim
+#    and projected) — oracle cost at 10x; covered at the driver SFs.
 #  - x67: shares x2's oracle (the all-shingles join) — the ORACLE is the
 #    quadratic-ish side at 10x; the engine path is the scale path. Covered
 #    bitwise at the driver SFs + equality-with-x2 spec.
@@ -44,6 +46,7 @@ ONLY=$(printf '%s,' \
   x47_mixture_plan x49_frequency_cap x50_weighted_sample \
   x51_centroid_outliers x52_datacard x55_chunk_dedup x56_tfidf_terms \
   x57_curriculum x64_seeded_shuffle x65_pmi_pairs x66_zorder_layout \
-  x71_decayed_activity x72_rendezvous_shards \
+  x71_decayed_activity x72_rendezvous_shards x73_pca_component \
+  x74_random_projection x75_snapshot_diff x77_maxsim_retrieval \
   x68_column_profile x69_next_event_pairs x70_pagerank | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
