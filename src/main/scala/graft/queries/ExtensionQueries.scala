@@ -2866,11 +2866,61 @@ object ExtensionQueries {
       |FROM scored
       |QUALIFY rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x78 — curation filter kill-matrix: the corpus grouped by every
+  // combination of four independent quality-filter verdicts (length, token
+  // shape, digit load, stopword floor) with doc and token mass per cell.
+  // This is how a pipeline diagnoses filter OVERLAP before adding one —
+  // a filter whose kills are a subset of another's is free to drop. One
+  // narrow feature pass + one 16-cell aggregate; nothing shuffles but the
+  // 4-bit key.
+  // ---------------------------------------------------------------------------
+  def x78FilterMatrix(spark: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFeatures(Tables.documents(spark, dir))
+      .select(
+        when(col("token_count") >= 10, 1).otherwise(0).as("len_ok"),
+        when(col("avg_token_len") <= 12.0, 1).otherwise(0).as("shape_ok"),
+        when(col("digit_ratio") <= 0.2, 1).otherwise(0).as("digit_ok"),
+        when(col("stopword_ratio") >= 0.02, 1).otherwise(0).as("stop_ok"),
+        col("token_count"))
+      .groupBy("len_ok", "shape_ok", "digit_ok", "stop_ok")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_count").cast("long")).as("n_tokens"))
+
+  private[queries] val x78Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, token_count,
+      |    CASE WHEN token_count = 0 THEN 0.0
+      |         ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / token_count
+      |         END AS avg_token_len,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+      |         END AS digit_ratio,
+      |    CASE WHEN token_count = 0 THEN 0.0
+      |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                w -> w IN ('the','a','and','of','to','in'))) * 1.0 / token_count
+      |         END AS stopword_ratio
+      |  FROM f)
+      |SELECT
+      |  CASE WHEN token_count >= 10 THEN 1 ELSE 0 END AS len_ok,
+      |  CASE WHEN avg_token_len <= CAST(12.0 AS DOUBLE) THEN 1 ELSE 0 END AS shape_ok,
+      |  CASE WHEN digit_ratio <= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS digit_ok,
+      |  CASE WHEN stopword_ratio >= CAST(0.02 AS DOUBLE) THEN 1 ELSE 0 END AS stop_ok,
+      |  count(*) AS n_docs,
+      |  CAST(sum(token_count) AS BIGINT) AS n_tokens
+      |FROM g GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
     "x77_maxsim_retrieval" -> (x77MaxsimRetrieval _),
+    "x78_filter_matrix" -> (x78FilterMatrix _),
     "x74_random_projection" -> (x74RandomProjection _),
     "x75_snapshot_diff" -> (x75SnapshotDiff _),
     "x76_projected_recall" -> (x76ProjectedRecall _),
@@ -2960,6 +3010,7 @@ object ExtensionQueries {
     "x75_snapshot_diff" -> x75Sql,
     "x76_projected_recall" -> x76Sql,
     "x77_maxsim_retrieval" -> x77Sql,
+    "x78_filter_matrix" -> x78Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

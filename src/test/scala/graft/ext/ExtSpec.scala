@@ -977,6 +977,33 @@ class ExtSpec extends AnyFunSuite {
       "projection must be bitwise layout-invariant")
   }
 
+  test("filter kill-matrix: hand-built docs land in their exact cells; mass conserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and a dog went to the market in town today fine"), // all pass
+      (2L, "short text"),                                      // len fails
+      (3L, "the 11 22 33 44 55 66 77 88 99 00 11 22 33 44"),   // digit fails (len ok, stop ok)
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))     // stop fails
+      .toDF("doc_id", "text")
+    val m = graft.queries.ExtensionQueries.queries("x78_filter_matrix")
+    // run the registered query against a temp dir holding these docs
+    val tmp = java.nio.file.Files.createTempDirectory("graft-km").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cells = m(spark, tmp)
+      .as[(Int, Int, Int, Int, Long, Long)].collect()
+    assert(cells.map(_._5).sum == 4, s"every doc lands in exactly one cell: ${cells.toSeq}")
+    val byFlags = cells.map(c => (c._1, c._2, c._3, c._4) -> c._5).toMap
+    assert(byFlags((1, 1, 1, 1)) == 1, s"doc 1 passes all: ${cells.toSeq}")
+    assert(byFlags.exists { case ((l, _, _, _), n) => l == 0 && n >= 1 },
+      s"the short doc must fail the length filter: ${cells.toSeq}")
+    assert(byFlags.exists { case ((_, _, d, _), n) => d == 0 && n >= 1 },
+      s"the digit-heavy doc must fail the digit filter: ${cells.toSeq}")
+    assert(byFlags.exists { case ((1, _, 1, st), n) => st == 0 && n >= 1; case _ => false },
+      s"the stopword-free doc must fail the stopword floor: ${cells.toSeq}")
+  }
+
   test("snapshotDiff: hand-built release classifies every change exactly") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")

@@ -48,5 +48,6 @@ ONLY=$(printf '%s,' \
   x57_curriculum x64_seeded_shuffle x65_pmi_pairs x66_zorder_layout \
   x71_decayed_activity x72_rendezvous_shards x73_pca_component \
   x74_random_projection x75_snapshot_diff x77_maxsim_retrieval \
+  x78_filter_matrix \
   x68_column_profile x69_next_event_pairs x70_pagerank | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
