@@ -123,7 +123,22 @@ def main():
     import gc
     con = connect()
     make_views(con)
+    n_run = 0
     for name in sorted(oracle):
+        # Recycle the connection every 40 oracles: one connection for the
+        # whole sweep accumulates allocator arenas and segfaults around
+        # oracle ~137 (observed on the x73 recursive-CTE oracle at sf0.1),
+        # while per-query reconnects die from thread-pool churn (above).
+        # A coarse cadence avoids both failure shapes.
+        n_run += 1
+        if n_run % 40 == 0:
+            try:
+                con.close()
+            except Exception:
+                pass
+            gc.collect()
+            con = connect()
+            make_views(con)
         try:
             got = canon(pd.read_parquet(OUT / name))
             # Transient OOM (page-cache pressure right after the Spark JVM
