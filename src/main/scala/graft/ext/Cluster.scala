@@ -266,4 +266,51 @@ object Cluster {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge set (pairs normalized
+    * a < b, already distinct) — the local-clustering audit of a similarity
+    * graph: a near-dup pair inside a triangle is corroborated by a third
+    * document, a pair with no closing edge is the LSH fringe.
+    *
+    * Degree-ordered node-iterator (Schank-Wagner): every edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one, so each wedge
+    * is generated exactly once, at its lowest-ranked corner. That bound is
+    * what survives skew at scale — a hub of degree d generates NO wedges
+    * from its own adjacency unless both neighbors out-rank it, capping the
+    * wedge fan-out at O(|E|^1.5) total instead of sum(d^2) (a 10M-degree
+    * spam-cluster hub would otherwise emit 10^14 wedges from one key).
+    * Plan: degree agg (1 shuffle), wedge self-join on the oriented source,
+    * closure hash-join back against the oriented edge set — no all-pairs,
+    * nothing driver-side. The triangle SET is orientation-invariant, so an
+    * id-ordered oracle replays it exactly.
+    *
+    * Returns (node, n_triangles) for nodes in >= 1 triangle. */
+  def triangleCounts(edges: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // rank = (degree, id): a total order, ties broken by id
+    val ranked = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    val oriented = ranked.localCheckpoint()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dd"), col("e1.dst")) < struct(col("e2.dd"), col("e2.dst")))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    // the closing edge v-w is oriented v->w because v out-ranks lower
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -2915,7 +2915,49 @@ object ExtensionQueries {
       |  CAST(sum(token_count) AS BIGINT) AS n_tokens
       |FROM g GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x79 — per-document triangle counts over the near-dup graph: pairs alone
+  // can be LSH fringe; a pair inside a triangle is corroborated by a third
+  // document (the transitivity audit run before trusting cluster-level
+  // keep/drop decisions). Edges come from the collapsed MinHash scale path
+  // (bitwise equal to the exact pair set); counting is the degree-ordered
+  // node-iterator in Cluster.triangleCounts — wedge fan-out bounded at the
+  // lowest-degree corner, so a hub-heavy dup graph can't explode one key.
+  // The oracle enumerates each id-ordered triangle once from the exact
+  // pair CTE and unnests its three corners: the triangle SET is
+  // orientation-invariant, so both plans count identical corners.
+  // ---------------------------------------------------------------------------
+  def x79Triangles(spark: SparkSession, dir: String): DataFrame =
+    Cluster.triangleCounts(
+      Dedup.nearDupMinhashCollapsed(Tables.documents(spark, dir), jaccardThreshold))
+
+  private[queries] val x79Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shset) AS n FROM sh),
+       |e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pr
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $jaccardThreshold),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT node, count(*) AS n_triangles FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_triangles" -> (x79Triangles _),
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
@@ -3011,6 +3053,7 @@ object ExtensionQueries {
     "x76_projected_recall" -> x76Sql,
     "x77_maxsim_retrieval" -> x77Sql,
     "x78_filter_matrix" -> x78Sql,
+    "x79_triangles" -> x79Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

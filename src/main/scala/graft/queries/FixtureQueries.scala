@@ -1537,7 +1537,122 @@ object FixtureQueries {
       |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
       |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q47 — item-item co-purchase similarity (market-basket CF): parts scored
+  // by cosine over shared orders, co / sqrt(n_a * n_b). Pair generation is
+  // the per-basket self-join on l_orderkey — bounded by basket size (TPC-H
+  // caps at 7 lines/order; a retail basket is O(10)), so the pair count is
+  // O(|orders| * basket^2), never parts x parts. Top 100 cut by the exact
+  // integer co-count with id tiebreaks (TakeOrderedAndProject — no global
+  // sort materializes); cosine is two correctly-rounded IEEE ops on exact
+  // integers, bitwise on any engine.
+  // ---------------------------------------------------------------------------
+  def q47CoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("co"))
+    pairs
+      .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
+      .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("co"),
+        (col("co").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
+          .as("cosine"))
+      .orderBy(col("co").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  private[queries] val q47Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |c AS (SELECT pk, count(*) AS n FROM b GROUP BY 1),
+      |p AS (
+      |  SELECT a.pk AS part_a, b2.pk AS part_b, count(*) AS co
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, co,
+      |  CAST(co AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+      |FROM p
+      |JOIN c ca ON part_a = ca.pk
+      |JOIN c cb ON part_b = cb.pk
+      |ORDER BY co DESC, part_a, part_b LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q48 — robust outlier audit per event_type: lower-median and MAD over
+  // exact value-cents, outlier = deviation > 3 * MAD. Medians come from the
+  // VALUE HISTOGRAM (groupBy (type, cents) then a cumulative walk over the
+  // distinct-value rows), not a per-type row sort: the histogram is bounded
+  // by the value domain (~10^5 distinct cents), so the per-type window scans
+  // domain-sized input no matter how many trillion rows feed it — the shape
+  // that survives a hot event_type at 100 TB. All arithmetic is integer.
+  // ---------------------------------------------------------------------------
+  def q48MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    // lower median via the cumulative histogram: the value at 0-based
+    // position (n-1) div 2 of the sorted multiset
+    def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame = {
+      val h = df.groupBy(col("event_type"), col(vcol)).agg(count(lit(1)).as("c"))
+      h.withColumn("hi", sum(col("c")).over(
+          Window.partitionBy("event_type").orderBy(vcol)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+        .filter(col("hi") - col("c") <= expr("(n - 1) div 2") &&
+          expr("(n - 1) div 2") < col("hi"))
+        .select(col("event_type"), col(vcol).as(out))
+    }
+    val med = lowerMedian(ev, "cents", "median_cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad_cents")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("median_cents")).as("median_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  private[queries] val q48Sql =
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |h AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, cents, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS hi,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |med AS (
+      |  SELECT event_type, cents AS median_cents FROM cum
+      |  WHERE hi - c <= (n - 1) // 2 AND (n - 1) // 2 < hi),
+      |d AS (
+      |  SELECT v.event_type, v.cents, m.median_cents,
+      |    abs(v.cents - m.median_cents) AS dev
+      |  FROM v JOIN med m USING (event_type)),
+      |hd AS (SELECT event_type, dev, count(*) AS c FROM d GROUP BY 1, 2),
+      |cumd AS (
+      |  SELECT event_type, dev, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS hi,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hd),
+      |mad AS (
+      |  SELECT event_type, dev AS mad_cents FROM cumd
+      |  WHERE hi - c <= (n - 1) // 2 AND (n - 1) // 2 < hi)
+      |SELECT d.event_type, count(*) AS n_rows,
+      |  min(d.median_cents) AS median_cents,
+      |  min(a.mad_cents) AS mad_cents,
+      |  CAST(sum(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN mad a USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_copurchase" -> (q47CoPurchase _),
+    "q48_mad_outliers" -> (q48MadOutliers _),
     "q43_funnel" -> (q43Funnel _),
     "q44_pareto" -> (q44Pareto _),
     "q45_equidepth" -> (q45EquiDepth _),
@@ -1631,5 +1746,7 @@ object FixtureQueries {
     "q43_funnel" -> q43Sql,
     "q44_pareto" -> q44Sql,
     "q45_equidepth" -> q45Sql,
+    "q47_copurchase" -> q47Sql,
+    "q48_mad_outliers" -> q48Sql,
     "q46_integrity" -> q46Sql)
 }

@@ -167,4 +167,35 @@ class FixtureQueriesSpec extends AnyFunSuite {
         Seq("k"), "left_anti").count()
     assert(audited == 1L, s"planted orphan must surface, got $audited")
   }
+
+  test("q47 co-purchase: pairs normalized a<b, cosine in (0,1], co bounded by min degree") {
+    val out = FixtureQueries.queries("q47_copurchase")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val cos = r.getAs[Double]("cosine")
+      assert(a < b, s"pair not normalized: $a,$b")
+      assert(cos > 0.0 && cos <= 1.0, s"cosine out of range: $cos")
+    }
+    // descending by co with id tiebreaks (the deterministic top-k cut)
+    val keys = out.map(r => (-r.getAs[Long]("co"), r.getAs[Long]("part_a"), r.getAs[Long]("part_b")))
+    assert(keys.sameElements(keys.sorted), "output not in (co desc, ids) order")
+  }
+
+  test("q48 MAD: planted far outlier is counted, median/MAD match a driver-side replay") {
+    val out = FixtureQueries.queries("q48_mad_outliers")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replay one type's median/MAD in plain Scala from the raw rows
+    val cents = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select((col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val med = cents((cents.length - 1) / 2)
+    val devs = cents.map(c => math.abs(c - med)).sorted
+    val mad = devs((devs.length - 1) / 2)
+    val row = out("click")
+    assert(row.getAs[Long]("median_cents") === med)
+    assert(row.getAs[Long]("mad_cents") === mad)
+    assert(row.getAs[Long]("n_outliers") === devs.count(_ > 3 * mad))
+  }
 }

@@ -1087,4 +1087,18 @@ class ExtSpec extends AnyFunSuite {
     assert(!out.exists(r => r._1 == "rare" || r._2 == "rare"), "df < minDf terms pruned")
     assert(out.forall(r => r._3 >= 2 && r._1 < r._2), "pair floor and canonical order hold")
   }
+
+  test("triangleCounts: 4-clique + pendant edge + path count exactly; orientation-invariant") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node), pendant 4-5, path 6-7-8 (none)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Cluster.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 corners must each sit in 3 triangles, pendant/path in none: $out")
+    // total corner count is divisible by 3 on any graph (each triangle has 3)
+    val fixture = Cluster.triangleCounts(Dedup.nearDupMinhashCollapsed(docs, 0.8))
+    val total = fixture.agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(total % 3 === 0, s"corner total $total not divisible by 3")
+  }
 }

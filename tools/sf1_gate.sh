@@ -20,6 +20,10 @@
 #  - x67: shares x2's oracle (the all-shingles join) — the ORACLE is the
 #    quadratic-ish side at 10x; the engine path is the scale path. Covered
 #    bitwise at the driver SFs + equality-with-x2 spec.
+#  - x79: its oracle derives the edge set from the same all-shingles CTE
+#    as x2 before the triangle join — oracle-side cost at 10x; the engine
+#    path (collapsed MinHash + degree-ordered wedges) is the scale path.
+#    Covered bitwise at the driver SFs.
 # Usage: tools/sf1_gate.sh [sf1dir]
 set -e
 SF1=${1:-/root/repo/localdata/sf1}
@@ -33,6 +37,7 @@ ONLY=$(printf '%s,' \
   q33_ntile q34_running_frames q35_approx_distinct q36_intersect \
   q37_correlated_avg q38_relative_rank q39_twap q40_retention q41_correlation q42_sliding_distinct \
   q43_funnel q44_pareto q45_equidepth q46_integrity \
+  q47_copurchase q48_mad_outliers \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
   s14_stream_length_match s15_stream_drift s16_stream_next_event s17_stream_funnel \
