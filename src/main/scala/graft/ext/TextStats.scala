@@ -355,4 +355,30 @@ object TextStats {
       .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
       .limit(k)
   }
+
+  /** Vocabulary frequency spectrum (frequency-of-frequencies) with the
+    * Good-Turing adjusted count per bin: gt_freq(f) = (f+1) * S(f+1) / S(f),
+    * NULL where the next bin is empty (the classic estimator is undefined
+    * there without smoothing). S(1)/N — read off the freq=1 row — is the
+    * Good-Turing unseen-token mass, the number a tokenizer-vocab or
+    * LM-coverage decision actually consumes.
+    *
+    * Scale shape: one term-shuffle (the same exchange every term stat
+    * pays), then the spectrum aggregation — whose key domain is the set of
+    * DISTINCT frequencies, O(sqrt(total_tokens)) by Heaps-style growth, so
+    * the second shuffle and the +1 self-join are vanishingly small at any
+    * corpus size. The product (f+1)*S(f+1) is an exact long; the single
+    * division is one correctly-rounded IEEE op — bitwise on any engine. */
+  def vocabularySpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = graft.ops.Par.fanOut(docs)
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+    val f = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    val s = f.groupBy("freq").agg(count(lit(1)).as("n_types")).localCheckpoint()
+    s.as("a")
+      .join(s.select(col("freq").as("freq_next"), col("n_types").as("n_next")),
+        col("freq") + 1 === col("freq_next"), "left")
+      .select(col("freq"), col("n_types"),
+        (((col("freq") + 1) * col("n_next")).cast("double")
+          / col("n_types").cast("double")).as("gt_freq"))
+  }
 }

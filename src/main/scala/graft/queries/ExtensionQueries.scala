@@ -2956,8 +2956,30 @@ object ExtensionQueries {
        |  UNION ALL SELECT z FROM tri)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x80 — vocabulary frequency spectrum + Good-Turing adjusted counts: the
+  // frequency-of-frequencies table S(f) with gt_freq = (f+1)*S(f+1)/S(f).
+  // S(1)/N is the unseen-token mass — the number a tokenizer-vocab cut or
+  // LM-coverage decision consumes. Spectrum keys are DISTINCT frequencies
+  // (O(sqrt(tokens)) of them), so everything after the one standard
+  // term-shuffle is vanishingly small at any corpus size.
+  // ---------------------------------------------------------------------------
+  def x80VocabSpectrum(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabularySpectrum(Tables.documents(spark, dir))
+
+  private[queries] val x80Sql =
+    """WITH t AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |f AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+      |s AS (SELECT n AS freq, count(*) AS n_types FROM f GROUP BY 1)
+      |SELECT s.freq, s.n_types,
+      |  CAST((s.freq + 1) * s2.n_types AS DOUBLE) / CAST(s.n_types AS DOUBLE)
+      |    AS gt_freq
+      |FROM s LEFT JOIN s s2 ON s2.freq = s.freq + 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x79_triangles" -> (x79Triangles _),
+    "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
@@ -3054,6 +3076,7 @@ object ExtensionQueries {
     "x77_maxsim_retrieval" -> x77Sql,
     "x78_filter_matrix" -> x78Sql,
     "x79_triangles" -> x79Sql,
+    "x80_vocab_spectrum" -> x80Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1588,9 +1588,15 @@ object FixtureQueries {
   // domain-sized input no matter how many trillion rows feed it — the shape
   // that survives a hot event_type at 100 TB. All arithmetic is integer.
   // ---------------------------------------------------------------------------
-  def q48MadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_type"),
+  /** Events projected to (event_type, exact value-cents) — q48's input and
+    * the batch side of s18's plan/enforce split. */
+  private[queries] def eventCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_type"),
       (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+
+  /** Per-type (median_cents, mad_cents) from the value histogram — the
+    * robust-center PLAN table (tiny: one row per event_type). */
+  private[queries] def madPlan(ev: DataFrame): DataFrame = {
     // lower median via the cumulative histogram: the value at 0-based
     // position (n-1) div 2 of the sorted multiset
     def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame = {
@@ -1606,7 +1612,14 @@ object FixtureQueries {
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("cents") - col("median_cents")))
     val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad_cents")
-    dev.join(broadcast(mad), "event_type")
+    med.join(mad, "event_type")
+  }
+
+  def q48MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventCents(spark, dir)
+    val plan = madPlan(ev)
+    ev.join(broadcast(plan), "event_type")
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
         min(col("median_cents")).as("median_cents"),

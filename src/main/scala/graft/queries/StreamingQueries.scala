@@ -878,7 +878,43 @@ object StreamingQueries {
         round(col("users").cast("double") / col("u1").cast("double"), 6).as("conversion"))
   }
 
+  /** s18 — streaming robust-outlier enforcement (q48's twin, the
+    * plan/enforce split of s11 applied to anomaly flagging): per-type
+    * median/MAD are PLANNED offline from the value histogram
+    * ([[FixtureQueries.madPlan]], re-published at some batch cadence) and
+    * ENFORCED on the stream as a broadcast stream-static join + one integer
+    * compare per event. Stream state is |event_types| exact-integer counter
+    * rows — volume-independent, and integer merge order cannot change a
+    * bit, so the complete-mode output replays q48's oracle bitwise. */
+  def s18StreamOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s18mad", dir, Seq("events.parquet")) { out =>
+      FixtureQueries.eventCents(spark, dir)
+        .write.mode("overwrite").parquet(out)
+    }
+    val plan = FixtureQueries.madPlan(spark.read.parquet(inDir))
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s18_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .join(broadcast(plan), "event_type")
+        .withColumn("dev", abs(col("cents") - col("median_cents")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("median_cents")).as("median_cents"),
+          min(col("mad_cents")).as("mad_cents"),
+          sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s18 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_outliers" -> (s18StreamOutliers _),
     "s16_stream_next_event" -> (s16StreamNextEvent _),
     "s17_stream_funnel" -> (s17StreamFunnel _),
     "s15_stream_drift" -> (s15StreamDrift _),
@@ -898,6 +934,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s18_stream_outliers" -> FixtureQueries.q48Sql, // batch-planned MAD enforced on the stream
     "s16_stream_next_event" -> ExtensionQueries.x69Sql, // same pairs, streamed
     "s17_stream_funnel" -> FixtureQueries.q43Sql, // same funnel, state-tracked
     "s15_stream_drift" -> ExtensionQueries.x63Sql, // same exact sums, streamed

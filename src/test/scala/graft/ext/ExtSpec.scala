@@ -1101,4 +1101,22 @@ class ExtSpec extends AnyFunSuite {
     val total = fixture.agg(sum("n_triangles")).collect()(0).getLong(0)
     assert(total % 3 === 0, s"corner total $total not divisible by 3")
   }
+
+  test("vocabularySpectrum: known corpus spectrum and Good-Turing chain") {
+    // tokens: a x3, b x2, c x1  =>  S(1)=S(2)=S(3)=1
+    val corpus = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.vocabularySpectrum(corpus).collect()
+      .map(r => r.getAs[Long]("freq") ->
+        (r.getAs[Long]("n_types"), Option(r.getAs[java.lang.Double]("gt_freq")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.map(_._1).toSeq.forall(_ == 1L))
+    assert(out(1L)._2 === Some(2.0), "gt(1) = 2*S(2)/S(1)")
+    assert(out(2L)._2 === Some(3.0), "gt(2) = 3*S(3)/S(2)")
+    assert(out(3L)._2 === None, "top bin has no successor — estimator undefined")
+    // invariant on the fixture corpus: sum(freq * n_types) = total tokens
+    val spec = TextStats.vocabularySpectrum(docs)
+    val massed = spec.agg(sum(col("freq") * col("n_types"))).collect()(0).getLong(0)
+    val toks = docs.select(explode(split(trim(col("text")), " "))).count()
+    assert(massed === toks, s"spectrum mass $massed != token count $toks")
+  }
 }
