@@ -313,4 +313,41 @@ object Cluster {
       .union(tri.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous weighted label propagation (fixed iteration count):
+    * communities FINER than connected components — CC merges everything
+    * reachable, LPA keeps weakly-bridged groups apart, which is what a
+    * product-affinity or topic grouping wants. Deterministic by
+    * construction: the vote is argmax (weight sum DESC, label ASC) with
+    * exact integer weights, computed as max(struct(s, -label)) — a plain
+    * map-side-combinable aggregate, NO per-node window sort, so a hub
+    * node's votes partial-aggregate before the shuffle. Each iteration is
+    * two shuffles (neighbor-label join + vote agg), same as the CC rounds;
+    * a fixed iteration count keeps the plan finite and the oracle
+    * unrollable. Nodes keep their own label when isolated.
+    *
+    * `edges`: undirected (a, b, w) pairs; symmetrized internally.
+    * Returns (node, label) for every edge endpoint. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      aCol: String = "a", bCol: String = "b", wCol: String = "w"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(sum(col("w")).as("s"))
+      val winner = votes.groupBy("u")
+        .agg(max(struct(col("s"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

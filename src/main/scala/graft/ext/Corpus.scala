@@ -567,4 +567,37 @@ object Corpus {
         col("position"),
         expr(s"position div $shardSize").as("shard_id"))
   }
+
+  /** Population Stability Index of the token-count distribution per source
+    * vs the whole corpus — the drift audit run when a new crawl source
+    * lands: psi < 0.1 reads "same length profile as the corpus", > 0.25
+    * "this source will shift the mixture". Buckets are log2 length bands
+    * (bit length of the token count — `length(bin(n))`, exact integer
+    * arithmetic on any engine), so the bucket table is O(log max_len) rows
+    * per source no matter the corpus size; everything after the one
+    * doc-level pass is domain-bounded. Only buckets the source occupies
+    * contribute (the one-sided convention; absent-bucket epsilon terms are
+    * a smoothing choice this audit deliberately avoids — the oracle
+    * replays the same convention). Each term is round((p-q)*ln(p/q), 6)
+    * summed as DECIMAL — partition-order-invariant, bitwise-replayable. */
+  def psiBySource(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val bucketed = docs.select(col(srcCol).as("source"),
+      length(bin(TextStats.tokenCount(col(textCol)).cast("long"))).as("bucket"))
+    val sb = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint()
+    val s = sb.groupBy("source").agg(sum(col("c_sb")).as("c_s"))
+    val bb = sb.groupBy("bucket").agg(sum(col("c_sb")).as("c_b"))
+    val t = sb.agg(sum(col("c_sb")).as("c"))
+    val p = col("c_sb").cast("double") / col("c_s").cast("double")
+    val q = col("c_b").cast("double") / col("c").cast("double")
+    sb.join(broadcast(s), "source").join(broadcast(bb), "bucket")
+      .crossJoin(broadcast(t))
+      .select(col("source"),
+        round((p - q) * log(p / q), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 6)).as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("term")).cast("double").as("psi"))
+  }
 }

@@ -2977,9 +2977,42 @@ object ExtensionQueries {
       |    AS gt_freq
       |FROM s LEFT JOIN s s2 ON s2.freq = s.freq + 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x81 — source-vs-corpus PSI drift audit: Population Stability Index of
+  // the token-count distribution per source against the whole corpus, over
+  // log2 length bands (bit-length buckets — exact integer arithmetic).
+  // The gate a mixture planner runs before admitting a new crawl source.
+  // One doc-level pass; the bucket table is O(|sources| * log max_len).
+  // ---------------------------------------------------------------------------
+  def x81PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    Corpus.psiBySource(Tables.documents(spark, dir))
+
+  private[queries] val x81Sql =
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+      |  FROM documents),
+      |b AS (SELECT source, length(bin(CAST(tc AS BIGINT))) AS bucket FROM f),
+      |sb AS (SELECT source, bucket, count(*) AS c_sb FROM b GROUP BY 1, 2),
+      |s AS (SELECT source, sum(c_sb) AS c_s FROM sb GROUP BY 1),
+      |bb AS (SELECT bucket, sum(c_sb) AS c_b FROM sb GROUP BY 1),
+      |t AS (SELECT sum(c_sb) AS c FROM sb),
+      |terms AS (
+      |  SELECT sb.source,
+      |    round((CAST(c_sb AS DOUBLE) / CAST(c_s AS DOUBLE)
+      |           - CAST(c_b AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * ln((CAST(c_sb AS DOUBLE) / CAST(c_s AS DOUBLE))
+      |            / (CAST(c_b AS DOUBLE) / CAST(c AS DOUBLE))), 6) AS term
+      |  FROM sb JOIN s USING (source) JOIN bb USING (bucket) CROSS JOIN t)
+      |SELECT source, count(*) AS n_bins,
+      |  CAST(sum(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS psi
+      |FROM terms GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
+    "x81_psi_drift" -> (x81PsiDrift _),
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
@@ -3077,6 +3110,7 @@ object ExtensionQueries {
     "x78_filter_matrix" -> x78Sql,
     "x79_triangles" -> x79Sql,
     "x80_vocab_spectrum" -> x80Sql,
+    "x81_psi_drift" -> x81Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

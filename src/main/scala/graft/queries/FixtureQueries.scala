@@ -1547,15 +1547,23 @@ object FixtureQueries {
   // sort materializes); cosine is two correctly-rounded IEEE ops on exact
   // integers, bitwise on any engine.
   // ---------------------------------------------------------------------------
+  /** (part_a, part_b, co-order count) with a<b — the co-purchase edge set
+    * shared by q47 (similarity) and q49 (communities). Pair generation is
+    * per-basket, bounded by basket size. */
+  private[queries] def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("co"))
+  }
+
   def q47CoPurchase(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
-      .agg(count(lit(1)).as("co"))
-    pairs
+    basketPairs(spark, dir)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
       .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
       .select(col("part_a"), col("part_b"), col("co"),
@@ -1663,9 +1671,55 @@ object FixtureQueries {
       |FROM d JOIN mad a USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q49 — co-purchase communities: 2 rounds of synchronous weighted label
+  // propagation over q47's basket-pair graph. Communities come out FINER
+  // than connected components (weak bridges don't merge groups), which is
+  // what a product-affinity grouping wants. The vote is a plain
+  // map-side-combinable max(struct(weight_sum, -label)) aggregate — no
+  // per-node window sort — so a hub part's votes partial-aggregate before
+  // the shuffle; the oracle unrolls both iterations with the identical
+  // (s DESC, label ASC) argmax. Exact integers throughout.
+  // ---------------------------------------------------------------------------
+  private val lpaIters = 2
+
+  def q49Communities(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Cluster.labelPropagation(
+        basketPairs(spark, dir), iters = lpaIters,
+        aCol = "part_a", bCol = "part_b", wCol = "co")
+      .select(col("node").as("part"), col("label").as("community"))
+
+  private[queries] val q49Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |p AS (
+      |  SELECT a.pk AS pa, b2.pk AS pb, count(*) AS w
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa AS u, pb AS v, w FROM p
+      |      UNION ALL SELECT pb, pa, w FROM p),
+      |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+      |v1 AS (
+      |  SELECT e.u, l.label, sum(e.w) AS s
+      |  FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+      |l1 AS (
+      |  SELECT u AS node, label FROM (
+      |    SELECT u, label,
+      |      row_number() OVER (PARTITION BY u ORDER BY s DESC, label) AS rn
+      |    FROM v1) WHERE rn = 1),
+      |v2 AS (
+      |  SELECT e.u, l.label, sum(e.w) AS s
+      |  FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+      |l2 AS (
+      |  SELECT u AS node, label FROM (
+      |    SELECT u, label,
+      |      row_number() OVER (PARTITION BY u ORDER BY s DESC, label) AS rn
+      |    FROM v2) WHERE rn = 1)
+      |SELECT node AS part, label AS community FROM l2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_copurchase" -> (q47CoPurchase _),
     "q48_mad_outliers" -> (q48MadOutliers _),
+    "q49_communities" -> (q49Communities _),
     "q43_funnel" -> (q43Funnel _),
     "q44_pareto" -> (q44Pareto _),
     "q45_equidepth" -> (q45EquiDepth _),
@@ -1761,5 +1815,6 @@ object FixtureQueries {
     "q45_equidepth" -> q45Sql,
     "q47_copurchase" -> q47Sql,
     "q48_mad_outliers" -> q48Sql,
+    "q49_communities" -> q49Sql,
     "q46_integrity" -> q46Sql)
 }

@@ -1119,4 +1119,40 @@ class ExtSpec extends AnyFunSuite {
     val toks = docs.select(explode(split(trim(col("text")), " "))).count()
     assert(massed === toks, s"spectrum mass $massed != token count $toks")
   }
+
+  test("labelPropagation: weakly-bridged triangles stay separate (finer than CC)") {
+    // two w=2 triangles joined by a w=1 bridge 3-4; hand-traced 2-iteration
+    // sync LPA fixpoint: {1,2,3} -> 1 and {4,5,6} -> 4
+    val edges = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L),
+      (3L, 4L, 1L)).toDF("a", "b", "w")
+    val out = Cluster.labelPropagation(edges, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"LPA must keep the bridge from merging the triangles: $out")
+    // CC on the same edges merges everything — LPA is strictly finer here
+    val cc = Cluster.componentLabels(
+      edges.select(col("a").as("doc_id")).union(edges.select(col("b").as("doc_id"))).distinct(),
+      edges.select(col("a").as("doc_a"), col("b").as("doc_b")),
+      "doc_id", "doc_a", "doc_b")
+    assert(cc.select("lbl").distinct().count() === 1L, "bridge graph is one component")
+  }
+
+  test("psiBySource: identical length profiles give exactly 0, skew gives > 0") {
+    // s1 and s2 each hold one 1-token and one 3-token doc: per-source
+    // distribution == corpus distribution, p == q in every bucket, and
+    // round((p-q)*ln(p/q), 6) is exactly 0 — no tolerance needed
+    val even = Seq((1L, "a", "s1"), (2L, "a b c", "s1"),
+      (3L, "a", "s2"), (4L, "a b c", "s2")).toDF("doc_id", "text", "source")
+    val psi0 = Corpus.psiBySource(even).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(psi0 === Map("s1" -> 0.0, "s2" -> 0.0), s"matched profiles must score 0: $psi0")
+    // a source whose docs sit in a length band the corpus rarely occupies
+    val skew = Seq((1L, "a", "s1"), (2L, "a", "s1"), (3L, "a", "s1"),
+      (4L, "a b c d e f g h", "s2")).toDF("doc_id", "text", "source")
+    val psi1 = Corpus.psiBySource(skew).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(psi1("s2") > 0.0 && psi1("s1") > 0.0, s"skewed profiles must score > 0: $psi1")
+  }
 }
