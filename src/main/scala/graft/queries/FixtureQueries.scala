@@ -1716,10 +1716,63 @@ object FixtureQueries {
       |    FROM v2) WHERE rn = 1)
       |SELECT node AS part, label AS community FROM l2""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q50 — SCD Type 2 dimension build: each user's value band (log2 cents —
+  // exact bit-length buckets) collapsed into validity intervals
+  // [valid_from, valid_to) with an is_current marker — the
+  // change-data-capture shape every warehouse dimension load produces.
+  // Change detection and interval closing are per-user windows: partitioned
+  // by the natural key, bounded by one user's history, no global sort
+  // anywhere — the embarrassingly parallel case a 100 TB dimension build
+  // needs. All derivations are integers and raw timestamps.
+  // ---------------------------------------------------------------------------
+  def q50Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"),
+      length(bin((col("value").cast("decimal(12,2)") * 100).cast("long")))
+        .cast("long").as("band"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = ev.withColumn("chg",
+      when(lag(col("band"), 1).over(w).isNull ||
+        lag(col("band"), 1).over(w) =!= col("band"), 1L).otherwise(0L))
+    val seg = marked.withColumn("seg", sum(col("chg")).over(w))
+    val segs = seg.groupBy("user_id", "seg")
+      .agg(min(col("band")).as("band"), min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("seg")
+    segs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select(col("user_id"), col("seg"), col("band"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+  }
+
+  private[queries] val q50Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    length(bin(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))) AS band
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(band) OVER w IS NULL
+      |                   OR lag(band) OVER w <> band THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, seg, min(band) AS band, min(ts) AS valid_from,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, CAST(seg AS BIGINT) AS seg, band, valid_from,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_copurchase" -> (q47CoPurchase _),
     "q48_mad_outliers" -> (q48MadOutliers _),
     "q49_communities" -> (q49Communities _),
+    "q50_scd2" -> (q50Scd2 _),
     "q43_funnel" -> (q43Funnel _),
     "q44_pareto" -> (q44Pareto _),
     "q45_equidepth" -> (q45EquiDepth _),
@@ -1816,5 +1869,6 @@ object FixtureQueries {
     "q47_copurchase" -> q47Sql,
     "q48_mad_outliers" -> q48Sql,
     "q49_communities" -> q49Sql,
+    "q50_scd2" -> q50Sql,
     "q46_integrity" -> q46Sql)
 }

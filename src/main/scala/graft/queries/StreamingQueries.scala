@@ -913,7 +913,53 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** s19 — streaming PSI drift telemetry (x81's running half, the s12
+    * shape): per-(source, log2-length-band) doc counters maintained as a
+    * complete-mode streaming aggregation — state is |sources| * O(log
+    * max_len) exact-integer rows, volume-independent, merge-order-invariant.
+    * The PSI itself (p/q ratios, ln, 6dp-round, DECIMAL sum) is derived
+    * BATCH-SIDE from the materialized counters at read time, exactly as a
+    * monitoring tier derives a metric from live counters — so the floats
+    * replay x81's oracle bitwise while the hot path stays integer-only. */
+  def s19StreamPsi(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s19psi", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).select(col("source"),
+        length(bin(graft.ext.TextStats.tokenCount(col("text")).cast("long")))
+          .as("bucket"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s19_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = stream
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s19 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    // counters are |sources| * O(log max_len) rows; the checkpoint cuts the
+    // shared memory-table lineage so the three derived aggregates can join
+    // back without attribute conflicts (same shape as Corpus.psiBySource)
+    val sb = spark.table(name).localCheckpoint()
+    val s = sb.groupBy("source").agg(sum(col("c_sb")).as("c_s"))
+    val bb = sb.groupBy("bucket").agg(sum(col("c_sb")).as("c_b"))
+    val t = sb.agg(sum(col("c_sb")).as("c"))
+    val p = col("c_sb").cast("double") / col("c_s").cast("double")
+    val q = col("c_b").cast("double") / col("c").cast("double")
+    sb.join(broadcast(s), "source").join(broadcast(bb), "bucket")
+      .crossJoin(broadcast(t))
+      .select(col("source"),
+        round((p - q) * log(p / q), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 6)).as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("term")).cast("double").as("psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_psi" -> (s19StreamPsi _),
     "s18_stream_outliers" -> (s18StreamOutliers _),
     "s16_stream_next_event" -> (s16StreamNextEvent _),
     "s17_stream_funnel" -> (s17StreamFunnel _),
@@ -934,6 +980,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s19_stream_psi" -> ExtensionQueries.x81Sql, // live counters, batch-derived PSI
     "s18_stream_outliers" -> FixtureQueries.q48Sql, // batch-planned MAD enforced on the stream
     "s16_stream_next_event" -> ExtensionQueries.x69Sql, // same pairs, streamed
     "s17_stream_funnel" -> FixtureQueries.q43Sql, // same funnel, state-tracked

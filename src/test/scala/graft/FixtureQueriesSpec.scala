@@ -198,4 +198,22 @@ class FixtureQueriesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("mad_cents") === mad)
     assert(row.getAs[Long]("n_outliers") === devs.count(_ > 3 * mad))
   }
+
+  test("q50 SCD2: one open interval per user, intervals chain, events conserved") {
+    val out = FixtureQueries.queries("q50_scd2")(spark, sf).cache()
+    val users = out.select("user_id").distinct().count()
+    assert(out.filter(col("is_current") === 1).count() === users,
+      "exactly one open (is_current) interval per user")
+    assert(out.filter(col("is_current") === 0 && col("valid_to").isNull).isEmpty,
+      "every closed interval must carry a valid_to")
+    // intervals chain: valid_to of segment k == valid_from of segment k+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("seg")
+    val broken = out.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(broken.isEmpty, "validity intervals must chain without gaps")
+    // row conservation: segment n_events sum to the raw event count
+    val total = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total === graft.Tables.events(spark, sf).count(), "events conserved")
+  }
 }

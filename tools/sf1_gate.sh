@@ -37,11 +37,11 @@ ONLY=$(printf '%s,' \
   q33_ntile q34_running_frames q35_approx_distinct q36_intersect \
   q37_correlated_avg q38_relative_rank q39_twap q40_retention q41_correlation q42_sliding_distinct \
   q43_funnel q44_pareto q45_equidepth q46_integrity \
-  q47_copurchase q48_mad_outliers q49_communities \
+  q47_copurchase q48_mad_outliers q49_communities q50_scd2 \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
   s14_stream_length_match s15_stream_drift s16_stream_next_event s17_stream_funnel \
-  s18_stream_outliers x80_vocab_spectrum x81_psi_drift \
+  s18_stream_outliers s19_stream_psi x80_vocab_spectrum x81_psi_drift \
   x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
   x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
   x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
