@@ -600,4 +600,62 @@ object Corpus {
       .agg(count(lit(1)).as("n_bins"),
         sum(col("term")).cast("double").as("psi"))
   }
+
+  /** Cross-source quantile calibration (quantile normalization): map each
+    * source's score levels onto the CORPUS score at the same quantile, so a
+    * source that grades itself generously stops flooding a global quality
+    * cut — the score-calibration step run before thresholding a mixed-crawl
+    * corpus with one number.
+    *
+    * Everything runs at the HISTOGRAM level (distinct 6dp score levels per
+    * source), never per doc: a doc's within-source quantile is the midpoint
+    * rank of its score level, p = (2*cum_excl + c) / (2*n) — one exact-int
+    * division; the corpus inverse-CDF lookup ("smallest corpus level whose
+    * cumulative share covers p") is a sort-merge sweep: union the
+    * per-source levels with the corpus levels replicated per source, one
+    * descending window per source carrying min(corpus level seen) — a
+    * running min over domain-bounded rows, NOT a per-doc join, and the
+    * per-source partition caps the window input at 2 x distinct-levels no
+    * matter how many billion docs a hot source holds. Ties in the float p
+    * axis are harmless: tied rows are contiguous and running-min is
+    * insensitive to their internal order. The one unpartitioned window
+    * (corpus CDF) runs over the corpus LEVEL histogram, hard-capped at
+    * 1,000,001 rows by the 6dp rounding of a [0,1] score — domain-bounded,
+    * not data-bounded, so the single-partition sort is trivial at any SF.
+    *
+    * Returns (source, quality_q, n_docs, corpus_q): score level, doc count
+    * at that level, calibrated corpus-quantile score. */
+  def quantileCalibrate(scored: DataFrame, scoreCol: String = "quality_score",
+      srcCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val q = scored.select(col(srcCol).as("source"),
+      round(col(scoreCol), 6).as("qk"))
+    val sh = q.groupBy("source", "qk").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint()
+    val sn = sh.groupBy("source").agg(sum(col("c_s")).as("n_s"))
+    val sp = sh.join(broadcast(sn), "source")
+      .withColumn("cum", sum(col("c_s")).over(
+        w.partitionBy("source").orderBy("qk")))
+      .select(col("source"), col("qk"), col("c_s"),
+        ((lit(2) * (col("cum") - col("c_s")) + col("c_s")).cast("double")
+          / (lit(2) * col("n_s")).cast("double")).as("p"),
+        lit(0).as("tag"), lit(null).cast("double").as("qc"))
+    val ch = sh.groupBy("qk").agg(sum(col("c_s")).as("c"))
+    val cn = ch.agg(sum(col("c")).as("n"))
+    val cp = ch.crossJoin(broadcast(cn))
+      .withColumn("cum", sum(col("c")).over(w.orderBy("qk")))
+      .select(col("qk").as("qc"),
+        (col("cum").cast("double") / col("n").cast("double")).as("p"))
+    val srcs = sh.select("source").distinct()
+    val corpusPerSource = cp.crossJoin(broadcast(srcs))
+      .select(col("source"), lit(null).cast("double").as("qk"),
+        lit(null).cast("long").as("c_s"), col("p"), lit(1).as("tag"), col("qc"))
+    val sweep = sp.unionByName(corpusPerSource)
+      .withColumn("calib", min(col("qc")).over(
+        w.partitionBy("source").orderBy(col("p").desc, col("tag").desc)
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+    sweep.filter(col("tag") === 0)
+      .select(col("source"), col("qk").as("quality_q"),
+        col("c_s").as("n_docs"), col("calib").as("corpus_q"))
+  }
 }

@@ -3009,10 +3009,78 @@ object ExtensionQueries {
       |  CAST(sum(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS psi
       |FROM terms GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x82 — cross-source quantile calibration of quality scores: each
+  // source's 6dp score levels mapped to the corpus score at the same
+  // midpoint-rank quantile (quantile normalization), so a generously
+  // self-graded source stops flooding a single global quality cut.
+  // Histogram-level only — the inverse-CDF lookup is a per-source
+  // descending sweep over (source levels + replicated corpus levels),
+  // never a per-doc join; a hot source costs its distinct-level count,
+  // not its row count. The oracle replays the identical midpoint-rank
+  // arithmetic and running-min sweep.
+  // ---------------------------------------------------------------------------
+  def x82QuantileCalib(spark: SparkSession, dir: String): DataFrame =
+    Corpus.quantileCalibrate(
+      TextStats.qualityScore(Tables.documents(spark, dir))
+        .select(col("source"), col("quality_score")))
+
+  private[queries] val x82Sql =
+    """WITH f AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, token_count,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text)
+      |         END AS digit_ratio,
+      |    CASE WHEN token_count = 0 THEN 0.0
+      |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                w -> w IN ('the','a','and','of','to','in'))) * 1.0 / token_count
+      |         END AS stopword_ratio
+      |  FROM f),
+      |q AS (
+      |  SELECT source,
+      |    round(least(CAST(token_count AS DOUBLE) / 100.0, 1.0) * 0.4
+      |      + (1.0 - digit_ratio) * 0.3
+      |      + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS qk
+      |  FROM g),
+      |sh AS (SELECT source, qk, count(*) AS c_s FROM q GROUP BY 1, 2),
+      |sn AS (SELECT source, sum(c_s) AS n_s FROM sh GROUP BY 1),
+      |sp AS (
+      |  SELECT sh.source, qk, c_s,
+      |    CAST(2 * (sum(c_s) OVER (PARTITION BY sh.source ORDER BY qk) - c_s)
+      |         + c_s AS DOUBLE) / CAST(2 * n_s AS DOUBLE) AS p,
+      |    0 AS tag, CAST(NULL AS DOUBLE) AS qc
+      |  FROM sh JOIN sn USING (source)),
+      |ch AS (SELECT qk, sum(c_s) AS c FROM sh GROUP BY 1),
+      |cn AS (SELECT sum(c) AS n FROM ch),
+      |cp AS (
+      |  SELECT qk AS qc,
+      |    CAST(sum(c) OVER (ORDER BY qk) AS DOUBLE)
+      |      / CAST((SELECT n FROM cn) AS DOUBLE) AS p
+      |  FROM ch),
+      |u AS (
+      |  SELECT source, qk, c_s, p, tag, qc FROM sp
+      |  UNION ALL
+      |  SELECT s.source, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), cp.p, 1, cp.qc
+      |  FROM cp CROSS JOIN (SELECT DISTINCT source FROM sh) s),
+      |m AS (
+      |  SELECT source, qk, c_s, tag,
+      |    min(qc) OVER (PARTITION BY source ORDER BY p DESC, tag DESC
+      |      ROWS UNBOUNDED PRECEDING) AS calib
+      |  FROM u)
+      |SELECT source, qk AS quality_q, CAST(c_s AS BIGINT) AS n_docs,
+      |  calib AS corpus_q
+      |FROM m WHERE tag = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
+    "x82_quantile_calib" -> (x82QuantileCalib _),
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
@@ -3111,6 +3179,7 @@ object ExtensionQueries {
     "x79_triangles" -> x79Sql,
     "x80_vocab_spectrum" -> x80Sql,
     "x81_psi_drift" -> x81Sql,
+    "x82_quantile_calib" -> x82Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1155,4 +1155,26 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
     assert(psi1("s2") > 0.0 && psi1("s1") > 0.0, s"skewed profiles must score > 0: $psi1")
   }
+
+  test("quantileCalibrate: generous source maps to corpus quantile; monotone per source") {
+    // A scores everything 0.2, B scores everything 0.8 — both sit at the
+    // within-source midpoint quantile 0.5, whose corpus value is 0.2: B's
+    // generosity is calibrated away
+    val scored = Seq(("a1", "A", 0.2), ("a2", "A", 0.2),
+      ("b1", "B", 0.8), ("b2", "B", 0.8))
+      .toDF("doc_id", "source", "quality_score")
+    val out = Corpus.quantileCalibrate(scored).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("quality_q")) ->
+        r.getAs[Double]("corpus_q")).toMap
+    assert(out(("A", 0.2)) === 0.2 && out(("B", 0.8)) === 0.2,
+      s"midpoint quantile 0.5 must map both sources to the corpus 0.2 level: $out")
+    // fixture invariant: within a source, calibration is monotone in the level
+    val fix = Corpus.quantileCalibrate(
+      TextStats.qualityScore(docs).select(col("source"), col("quality_score")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("quality_q")
+    val viol = fix.withColumn("prev", lag(col("corpus_q"), 1).over(w))
+      .filter(col("prev").isNotNull && col("corpus_q") < col("prev"))
+    assert(viol.isEmpty, "calibrated scores must be monotone per source")
+  }
 }

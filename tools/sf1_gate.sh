@@ -41,7 +41,7 @@ ONLY=$(printf '%s,' \
   r1_trans_5min r2_player_5min r3_trans_backfill r4_trans_monthly \
   s1_stream_5min s11_stream_capped s12_stream_datacard s13_stream_kmv \
   s14_stream_length_match s15_stream_drift s16_stream_next_event s17_stream_funnel \
-  s18_stream_outliers s19_stream_psi x80_vocab_spectrum x81_psi_drift \
+  s18_stream_outliers s19_stream_psi x80_vocab_spectrum x81_psi_drift x82_quantile_calib \
   x1_exact_dedup x6_lang_id x7_fingerprints x17_stratified_sample \
   x18_token_shards x19_ngram_topk x20_quality_filter x24_topk_agg \
   x25_top_terms x28_redact x29_chunks x31_salted_agg x32_corpus_mix \
