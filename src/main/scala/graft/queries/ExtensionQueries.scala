@@ -3076,11 +3076,80 @@ object ExtensionQueries {
       |  calib AS corpus_q
       |FROM m WHERE tag = 0""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x83 — dedup threshold sweep (cost curve): near-dup pair mass, dominated
+  // docs, and dominated token mass at jaccard thresholds {0.7, 0.8, 0.9}
+  // from ONE pair pass at the loosest threshold — how a pipeline prices a
+  // threshold change before committing to a re-dedup of the whole corpus.
+  // "Dominated" = appears as the larger id of at least one pair at that
+  // threshold (the upper bound on removable mass; exact removal needs the
+  // per-threshold cluster pass the curve is deciding whether to pay).
+  // The pair set is the x2 exact-pair computation at 0.7; thresholds fan
+  // out as a 3-row explode over the pair table, never a re-scan.
+  // ---------------------------------------------------------------------------
+  private val sweepThresholds = Seq(0.7, 0.8, 0.9)
+
+  def x83DedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairs(docs, sweepThresholds.min)
+    val toks = docs.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("long").as("tc"))
+    val pt = pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(sweepThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .localCheckpoint()
+    val nPairs = pt.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val dominated = pt.select(col("threshold"), col("doc_b")).distinct()
+      .join(toks, col("doc_b") === col("doc_id"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_dominated_docs"),
+        sum(col("tc")).as("dominated_tokens"))
+    nPairs.join(dominated, "threshold")
+  }
+
+  private[queries] val x83Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shset) AS n FROM sh),
+       |j AS (
+       |  SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+       |  FROM pr
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= CAST(0.7 AS DOUBLE)),
+       |tk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+       |  FROM documents),
+       |t AS (SELECT unnest([CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+       |                     CAST(0.9 AS DOUBLE)]) AS threshold),
+       |pt AS (
+       |  SELECT threshold, doc_a, doc_b
+       |  FROM j CROSS JOIN t WHERE jaccard >= threshold),
+       |np AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY 1),
+       |d AS (SELECT DISTINCT threshold, doc_b FROM pt),
+       |dm AS (
+       |  SELECT threshold, count(*) AS n_dominated_docs,
+       |    CAST(sum(tc) AS BIGINT) AS dominated_tokens
+       |  FROM d JOIN tk ON d.doc_b = tk.doc_id GROUP BY 1)
+       |SELECT np.threshold, n_pairs, n_dominated_docs, dominated_tokens
+       |FROM np JOIN dm USING (threshold)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
     "x82_quantile_calib" -> (x82QuantileCalib _),
+    "x83_dedup_sweep" -> (x83DedupSweep _),
     "x64_seeded_shuffle" -> (x64SeededShuffle _),
     "x68_column_profile" -> (x68ColumnProfile _),
     "x73_pca_component" -> (x73PcaComponent _),
@@ -3180,6 +3249,7 @@ object ExtensionQueries {
     "x80_vocab_spectrum" -> x80Sql,
     "x81_psi_drift" -> x81Sql,
     "x82_quantile_calib" -> x82Sql,
+    "x83_dedup_sweep" -> x83Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

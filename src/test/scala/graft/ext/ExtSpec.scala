@@ -1177,4 +1177,18 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("prev").isNotNull && col("corpus_q") < col("prev"))
     assert(viol.isEmpty, "calibrated scores must be monotone per source")
   }
+
+  test("x83 dedup sweep: curve is monotone non-increasing in the threshold") {
+    val spark2 = spark
+    val out = graft.queries.ExtensionQueries.queries("x83_dedup_sweep")(spark2, sf)
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dominated_docs"),
+          r.getAs[Long]("dominated_tokens"))).toMap
+    assert(out.keySet === Set(0.7, 0.8, 0.9))
+    val (p7, p8, p9) = (out(0.7), out(0.8), out(0.9))
+    assert(p7._1 >= p8._1 && p8._1 >= p9._1, s"pair curve must not increase: $out")
+    assert(p7._2 >= p8._2 && p8._2 >= p9._2, s"dominated-doc curve must not increase: $out")
+    assert(p7._3 >= p8._3 && p8._3 >= p9._3, s"token curve must not increase: $out")
+    assert(p9._1 > 0, "planted near-dups must survive the tightest threshold")
+  }
 }
