@@ -311,4 +311,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "(?:Sort|Shuffled|Broadcast)HashJoin") >= 2,
       s"step joins degraded from hash joins:\n$p")
   }
+
+  test("SCD2 window chain shares ONE natural-key exchange (q50)") {
+    val p = plan("q50_scd2")
+    // lag -> running segment sum -> lead: all three windows are partitioned
+    // by user_id, so Catalyst must reuse a single hash exchange; a second
+    // one means a window slipped off the shared (user_id [, ordering])
+    // partitioning and the dimension build re-shuffles its biggest input
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"the q50 window chain must share one user_id exchange:\n$p")
+  }
+
+  test("co-purchase top-k cuts with TakeOrderedAndProject, count tables broadcast (q47)") {
+    val p = plan("q47_copurchase")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-100 cut must not materialize a global sort:\n$p")
+    assert(count(p, "BroadcastExchange") >= 2,
+      s"the per-part count tables must broadcast:\n$p")
+  }
+
+  test("MAD audit windows run over the value HISTOGRAM, not raw rows (q48)") {
+    val p = plan("q48_mad_outliers")
+    // both median windows must sit above a (type, value) hash aggregation —
+    // window input domain-bounded by distinct cents. A WindowExec whose
+    // child has no aggregate means the raw-row formulation crept back, and
+    // plan/enforce medians join back via broadcast (tiny per-type tables).
+    assert(count(p, "Window") >= 2 && count(p, "HashAggregate") >= 4, p)
+    assert(count(p, "BroadcastExchange") >= 2,
+      s"median/MAD plan tables must broadcast:\n$p")
+  }
 }
