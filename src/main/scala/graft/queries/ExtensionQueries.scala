@@ -3084,14 +3084,16 @@ object ExtensionQueries {
   // "Dominated" = appears as the larger id of at least one pair at that
   // threshold (the upper bound on removable mass; exact removal needs the
   // per-threshold cluster pass the curve is deciding whether to pay).
-  // The pair set is the x2 exact-pair computation at 0.7; thresholds fan
-  // out as a 3-row explode over the pair table, never a re-scan.
+  // The pair set is the prefix-filtered exact-pair computation (PPJoin,
+  // x67's scale path — bitwise-equal to the x2 all-shingles self-join but
+  // only explodes each doc's rare prefix) at 0.7; thresholds fan out as a
+  // 3-row explode over the pair table, never a re-scan.
   // ---------------------------------------------------------------------------
   private val sweepThresholds = Seq(0.7, 0.8, 0.9)
 
   def x83DedupSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.jaccardPairs(docs, sweepThresholds.min)
+    val pairs = Dedup.jaccardPairsPrefix(docs, sweepThresholds.min)
     val toks = docs.select(col("doc_id"),
       TextStats.tokenCount(col("text")).cast("long").as("tc"))
     val pt = pairs

@@ -24,8 +24,10 @@
 #    as x2 before the triangle join — oracle-side cost at 10x; the engine
 #    path (collapsed MinHash + degree-ordered wedges) is the scale path.
 #    Covered bitwise at the driver SFs.
-#  - x83: same reason — its threshold-sweep oracle starts from the x2
-#    all-shingles pair CTE at 0.7. Covered bitwise at the driver SFs.
+#  - x83: same reason — its threshold-sweep ORACLE starts from the x2
+#    all-shingles pair CTE at 0.7 (the ENGINE path is jaccardPairsPrefix,
+#    x67's prefix-filtered plan, since round 6 — benched at sf1, plan-pinned
+#    equi-joins-only). Covered bitwise at the driver SFs.
 # Usage: tools/sf1_gate.sh [sf1dir]
 set -e
 SF1=${1:-/root/repo/localdata/sf1}
