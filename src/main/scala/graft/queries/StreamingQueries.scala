@@ -868,10 +868,18 @@ object StreamingQueries {
       require(q.awaitTermination(300000),
         "s17 stream timed out before AvailableNow drained — memory table would be partial")
     }
-    val counts = spark.table(name).groupBy("step").agg(count(lit(1)).as("users"))
-      .withColumn("step_name",
-        when(col("step") === 1, "view").when(col("step") === 2, "click")
-          .otherwise("purchase"))
+    // left-join the advance-log counts onto the literal 3-row step table:
+    // the batch oracle (q43) always emits all three step rows (a count over
+    // an empty frame is users = 0), so a small SF where no user reaches a
+    // step must not silently drop that row from the streaming result
+    // (spark.implicits._ is already imported at the top of this method)
+    val stepTable = Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .toDF("step", "step_name")
+    val counts = stepTable
+      .join(spark.table(name).groupBy("step").agg(count(lit(1)).as("users")),
+        Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("users"), lit(0L)).as("users"))
     val total1 = counts.filter(col("step") === 1).select(col("users").as("u1"))
     counts.crossJoin(total1)
       .select(col("step"), col("step_name"), col("users"),
@@ -896,15 +904,7 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s18_")
     withStateSizedShuffle(spark, Seq(inDir)) {
-      val q = stream
-        .join(broadcast(plan), "event_type")
-        .withColumn("dev", abs(col("cents") - col("median_cents")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("median_cents")).as("median_cents"),
-          min(col("mad_cents")).as("mad_cents"),
-          sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
-            .as("n_outliers"))
+      val q = s18StreamFrame(stream, plan)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000),
@@ -912,6 +912,22 @@ object StreamingQueries {
     }
     spark.table(name)
   }
+
+  /** The s18 pre-start stream frame, factored out so PlanAuditSpec can pin
+    * its LOGICAL shape: the plan table must attach via a broadcast hint
+    * (one integer compare per event, zero stream-side shuffle for the
+    * enrichment) and the only stateful operator is the per-type counter
+    * aggregation. */
+  private[graft] def s18StreamFrame(stream: DataFrame, plan: DataFrame): DataFrame =
+    stream
+      .join(broadcast(plan), "event_type")
+      .withColumn("dev", abs(col("cents") - col("median_cents")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("median_cents")).as("median_cents"),
+        min(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
 
   /** s19 — streaming PSI drift telemetry (x81's running half, the s12
     * shape): per-(source, log2-length-band) doc counters maintained as a
@@ -932,8 +948,7 @@ object StreamingQueries {
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s19_")
     withStateSizedShuffle(spark, Seq(inDir)) {
-      val q = stream
-        .groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
+      val q = s19CounterFrame(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000),
@@ -957,6 +972,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_bins"),
         sum(col("term")).cast("double").as("psi"))
   }
+
+  /** The s19 pre-start counter frame, factored out so PlanAuditSpec can pin
+    * its LOGICAL shape: the only stateful operator on the stream is the
+    * (source, bucket) integer counter aggregation — |sources| * O(log
+    * max_len) state rows, volume-independent; every float (the PSI math)
+    * stays batch-side on the materialized counters. */
+  private[graft] def s19CounterFrame(stream: DataFrame): DataFrame =
+    stream.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_stream_psi" -> (s19StreamPsi _),

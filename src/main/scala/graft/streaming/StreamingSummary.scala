@@ -234,7 +234,7 @@ object StreamingSummary {
   }
 
   case class SeqEvent(userId: Long, eventId: Long, tsMicros: Long, token: String)
-  case class SeqState(tokens: Seq[String])
+  case class SeqState(tokens: Seq[String], lastTsMicros: Long = Long.MinValue)
   case class SeqPair(user_id: Long, event_id: Long, context_1: String,
       context_2: String, context_3: String, target: String)
 
@@ -245,19 +245,33 @@ object StreamingSummary {
     * state store holds |users| tiny rows, not the stream. Within a batch
     * rows replay in the batch formulation's (ts, event_id) order; across
     * batches the carried context makes the emitted pair set identical to
-    * the batch window query, bit for bit. */
+    * the batch window query, bit for bit.
+    *
+    * Ordering precondition: in-batch order is restored by the sort, but a
+    * context already carried across a batch boundary cannot be rewound —
+    * batch-bitwise equivalence needs event-time-nondecreasing arrival
+    * ACROSS batches (the discipline a watermarked upstream provides). An
+    * event older than the carried context is DROPPED (not silently spliced
+    * after newer tokens, which would emit pairs the batch query never
+    * builds); `AvailableNow` file replay and the oracle harness satisfy the
+    * precondition, so nothing is dropped there. */
   def nextTokenFn(userId: Long, rows: Iterator[SeqEvent],
       state: GroupState[SeqState]): Iterator[SeqPair] = {
-    var ctx = state.getOption.map(_.tokens).getOrElse(Seq.empty)
-    val out = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId)).flatMap { e =>
-      val pair =
-        if (ctx.length == 3)
-          Some(SeqPair(userId, e.eventId, ctx(0), ctx(1), ctx(2), e.token))
-        else None
-      ctx = (ctx :+ e.token).takeRight(3)
-      pair
-    }
-    state.update(SeqState(ctx))
+    val st = state.getOption.getOrElse(SeqState(Seq.empty))
+    var ctx = st.tokens
+    var lastTs = st.lastTsMicros
+    val out = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+      .filter(_.tsMicros >= st.lastTsMicros) // stale vs carried state: drop, don't splice
+      .flatMap { e =>
+        val pair =
+          if (ctx.length == 3)
+            Some(SeqPair(userId, e.eventId, ctx(0), ctx(1), ctx(2), e.token))
+          else None
+        ctx = (ctx :+ e.token).takeRight(3)
+        lastTs = e.tsMicros
+        pair
+      }
+    state.update(SeqState(ctx, lastTs))
     out.iterator
   }
 
@@ -281,7 +295,18 @@ object StreamingSummary {
     * reproduce the batch formulation bit for bit when events arrive in
     * event-time order (in-batch replay sorts; cross-batch order is the same
     * watermark discipline every stateful op here rides). `horizonMicros`
-    * anchors at the key's FIRST step-1 event. */
+    * anchors at the key's FIRST step-1 event.
+    *
+    * Ordering precondition (cross-batch): an advance-eligible event older
+    * than the carried `tLastMicros` is structurally ignored by the
+    * `tsMicros > tLastMicros` predicate — stale events cannot advance or
+    * corrupt the funnel. The one undetectable case is a step-1 event
+    * arriving in a LATER batch with an EARLIER timestamp than events
+    * already seen for a still-unanchored key: the anchor lands on the
+    * first step-1 event DELIVERED, which equals the batch anchor exactly
+    * when arrival is event-time ordered across batches (the watermark
+    * discipline of the feeding source; `AvailableNow` replay and the
+    * oracle harness satisfy it). */
   def funnelFn(horizonMicros: Long)(userId: Long, rows: Iterator[FunnelEvent],
       state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
     var st = state.getOption
