@@ -14,8 +14,19 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  /** The UNCACHED physical plan. Two guards against suite-order flakiness:
+    * (a) clear the cache manager first, so a sibling suite's `.cache()` of a
+    * shared subtree cannot splice an InMemoryRelation (whose string embeds
+    * the cached plan's own "Final Plan"/"Initial Plan" AQE sections and
+    * double-counts every pinned operator) into this plan; (b) defensively
+    * slice off anything from "== Initial Plan ==" on, so even an embedded
+    * AQE dump is counted once. */
+  private def plan(name: String): String = {
+    spark.sharedState.cacheManager.clearCache()
+    val s = graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==")(0)
+  }
 
   private def count(p: String, needle: String): Int = needle.r.findAllIn(p).size
 
@@ -339,5 +350,87 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Window") >= 2 && count(p, "HashAggregate") >= 4, p)
     assert(count(p, "BroadcastExchange") >= 2,
       s"median/MAD plan tables must broadcast:\n$p")
+  }
+
+  test("dedup sweep rides the prefix-filtered pair path: equi-joins only (x83)") {
+    val p = plan("x83_dedup_sweep")
+    // the pair generator must be jaccardPairsPrefix (x67's scale path), not
+    // the all-shingles self-join: no all-pairs fallback anywhere, and the
+    // threshold fan-out is an explode over the pair table, never a re-scan
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sweep pair generation degraded to all-pairs:\n$p")
+  }
+
+  test("triangle audit: degree-ordered node-iterator, hash joins, no window (x79)") {
+    val p = plan("x79_triangles")
+    // wedge generation and closure must be key-hashed joins over the
+    // oriented edge set; a window/sort or nested-loop means the per-hub
+    // wedge bound (lowest-degree corner) was lost
+    assert(!p.contains("Window"), s"triangle counting buffered per-node lists:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wedge/closure degraded to all-pairs:\n$p")
+  }
+
+  test("PSI drift stays histogram-level: marginals broadcast onto the bucket table (x81)") {
+    val p = plan("x81_psi_drift")
+    // after the one doc-level counter aggregation, the source/bucket/total
+    // marginals are O(|sources| * log max_len) rows and must attach via
+    // broadcast — a SortMergeJoin here means a marginal re-shuffled the
+    // bucket table (or worse, joined back at doc granularity)
+    assert(!p.contains("SortMergeJoin"), s"a PSI marginal join re-shuffles:\n$p")
+    assert(count(p, "BroadcastExchange") >= 2,
+      s"source/bucket marginals must broadcast:\n$p")
+  }
+
+  test("quantile calibration windows run over the level histogram (x82)") {
+    val p = plan("x82_quantile_calib")
+    // all three windows (per-source CDF, corpus CDF, inverse-CDF sweep)
+    // take domain-bounded histogram rows; every join attaches a tiny
+    // marginal via broadcast. A SortMergeJoin means a per-doc join crept in.
+    assert(!p.contains("SortMergeJoin"), s"a calibration join re-shuffles:\n$p")
+    assert(count(p, "Window") >= 3, s"a CDF window collapsed or was bypassed:\n$p")
+  }
+
+  test("streaming MAD enforcement joins the plan table via broadcast hint (s18)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s18-pin").toString
+    Seq((1L, "view", 100L), (2L, "purchase", 250L))
+      .toDF("event_id", "event_type", "cents")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val planTab = Seq(("view", 100L, 10L), ("purchase", 250L, 25L))
+      .toDF("event_type", "median_cents", "mad_cents")
+    val df = graft.queries.StreamingQueries.s18StreamFrame(stream, planTab)
+    // analyzed (not optimized) plan: a streaming frame refuses batch
+    // optimization, but the hint audit only needs the resolved tree
+    val lp = df.queryExecution.analyzed.toString
+    // the plan table must carry the broadcast hint into the stream-static
+    // join (zero stream-side shuffle for the enrichment), and the only
+    // stateful operator is the per-type counter aggregate
+    assert(lp.contains("ResolvedHint") && lp.toLowerCase.contains("broadcast"),
+      s"plan-table broadcast hint lost on the stream-static join:\n$lp")
+    assert(df.isStreaming, "s18 frame must still be a streaming frame")
+  }
+
+  test("streaming PSI keeps integer-only, volume-independent state (s19)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s19-pin").toString
+    Seq(("web", 5), ("web", 6), ("books", 5))
+      .toDF("source", "bucket")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s19CounterFrame(stream)
+    assert(df.isStreaming, "s19 counters must aggregate ON the stream")
+    // state schema = grouping keys + one LongType counter: no float ever
+    // enters the stream state, so complete-mode output is merge-order-proof
+    assert(df.schema.fieldNames.sameElements(Array("source", "bucket", "c_sb")), df.schema.treeString)
+    assert(df.schema("c_sb").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("join"),
+      s"s19's stream side must be a pure counter aggregation — floats stay batch-side:\n$lp")
   }
 }
