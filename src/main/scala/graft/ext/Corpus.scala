@@ -553,13 +553,20 @@ object Corpus {
     require(shardSize > 0, "shardSize must be positive")
     require(seed >= 0 && seed < Int.MaxValue, "seed must fit in [0, 2^31)")
     val idSlot = 8796093022208L // 2^43: id capacity per bucket; key fills Long exactly
+    // the key encoding is exact ONLY for ids in [0, 2^43): a negative id
+    // flips the sign-bearing % and a too-large id collides across buckets —
+    // both corrupt the permutation SILENTLY. One comparison per row turns
+    // that into a task failure instead (raise_error stays inside codegen)
+    val id = when(col(idCol) >= 0L && col(idCol) < idSlot, col(idCol))
+      .otherwise(raise_error(concat(
+        lit(s"seededShuffle: $idCol out of [0, 2^43): "), col(idCol).cast("string"))))
     // seed folds in BEFORE the multiply: an additive post-multiply seed would
     // only rotate bucket values mod 2^20, leaving the permutation ORDER almost
     // unchanged; pre-multiply it reshuffles genuinely per seed. All terms stay
     // below 2^63 for ids < 2^43 and seeds < 2^31 (exact 64-bit arithmetic).
     val bucket = ((col(idCol) % 1048576L + lit(seed)) * 2654435761L
       + (expr(s"$idCol div 1048576") * 40503L)) % 1048576L
-    val keyed = df.select((bucket * idSlot + col(idCol)).as("skey"), lit(1L).as("one"))
+    val keyed = df.select((bucket * idSlot + id).as("skey"), lit(1L).as("one"))
     graft.ops.PrefixSum.exclusiveRunningTotal(keyed, "skey", "one", outCol = "position")
       .select(
         (col("skey") % idSlot).as(idCol),

@@ -812,8 +812,15 @@ object Similarity {
         .select(col("j"), round(col("ws").cast("double"), 12).as("w"))
       lastNorm = w.agg(
         sqrt(sum(round(col("w") * col("w"), 12).cast(dec)).cast("double")).as("norm"))
+      // a degenerate corpus (all vectors identical → zero covariance) gives
+      // norm = 0; dividing through would silently turn every loading into
+      // null/NaN — fail fast with the actual condition instead
       v = w.crossJoin(broadcast(lastNorm))
-        .select(col("j"), round(col("w") / col("norm"), 6).as("v"))
+        .select(col("j"), round(col("w") /
+          when(col("norm") > 0d, col("norm")).otherwise(raise_error(lit(
+            "pcaTopComponent: zero iteration norm — covariance is degenerate "
+              + "(all vectors identical?); the top component is undefined"))), 6)
+          .as("v"))
     }
     v.crossJoin(broadcast(lastNorm))
       .select(col("j"), col("v").as("loading"), round(col("norm"), 6).as("eigenvalue"))
