@@ -35,7 +35,7 @@ object Bench {
     // A query that throws is reported as -1 and listed in "failed" — a broken
     // query must never masquerade as a fast one.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timedPass(): Map[String, Double] = names.map { name =>
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -44,13 +44,41 @@ object Bench {
           failed += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
-    // a query is healthy only if BOTH passes succeeded
-    val results = names.map { n =>
-      n -> (if (failed.contains(n)) -1.0 else math.min(p1(n), p2(n)))
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    def timedPass(ns: Seq[String]): Map[String, Double] =
+      ns.map(n => n -> timeOne(n)).toMap
+    // the control is data-independent pure CPU (no IO, no shuffle skew):
+    // its ratio across boots is the host-noise factor a cross-round
+    // comparison should divide out before blaming a plan change
+    def control(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200L * 1000 * 1000).selectExpr("sum(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val c1 = control()
+    val (p1, p2) = (timedPass(names), timedPass(names))
+    val c2 = control()
+    // tie-break pass: a host stall can span one whole pass, leaving both
+    // measurements of a query slow-and-disagreeing. Re-measure any query
+    // whose two passes differ by >1.5x (and >0.25 s absolute) so a one-boot
+    // stall can't masquerade as a plan regression in the recorded artifact.
+    val unstable = names.filter { n =>
+      !failed.contains(n) && {
+        val (a, b) = (p1(n), p2(n))
+        math.max(a, b) > 1.5 * math.min(a, b) && math.max(a, b) - math.min(a, b) > 0.25
+      }
+    }
+    if (unstable.nonEmpty)
+      System.err.println(s"[bench] tie-break pass for: ${unstable.mkString(",")}")
+    val p3 = timedPass(unstable)
+    val c3 = control()
+    // a query is healthy only if ALL its passes succeeded
+    val results = names.map { n =>
+      n -> (if (failed.contains(n)) -1.0
+            else math.min(math.min(p1(n), p2(n)), p3.getOrElse(n, Double.MaxValue)))
+    }
+    val controlSec = Seq(c1, c2, c3).sorted.apply(1) // median of three probes
     // 3 decimals (ms resolution): full double repr made the line ~1 KB
     // longer than a tail-bounded capture window and the HEAD of the line —
     // "metric"/"value" and the first queries — was what got cut (r3's
@@ -62,7 +90,7 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"control_sec":${fmt(controlSec)},"sf":"$sfDir"}"""
     // belt and braces: persist the full JSON as a file artifact too, so the
     // recorded number is self-contained even if a stdout capture truncates
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
