@@ -68,8 +68,10 @@ object Sinks {
     * partitions — the delta is one more level of pruning, material only
     * when single partitions are huge; daily partitions at ~100 GB keep the
     * rewrite under a minute per touched day on a 1000-executor cluster.
-    * StreamRecoverySpec asserts the bound physically: untouched partitions'
-    * part-files survive an upsert byte-identical.
+    * SinksSpec asserts the bound physically (untouched partitions'
+    * part-files survive an upsert byte-identical, by size+mtime snapshot);
+    * StreamRecoverySpec asserts it at row level for the streaming path.
+    * Full cost model: BASELINE.md "Read-merge-overwrite cost model".
     */
   def upsertSlices(batch: DataFrame, path: String, partitionCols: Seq[String],
       keyCols: Seq[String]): Unit = {

@@ -56,6 +56,55 @@ class SinksSpec extends AnyFunSuite {
     assert(math.abs(sums - direct) < 1e-6)
   }
 
+  test("upsert write amplification is bounded by the TOUCHED partitions (file-level audit)") {
+    // the 100 TB cost model for the read-merge-overwrite seam (S5/J6,
+    // BASELINE.md "read-merge-overwrite cost model"): an upsert batch whose
+    // keys span one partition must rewrite files ONLY under that partition
+    // — every other partition's part-files survive byte-identical, so
+    // cost = O(sum size(touched partitions)), never O(table)
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_amp").toString + "/t"
+    val rows = Seq(
+      (20240101, "a", 1.0), (20240101, "b", 2.0),
+      (20240102, "a", 3.0), (20240102, "b", 4.0),
+      (20240103, "a", 5.0), (20240103, "b", 6.0))
+      .toDF("summary_date", "player", "amount")
+    Sinks.overwriteSlices(rows, base, Seq("summary_date"))
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(base)
+      val st = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+      } finally st.close()
+    }
+    val before = snapshot()
+    assert(before.nonEmpty, "seed write produced no part-files")
+
+    // batch updates one key in 20240102 only
+    val batch = Seq((20240102, "b", 40.0)).toDF("summary_date", "player", "amount")
+    Sinks.upsertSlices(batch, base, Seq("summary_date"), Seq("summary_date", "player"))
+
+    val after = snapshot()
+    val untouchedBefore = before.filter(!_._1.contains("summary_date=20240102"))
+    val untouchedAfter = after.filter(!_._1.contains("summary_date=20240102"))
+    assert(untouchedBefore == untouchedAfter,
+      s"an untouched partition's files were rewritten:\nbefore=$untouchedBefore\nafter=$untouchedAfter")
+    assert(after.keys.exists(_.contains("summary_date=20240102")),
+      "the touched partition lost its files")
+    // and the merge kept the sibling row of the touched partition
+    val p2 = spark.read.parquet(base).filter(col("summary_date") === 20240102)
+    assert(p2.count() === 2)
+    assert(p2.filter(col("player") === "b").head.getAs[Double]("amount") === 40.0)
+    assert(p2.filter(col("player") === "a").head.getAs[Double]("amount") === 3.0)
+  }
+
   test("readOrEmpty yields an empty frame with the requested schema for a missing table") {
     val df = Sinks.readOrEmpty(spark, "/tmp/does_not_exist_graft", graft.etl.Schemas.taskBoard)
     assert(df.isEmpty)
