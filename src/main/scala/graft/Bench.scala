@@ -53,7 +53,10 @@ object Bench {
     // comparison should divide out before blaming a plan change
     def control(): Double = {
       val t0 = System.nanoTime()
-      spark.range(200L * 1000 * 1000).selectExpr("sum(id * 2654435761)").collect()
+      // per-term mod keeps every partial sum under 2e8 * 1e9 = 2e17 << 2^63
+      // (ANSI mode makes a long-overflowing sum a task failure, not a wrap)
+      spark.range(200L * 1000 * 1000)
+        .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val c1 = control()
