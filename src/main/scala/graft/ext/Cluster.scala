@@ -267,6 +267,36 @@ object Cluster {
     ranks
   }
 
+  /** Minimum hop distance from a seed set, capped at `maxHops` — k-hop
+    * reachability (blast radius, related-item expansion) over a directed
+    * edge set (symmetrize before calling for undirected semantics).
+    *
+    * Frontier BFS as iterative equi-joins: each round joins ONLY the newest
+    * frontier (nodes first reached last round) against the edge set, then
+    * merges with a min-distance aggregation — the closed set never re-joins,
+    * so round h moves |frontier_h| * avg_degree rows, not |reached| *
+    * avg_degree. Lineage is cut per round (localCheckpoint, same as the LPA
+    * and CC loops) so the plan stays flat for any hop count. Distances are
+    * pure integers — bitwise on any engine; an oracle unrolls the rounds.
+    *
+    * `edges`: (src, dst); `seeds`: (node). Returns (node, dist) for every
+    * node within `maxHops` of a seed (seeds themselves at 0). */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0)).localCheckpoint()
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === h - 1)
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(h).as("dist"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected edge set (pairs normalized
     * a < b, already distinct) — the local-clustering audit of a similarity
     * graph: a near-dup pair inside a triangle is corroborated by a third

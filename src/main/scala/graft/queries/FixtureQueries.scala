@@ -1768,7 +1768,94 @@ object FixtureQueries {
       |  CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q51 — market-basket association rules: pair support / confidence / lift
+  // over order baskets. Same bounded per-basket pair generation as q47 (pairs
+  // are O(|orders| * basket^2), never parts x parts); support is an exact
+  // integer, confidence/lift are ONE correctly-rounded IEEE division each
+  // over exact integer products (co*N < 2^53 at any plausible SF), rounded
+  // to the house 6dp — bitwise on any engine. Top-200 by support with id
+  // tiebreaks cuts via TakeOrderedAndProject, no global sort materializes.
+  // ---------------------------------------------------------------------------
+  def q51AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    val baskets = li.select(col("ok")).distinct().count()
+    basketPairs(spark, dir)
+      .filter(col("co") >= 2)
+      .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
+      .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("co").as("support"),
+        round(col("co").cast("double") / col("na").cast("double"), 6).as("conf_ab"),
+        round(col("co").cast("double") / col("nb").cast("double"), 6).as("conf_ba"),
+        round((col("co") * lit(baskets)).cast("double")
+          / (col("na") * col("nb")).cast("double"), 6).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(200)
+  }
+
+  private[queries] val q51Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |c AS (SELECT pk, count(*) AS n FROM b GROUP BY 1),
+      |nb AS (SELECT count(DISTINCT ok) AS baskets FROM b),
+      |p AS (
+      |  SELECT a.pk AS part_a, b2.pk AS part_b, count(*) AS co
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, co AS support,
+      |  round(CAST(co AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS conf_ab,
+      |  round(CAST(co AS DOUBLE) / CAST(cb.n AS DOUBLE), 6) AS conf_ba,
+      |  round(CAST(co * nb.baskets AS DOUBLE)
+      |    / CAST(ca.n * cb.n AS DOUBLE), 6) AS lift
+      |FROM p
+      |JOIN c ca ON part_a = ca.pk
+      |JOIN c cb ON part_b = cb.pk
+      |CROSS JOIN nb
+      |WHERE co >= 2
+      |ORDER BY support DESC, part_a, part_b LIMIT 200""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q52 — k-hop reachability: minimum hop distance from a seed set (parts of
+  // one brand) over the undirected co-purchase graph, capped at 3 hops —
+  // the blast-radius / related-items audit. Frontier BFS as iterative
+  // equi-joins with a min-distance merge per round (only the newest frontier
+  // expands, so each round's join input is the frontier, not the closed
+  // set); lineage cut per round like the LPA loop. Pure integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def q52KHop(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = basketPairs(spark, dir).select(col("part_a"), col("part_b"))
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val seeds = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey").as("node"))
+    graft.ext.Cluster.khopDistances(edges, seeds, maxHops = 3)
+      .select(col("node").as("part"), col("dist").as("hops"))
+  }
+
+  private[queries] val q52Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (
+      |  SELECT DISTINCT a.pk AS part_a, b2.pk AS part_b
+      |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk),
+      |e AS (
+      |  SELECT part_a AS s, part_b AS d FROM pr
+      |  UNION ALL SELECT part_b, part_a FROM pr),
+      |d0 AS (SELECT p_partkey AS n, 0 AS dist FROM part WHERE p_brand = 'Brand#1'),
+      |h1 AS (SELECT e.d AS n, 1 AS dist FROM d0 JOIN e ON e.s = d0.n),
+      |a1 AS (SELECT n, min(dist) AS dist
+      |       FROM (SELECT * FROM d0 UNION ALL SELECT * FROM h1) GROUP BY 1),
+      |h2 AS (SELECT e.d AS n, 2 AS dist FROM a1 JOIN e ON e.s = a1.n WHERE a1.dist = 1),
+      |a2 AS (SELECT n, min(dist) AS dist
+      |       FROM (SELECT * FROM a1 UNION ALL SELECT * FROM h2) GROUP BY 1),
+      |h3 AS (SELECT e.d AS n, 3 AS dist FROM a2 JOIN e ON e.s = a2.n WHERE a2.dist = 2),
+      |a3 AS (SELECT n, min(dist) AS dist
+      |       FROM (SELECT * FROM a2 UNION ALL SELECT * FROM h3) GROUP BY 1)
+      |SELECT n AS part, dist AS hops FROM a3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_assoc_rules" -> (q51AssocRules _),
+    "q52_khop" -> (q52KHop _),
     "q47_copurchase" -> (q47CoPurchase _),
     "q48_mad_outliers" -> (q48MadOutliers _),
     "q49_communities" -> (q49Communities _),
@@ -1870,5 +1957,7 @@ object FixtureQueries {
     "q48_mad_outliers" -> q48Sql,
     "q49_communities" -> q49Sql,
     "q50_scd2" -> q50Sql,
+    "q51_assoc_rules" -> q51Sql,
+    "q52_khop" -> q52Sql,
     "q46_integrity" -> q46Sql)
 }

@@ -216,4 +216,27 @@ class FixtureQueriesSpec extends AnyFunSuite {
     val total = out.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total === graft.Tables.events(spark, sf).count(), "events conserved")
   }
+
+  test("q51 association rules: confidence/lift identities hold against a driver replay") {
+    val out = FixtureQueries.queries("q51_assoc_rules")(spark, sf).cache()
+    assert(out.count() > 0, "fixture must yield at least one rule")
+    // pairs normalized and support ordered under the declared total order
+    assert(out.filter(col("part_a") >= col("part_b")).isEmpty, "pairs are a<b")
+    // replay one rule's arithmetic from the raw baskets
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct().cache()
+    val baskets = li.select("ok").distinct().count()
+    val r = out.orderBy(col("support").desc, col("part_a"), col("part_b")).first()
+    val (pa, pb) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+    val na = li.filter(col("pk") === pa).count()
+    val nb = li.filter(col("pk") === pb).count()
+    val co = li.filter(col("pk") === pa).select("ok")
+      .intersect(li.filter(col("pk") === pb).select("ok")).count()
+    assert(r.getAs[Long]("support") === co)
+    assert(r.getAs[Double]("conf_ab") ===
+      BigDecimal(co.toDouble / na.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("lift") ===
+      BigDecimal((co * baskets).toDouble / (na * nb).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

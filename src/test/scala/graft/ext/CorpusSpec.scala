@@ -301,6 +301,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == sr, "ranks must be bitwise layout-invariant")
   }
 
+  test("khopDistances: chain distances, min over multiple paths, hop cap, frontier-only") {
+    // chain 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop via the shortcut
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Cluster.khopDistances(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2),
+      s"min-distance merge must pick the shortest path: $got")
+    // hop cap: with maxHops = 1 only direct neighbors appear
+    val capped = Cluster.khopDistances(edges, seeds, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multiple seeds: distance is the min over seeds; layout-invariant
+    val two = Cluster.khopDistances(edges.repartition(7), Seq(1L, 5L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(two == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
   test("seededShuffle: bijective positions, shard math, layout-invariant, sf1-scale ids safe") {
     // ids with the sf1 stride shape (1e9 apart) plus small ids — the hash must
     // stay exact in 64-bit arithmetic across the whole id range
