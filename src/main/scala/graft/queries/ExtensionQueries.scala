@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Cluster, Corpus, Dedup, Similarity, TextStats}
+import graft.ext.{Cluster, Corpus, Dedup, Similarity, Sketch, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -3146,7 +3146,49 @@ object ExtensionQueries {
        |SELECT np.threshold, n_pairs, n_dominated_docs, dominated_tokens
        |FROM np JOIN dm USING (threshold)""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x84 — Count-Min-sketch heavy hitters: every term whose CMS estimate
+  // (min over 4 md5 hash rows of 64 counters) reaches 1% of total token
+  // occurrences, with the exact count alongside — the sketch-vs-truth audit.
+  // The counter table is depth*width rows REGARDLESS of corpus size, built
+  // map-side-combinable and broadcast for the probe; the only corpus-sized
+  // shuffle is the exact count the audit itself demands. Counters and
+  // estimates are pure integer addition/min over md5-low-64 unsigned-mod
+  // buckets — the oracle replays every counter bitwise.
+  // ---------------------------------------------------------------------------
+  private val cmsDepth = 4
+  private val cmsWidth = 64
+
+  def x84CmsHeavy(spark: SparkSession, dir: String): DataFrame =
+    Sketch.cmsHeavyHitters(
+      Tables.documents(spark, dir)
+        .filter(trim(col("text")) =!= "")
+        .select(explode(split(trim(col("text")), " ")).as("term")),
+      col("term"), depth = cmsDepth, width = cmsWidth, thresholdDenom = 100)
+
+  private[queries] val x84Sql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS term
+       |  FROM documents WHERE trim(text) <> ''),
+       |cnt AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM tok),
+       |bk AS (
+       |  SELECT term, j,
+       |    CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || term)
+       |         % $cmsWidth AS INTEGER) AS bucket
+       |  FROM cnt CROSS JOIN (SELECT unnest(range($cmsDepth)) AS j) js),
+       |ctr AS (
+       |  SELECT j, bucket, CAST(sum(c.exact_cnt) AS BIGINT) AS cnt
+       |  FROM bk JOIN cnt c USING (term) GROUP BY 1, 2),
+       |est AS (
+       |  SELECT bk.term, min(ctr.cnt) AS cms_est
+       |  FROM bk JOIN ctr USING (j, bucket) GROUP BY 1)
+       |SELECT c.term, e.cms_est, c.exact_cnt
+       |FROM cnt c JOIN est e USING (term) CROSS JOIN tot
+       |WHERE e.cms_est >= tot.total // 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x84_cms_heavy" -> (x84CmsHeavy _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
@@ -3252,6 +3294,7 @@ object ExtensionQueries {
     "x81_psi_drift" -> x81Sql,
     "x82_quantile_calib" -> x82Sql,
     "x83_dedup_sweep" -> x83Sql,
+    "x84_cms_heavy" -> x84Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -981,7 +981,56 @@ object StreamingQueries {
   private[graft] def s19CounterFrame(stream: DataFrame): DataFrame =
     stream.groupBy("source", "bucket").agg(count(lit(1)).as("c_sb"))
 
+  /** Streaming Count-Min-sketch build: the live frequency summary for an
+    * unbounded term space. The stream explodes each token occurrence into
+    * `depth` (hash row, bucket) keys and counts in complete mode — the
+    * state is the depth*width counter table itself (bounded and
+    * volume-independent, the same state argument as s19's PSI counters),
+    * and counter updates are pure integer addition, so micro-batch
+    * boundaries and merge order cannot change a bit. The oracle replays
+    * the counters batch-side from exact term counts (addition is
+    * associative); the probe/heavy-hitter read stays batch-side (x84). */
+  def s20StreamCms(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s20cms", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).select("doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s20_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val toks = stream.filter(trim(col("text")) =!= "")
+        .select(explode(split(trim(col("text")), " ")).as("item"))
+      val q = s20CounterFrame(toks)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s20 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s20 pre-start counter frame (PlanAuditSpec pins the shape): the
+    * only stateful operator is the (j, bucket) integer counter aggregation
+    * — depth*width state rows regardless of stream volume. */
+  private[graft] def s20CounterFrame(items: DataFrame): DataFrame =
+    graft.ext.Sketch.cmsCounters(items, col("item"), depth = 4, width = 64)
+
+  private val s20Sql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |cnt AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1),
+      |bk AS (
+      |  SELECT term, CAST(j AS INTEGER) AS j,
+      |    CAST(md5_number_lower('cms' || CAST(j AS VARCHAR) || ':' || term)
+      |         % 64 AS INTEGER) AS bucket
+      |  FROM cnt CROSS JOIN (SELECT unnest(range(4)) AS j) js)
+      |SELECT j, bucket, CAST(sum(c.exact_cnt) AS BIGINT) AS cnt
+      |FROM bk JOIN cnt c USING (term) GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_cms" -> (s20StreamCms _),
     "s19_stream_psi" -> (s19StreamPsi _),
     "s18_stream_outliers" -> (s18StreamOutliers _),
     "s16_stream_next_event" -> (s16StreamNextEvent _),
@@ -1003,6 +1052,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s20_stream_cms" -> s20Sql, // additive counters, batch-replayed from exact counts
     "s19_stream_psi" -> ExtensionQueries.x81Sql, // live counters, batch-derived PSI
     "s18_stream_outliers" -> FixtureQueries.q48Sql, // batch-planned MAD enforced on the stream
     "s16_stream_next_event" -> ExtensionQueries.x69Sql, // same pairs, streamed
