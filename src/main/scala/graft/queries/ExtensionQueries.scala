@@ -3187,7 +3187,36 @@ object ExtensionQueries {
        |FROM cnt c JOIN est e USING (term) CROSS JOIN tot
        |WHERE e.cms_est >= tot.total // 100""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x86 — fuzzy entity matching via deletion-neighborhood blocking (FastSS):
+  // customer-name pairs within ONE edit, found by equi-joining single-
+  // deletion variants instead of comparing names pairwise. Variant
+  // generation is linear in total characters and the exact Levenshtein DP
+  // runs only on candidates that provably share a variant — the blocking
+  // shape entity resolution needs at 100 TB, where an all-pairs fuzzy join
+  // is n^2 by definition. Distances are integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def x86FuzzyBlock(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editNeighborPairs(Tables.customer(spark, dir), "c_custkey", "c_name")
+      .select(col("id_a").as("cust_a"), col("id_b").as("cust_b"), col("dist"))
+
+  private[queries] val x86Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |    CASE WHEN i = 0 THEN c_name
+      |         ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
+      |  FROM (SELECT c_custkey, c_name,
+      |          unnest(range(0, len(c_name) + 1)) AS i FROM customer)),
+      |vd AS (SELECT DISTINCT id, name, variant FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+      |  FROM vd a JOIN vd b ON a.variant = b.variant AND a.id < b.id)
+      |SELECT ia AS cust_a, ib AS cust_b,
+      |  CAST(levenshtein(na, nb) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x86_fuzzy_block" -> (x86FuzzyBlock _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
@@ -3295,6 +3324,7 @@ object ExtensionQueries {
     "x82_quantile_calib" -> x82Sql,
     "x83_dedup_sweep" -> x83Sql,
     "x84_cms_heavy" -> x84Sql,
+    "x86_fuzzy_block" -> x86Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

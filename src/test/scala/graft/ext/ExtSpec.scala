@@ -1191,4 +1191,39 @@ class ExtSpec extends AnyFunSuite {
     assert(p7._3 >= p8._3 && p8._3 >= p9._3, s"token curve must not increase: $out")
     assert(p9._1 > 0, "planted near-dups must survive the tightest threshold")
   }
+
+  test("editNeighborPairs: substitution/insert/delete found, distance 2 excluded, matches brute force") {
+    val names = Seq(
+      1L -> "gizmo",   // base
+      2L -> "gizmp",   // substitution (dist 1 of 1)
+      3L -> "gizmos",  // insertion   (dist 1 of 1)
+      4L -> "gizo",    // deletion    (dist 1 of 1)
+      5L -> "gizbat",  // dist 2 of 1 — must NOT pair with 1
+      6L -> "widget"   // unrelated
+    ).toDF("id", "name")
+    val got = Dedup.editNeighborPairs(names)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((1L, 4L)),
+      s"all three single-edit kinds must be found: $got")
+    assert(!got.contains((1L, 5L)) && !got.exists(p => p._1 == 6L || p._2 == 6L),
+      s"distance-2 and unrelated names must be excluded: $got")
+    // completeness vs brute force on the full cross product
+    val brute = names.as[(Long, String)].collect()
+    val expect = (for {
+      (ia, na) <- brute; (ib, nb) <- brute if ia < ib
+      if levenshteinRef(na, nb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == expect, s"blocking must find exactly the brute-force pairs: $got vs $expect")
+  }
+
+  /** Textbook DP reference for the spec's brute-force cross-check. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
