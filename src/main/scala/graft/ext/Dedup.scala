@@ -592,6 +592,49 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Sorted-neighborhood near-dup candidates (Hernandez-Stolfo merge/purge):
+    * docs are ranked in one global sort-key order (here: the first 32 chars
+    * of the text, doc_id tie-broken) and ONLY pairs within `window` rank
+    * positions are compared — the classic blocking alternative to LSH,
+    * strongest when near-dups share a prefix (crawl snapshots, versioned
+    * records, boilerplate families). Survivors are verified with the exact
+    * shingle Jaccard, so a candidate miss costs recall, never precision.
+    *
+    * The scale shape is the interesting part: the textbook formulation is
+    * `row_number() OVER (ORDER BY key)` — a single-partition window that
+    * serializes the corpus through one task. Here the global rank is the
+    * two-pass distributed prefix scan ([[graft.ops.PrefixSum]], P driver
+    * longs, every stage parallel), candidate pairing is an equi-join on
+    * `rank + d` for d in 1..window (n*window rows, no range or theta
+    * join), and verification is per-pair local arithmetic on the two
+    * shingle arrays. Work is O(n * window) at any corpus size.
+    *
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("skey", substring(trim(col("text")), 1, 32))
+      .withColumn("one", lit(1L))
+    val ranked = graft.ops.PrefixSum.exclusiveRunningTotalOrdered(
+      keyed, Seq(col("skey"), col("doc_id")), "one", outCol = "rank")
+      .select(col("doc_id"), col("rank"), shingles("text").as("sh"))
+    val lhs = ranked
+      .select(col("rank").as("ra"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .withColumn("rb", explode(sequence(col("ra") + 1, col("ra") + window)))
+    val rhs = ranked
+      .select(col("rank").as("rb"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    lhs.join(rhs, Seq("rb"))
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+  }
+
   /** Entity pairs within edit distance 1 via deletion-neighborhood blocking
     * (FastSS, Bocek et al.): each string generates itself plus every
     * single-character deletion; any two strings within one edit (insert,

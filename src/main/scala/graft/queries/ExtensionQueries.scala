@@ -3188,6 +3188,44 @@ object ExtensionQueries {
        |WHERE e.cms_est >= tot.total // 100""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x85 — sorted-neighborhood near-dup pairs (merge/purge blocking): global
+  // prefix-sort-key rank via the distributed two-pass prefix scan (the
+  // textbook single-partition ORDER BY window is exactly what dies at
+  // 100 TB), candidates = rank distance <= 5 as an equi-join on rank+d,
+  // exact shingle-Jaccard verification per candidate. Finds the prefix-
+  // adjacent subset of x2's pairs at O(n * window) cost — the blocking
+  // regime LSH doesn't cover (version chains, boilerplate families).
+  // ---------------------------------------------------------------------------
+  def x85SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(spark, dir),
+      window = 5, threshold = jaccardThreshold)
+
+  private[queries] val x85Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, substr(trim(text), 1, 32) AS skey FROM documents),
+       |r AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) - 1 AS rnk
+       |  FROM d),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |cand AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM r a JOIN r b ON b.rnk >= a.rnk + 1 AND b.rnk <= a.rnk + 5),
+       |p AS (SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b FROM cand),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.shset, sb.shset)) AS inter,
+       |    len(sa.shset) AS na, len(sb.shset) AS nb
+       |  FROM p
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id
+       |  WHERE len(sa.shset) > 0 AND len(sb.shset) > 0)
+       |SELECT doc_a, doc_b, inter * 1.0 / (na + nb - inter) AS jaccard
+       |FROM j WHERE inter * 1.0 / (na + nb - inter) >= $jaccardThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x86 — fuzzy entity matching via deletion-neighborhood blocking (FastSS):
   // customer-name pairs within ONE edit, found by equi-joining single-
   // deletion variants instead of comparing names pairwise. Variant
@@ -3216,6 +3254,7 @@ object ExtensionQueries {
       |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
     "x79_triangles" -> (x79Triangles _),
@@ -3324,6 +3363,7 @@ object ExtensionQueries {
     "x82_quantile_calib" -> x82Sql,
     "x83_dedup_sweep" -> x83Sql,
     "x84_cms_heavy" -> x84Sql,
+    "x85_sorted_neighborhood" -> x85Sql,
     "x86_fuzzy_block" -> x86Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,

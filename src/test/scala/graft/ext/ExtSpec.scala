@@ -1192,6 +1192,26 @@ class ExtSpec extends AnyFunSuite {
     assert(p9._1 > 0, "planted near-dups must survive the tightest threshold")
   }
 
+  test("sortedNeighborhood: prefix-adjacent dups found, precision exact, subset of ground truth") {
+    val got = Dedup.sortedNeighborhoodPairs(docs, window = 5, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    val truth = Dedup.jaccardPairs(docs, 0.8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.nonEmpty, "fixture near-dups share prefixes — the window must catch some")
+    got.foreach { case (a, b, j) =>
+      assert(truth.get((a, b)).contains(j),
+        s"every emitted pair must be a ground-truth pair with the identical jaccard: ($a,$b,$j)")
+    }
+    // widening the window cannot lose pairs (monotone recall)
+    val wide = Dedup.sortedNeighborhoodPairs(docs, window = 20, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(wide), "recall is monotone in the window")
+    // layout invariance: rank comes from the prefix scan, not partition order
+    val again = Dedup.sortedNeighborhoodPairs(docs.repartition(13), window = 5, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == got.toSet, "pairs must be bitwise layout-invariant")
+  }
+
   test("editNeighborPairs: substitution/insert/delete found, distance 2 excluded, matches brute force") {
     val names = Seq(
       1L -> "gizmo",   // base
