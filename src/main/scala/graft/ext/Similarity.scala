@@ -825,4 +825,48 @@ object Similarity {
     v.crossJoin(broadcast(lastNorm))
       .select(col("j"), col("v").as("loading"), round(col("norm"), 6).as("eigenvalue"))
   }
+
+  /** Simplified silhouette per cluster — the cluster-quality audit of the
+    * coarse quantizer (and of any centroid assignment): for each vector,
+    * a = cosine distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b - a) / max(a, b) in [-1, 1]; the per-cluster
+    * mean says whether a cluster is tight (s -> 1), overlapping (s -> 0),
+    * or mis-assigned (s < 0). The full silhouette is O(n^2) pairwise; the
+    * simplified form (centroid distances only) is the one that scales —
+    * n * nlist cosines against a BROADCAST centroid table, a per-vector
+    * bounded window (nlist rows per key), and a per-cluster mean of
+    * 6dp-rounded scores summed in exact DECIMAL (order-free, bitwise).
+    *
+    * Centroids are the deterministic md5-ordered sample shared by every
+    * IVF path; assignment is argmax UNROUNDED cosine with ties to the
+    * lower centroid id (the x13/x54-proven cross-engine ordering); every
+    * cosine that enters the silhouette arithmetic is pre-rounded to 6dp.
+    *
+    * Returns (cluster_id, n_vectors, silhouette). */
+  def silhouetteSimplified(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rawcos").desc, col("centroid_id").asc)
+    val scored = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("rawcos", cosine_sim(col("v"), col("centroid_vec")))
+      .withColumn("rn", row_number().over(w))
+    val own = scored.filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
+        round(col("rawcos"), 6).as("own_cos"))
+    val other = scored.filter(col("rn") > 1)
+      .groupBy("vec_id").agg(max(round(col("rawcos"), 6)).as("other_cos"))
+    val a = lit(1.0) - col("own_cos")
+    val b = lit(1.0) - col("other_cos")
+    own.join(other, "vec_id")
+      .withColumn("s",
+        when(greatest(a, b) === 0d, lit(0.0))
+          .otherwise(round((b - a) / greatest(a, b), 6)))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("s").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+          .cast("double") / count(lit(1)).cast("double")).as("silhouette"))
+  }
 }

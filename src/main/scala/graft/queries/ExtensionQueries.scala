@@ -3253,8 +3253,64 @@ object ExtensionQueries {
       |  CAST(levenshtein(na, nb) AS INTEGER) AS dist
       |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x87 — simplified-silhouette cluster quality: per-cluster mean of
+  // s = (b - a)/max(a,b) with a = cosine distance to the OWN centroid and
+  // b = distance to the nearest OTHER centroid — the audit that says
+  // whether the coarse quantizer's clusters are tight, overlapping, or
+  // mis-assigned (the full silhouette is O(n^2); the centroid form is the
+  // one that scales: n*nlist cosines vs a broadcast centroid table).
+  // Assignment replays the x13/x54-proven unrounded argmax ordering; all
+  // silhouette arithmetic runs on 6dp-pre-rounded cosines and the mean is
+  // a DECIMAL sum — bitwise.
+  // ---------------------------------------------------------------------------
+  def x87Silhouette(spark: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteSimplified(Tables.embeddings(spark, dir), nlist = 16)
+
+  private[queries] val x87Sql =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      |  FROM embeddings
+      |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
+      |                     >= 9223372036854775808
+      |            THEN CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |                 - 18446744073709551616
+      |            ELSE CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |            END
+      |  LIMIT 16),
+      |sc AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                           CAST(c.centroid_vec AS DOUBLE[])) AS rawcos,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |               c.centroid_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN centroids c),
+      |own AS (
+      |  SELECT vec_id, centroid_id AS cluster_id, round(rawcos, 6) AS own_cos
+      |  FROM sc WHERE rn = 1),
+      |oth AS (
+      |  SELECT vec_id, max(round(rawcos, 6)) AS other_cos
+      |  FROM sc WHERE rn > 1 GROUP BY 1),
+      |per AS (
+      |  SELECT own.cluster_id,
+      |    CASE WHEN greatest(CAST(1.0 AS DOUBLE) - own_cos,
+      |                       CAST(1.0 AS DOUBLE) - other_cos) = 0
+      |         THEN CAST(0.0 AS DOUBLE)
+      |         ELSE round(((CAST(1.0 AS DOUBLE) - other_cos)
+      |                      - (CAST(1.0 AS DOUBLE) - own_cos))
+      |           / greatest(CAST(1.0 AS DOUBLE) - own_cos,
+      |                      CAST(1.0 AS DOUBLE) - other_cos), 6) END AS s
+      |  FROM own JOIN oth USING (vec_id))
+      |SELECT cluster_id, count(*) AS n_vectors,
+      |  CAST(sum(CAST(s AS DECIMAL(27,6))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS silhouette
+      |FROM per GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
+    "x87_silhouette" -> (x87Silhouette _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
     "x79_triangles" -> (x79Triangles _),
@@ -3364,6 +3420,7 @@ object ExtensionQueries {
     "x83_dedup_sweep" -> x83Sql,
     "x84_cms_heavy" -> x84Sql,
     "x85_sorted_neighborhood" -> x85Sql,
+    "x87_silhouette" -> x87Sql,
     "x86_fuzzy_block" -> x86Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,

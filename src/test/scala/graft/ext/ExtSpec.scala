@@ -1212,6 +1212,46 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got.toSet, "pairs must be bitwise layout-invariant")
   }
 
+  test("silhouetteSimplified: bounds, coverage, and a full driver-side replay agree") {
+    val out = Similarity.silhouetteSimplified(emb, nlist = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).sum == emb.count(), "every vector lands in exactly one cluster")
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0), s"silhouette is in [-1,1]: ${out.toSeq}")
+    // independent replay: engine's deterministic centroid sample, then plain
+    // Scala assignment + silhouette arithmetic (same rounding discipline)
+    val cents = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.HashFunctions.md5_lo64(
+          concat(lit("ivf:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy("h").limit(16)
+      .as[(Long, Array[Float], Long)].collect().map(t => (t._1, t._2))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- 0 until math.min(x.length, y.length)) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+      }
+      val d = math.sqrt(nx) * math.sqrt(ny); if (d == 0.0) 0.0 else dot / d
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+    val per = vecs.map { case (_, v, _) =>
+      val scored = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+      val (ownId, ownRaw) = scored.minBy { case (cid, c) => (-c, cid) }
+      val otherCos = scored.filter(_._1 != ownId).map(t => r6(t._2)).max
+      val a = 1.0 - r6(ownRaw); val b = 1.0 - otherCos
+      val s = if (math.max(a, b) == 0.0) 0.0 else r6((b - a) / math.max(a, b))
+      (ownId, s)
+    }
+    val expect = per.groupBy(_._1).map { case (cid, ss) =>
+      val sum = ss.map(s => BigDecimal(s._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      cid -> (ss.length.toLong, sum.toDouble / ss.length.toDouble)
+    }
+    val got = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect, s"driver replay must match bitwise:\n$got\nvs\n$expect")
+  }
+
   test("editNeighborPairs: substitution/insert/delete found, distance 2 excluded, matches brute force") {
     val names = Seq(
       1L -> "gizmo",   // base
