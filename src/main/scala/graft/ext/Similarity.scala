@@ -845,22 +845,29 @@ object Similarity {
     * Returns (cluster_id, n_vectors, silhouette). */
   def silhouetteSimplified(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nlist >= 2, "silhouette needs a second centroid to compare against")
     val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("rawcos").desc, col("centroid_id").asc)
-    val scored = corpus
+    // each centroid scores exactly once per vector, so the nearest OTHER
+    // centroid is simply the rank-2 row — own and other both fall out of
+    // ONE per-vector aggregation over the top-2 (WindowGroupLimit keeps the
+    // sort input at 2 rows per key), instead of an own-vs-rest self-join
+    // that would shuffle the corpus twice
+    val per = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("rawcos", cosine_sim(col("v"), col("centroid_vec")))
       .withColumn("rn", row_number().over(w))
-    val own = scored.filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cluster_id"),
-        round(col("rawcos"), 6).as("own_cos"))
-    val other = scored.filter(col("rn") > 1)
-      .groupBy("vec_id").agg(max(round(col("rawcos"), 6)).as("other_cos"))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("rn") === 1, col("centroid_id"))).as("cluster_id"),
+        max(when(col("rn") === 1, round(col("rawcos"), 6))).as("own_cos"),
+        max(when(col("rn") === 2, round(col("rawcos"), 6))).as("other_cos"))
     val a = lit(1.0) - col("own_cos")
     val b = lit(1.0) - col("other_cos")
-    own.join(other, "vec_id")
+    per
       .withColumn("s",
         when(greatest(a, b) === 0d, lit(0.0))
           .otherwise(round((b - a) / greatest(a, b), 6)))

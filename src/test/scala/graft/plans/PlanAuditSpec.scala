@@ -414,6 +414,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.isStreaming, "s18 frame must still be a streaming frame")
   }
 
+  test("CMS heavy hitters: counter table broadcasts onto the probe, no global sort (x84)") {
+    val p = plan("x84_cms_heavy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth*width counter table (and the 1-row total) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"nothing in the sketch probe justifies shuffling both sides:\n$p")
+  }
+
+  test("sorted neighborhood: NO window operator — rank is the two-pass scan; pairing is an equi-join (x85)") {
+    val p = plan("x85_sorted_neighborhood")
+    assert(!p.contains("Window"),
+      s"global rank degraded to a single-partition ORDER BY window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate pairing degraded to a non-equi join:\n$p")
+  }
+
+  test("fuzzy blocking joins variants hash-to-hash, never all pairs (x86)") {
+    val p = plan("x86_fuzzy_block")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"deletion-variant blocking degraded to an all-pairs fuzzy join:\n$p")
+  }
+
+  test("silhouette: centroid table broadcasts; own+other from ONE agg, no self-join (x87)") {
+    val p = plan("x87_silhouette")
+    assert(p.contains("BroadcastExchange"),
+      s"the nlist-row centroid table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"own-vs-other must come from one aggregation, not a corpus self-join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-vector sort input must be limit-pruned to the top-2:\n$p")
+  }
+
+  test("streaming CMS keeps integer-only, depth*width-bounded state (s20)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s20-pin").toString
+    Seq("a", "b", "a").toDF("item").write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s20CounterFrame(stream)
+    assert(df.isStreaming, "s20 counters must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(Array("j", "bucket", "cnt")), df.schema.treeString)
+    assert(df.schema("cnt").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("join"),
+      s"s20's stream side must be a pure counter aggregation — probes stay batch-side:\n$lp")
+  }
+
   test("streaming PSI keeps integer-only, volume-independent state (s19)") {
     val spark0 = spark
     import spark0.implicits._
