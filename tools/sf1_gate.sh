@@ -59,5 +59,7 @@ ONLY=$(printf '%s,' \
   x71_decayed_activity x72_rendezvous_shards x73_pca_component \
   x74_random_projection x75_snapshot_diff x77_maxsim_retrieval \
   x78_filter_matrix \
-  x68_column_profile x69_next_event_pairs x70_pagerank | sed 's/,$//')
+  x68_column_profile x69_next_event_pairs x70_pagerank \
+  q51_assoc_rules q52_khop x84_cms_heavy x85_sorted_neighborhood \
+  x86_fuzzy_block x87_silhouette s20_stream_cms | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
