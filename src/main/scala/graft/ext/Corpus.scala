@@ -665,4 +665,88 @@ object Corpus {
       .select(col("source"), col("qk").as("quality_q"),
         col("c_s").as("n_docs"), col("calib").as("corpus_q"))
   }
+
+  /** Per-document n-gram NOVELTY against a reference slice of the corpus:
+    * the fraction of a document's distinct word n-grams absent from the
+    * union of the reference docs' n-grams. The data-selection dual of the
+    * contamination scan — contamination asks "how much of the EVAL set is in
+    * my corpus", novelty asks "how much NEW material does each candidate doc
+    * add over what I already trained on", the admission score an iterative
+    * curation loop ranks by.
+    *
+    * Shape: the reference n-gram set is ONE distinct over the reference
+    * slice's exploded shingles (linear, one shuffle keyed by shingle); each
+    * probe doc's novel count is a left-anti join of its exploded shingles
+    * against that set — a shingle-keyed shuffle join, never a doc×doc pair.
+    * Reference membership is exact (no Bloom false positives biasing scores
+    * down); at 100 TB the same plan holds because both sides shuffle on the
+    * shingle hash and the reference side carries distinct shingles, not
+    * occurrences. Novelty is an exact integer ratio — bitwise across
+    * engines. Docs whose every shingle is referenced fall out of the anti
+    * join entirely; the left join back to the probe roster restores them at
+    * novel = 0 rather than silently dropping them. */
+  def noveltyScores(docs: DataFrame, refMod: Int = 5, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(refMod >= 2, "refMod must leave both a reference and a probe slice")
+    val sh = graft.ops.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"), Dedup.shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint() // one shingle pass feeds reference, probe, and roster
+    val ref = sh.filter(col("doc_id") % refMod === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val probe = sh.filter(col("doc_id") % refMod =!= 0)
+    val novelCnt = probe.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(ref, Seq("s"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    probe.select(col("doc_id"), size(col("sh")).cast("long").as("ngrams"))
+      .join(novelCnt, Seq("doc_id"), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
+      .withColumn("novelty", col("novel") / col("ngrams"))
+      .select("doc_id", "ngrams", "novel", "novelty")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources over an integer-valued column (doc length here): the sharpest
+    * of the drift statistics in the stack — PSI ([[psiBySource]]) coarsens
+    * into log-width buckets, KS is the sup-norm of the raw ECDF gap at full
+    * resolution. The matrix says WHICH ingest sources have diverged and by
+    * how much, the trigger for re-mixing or re-weighting a training blend.
+    *
+    * Shape: everything happens on the VALUE HISTOGRAM (the q48/x82
+    * discipline). One corpus-sized aggregation to (source, value) counts;
+    * the (|sources| x |levels|) ECDF grid, the per-source running sums, and
+    * the (|pairs| x |levels|) sup scan are all domain-bounded — their cost
+    * never grows with row count, only with the value domain. The windowed
+    * cumsum partitions by source over histogram rows, and the pair join is
+    * level-keyed equi + source inequality — no row-level operation anywhere
+    * after the first aggregation.
+    *
+    * Determinism: the sup is taken over INTEGER cross-products
+    * `|cum_a * n_b - cum_b * n_a|` (exact in long up to ~3e9 rows/source;
+    * swap the comparison column to DECIMAL(38,0) beyond that) and the
+    * single division to a double happens once per pair on exact integers —
+    * bitwise across engines. */
+  def ksMatrix(docs: DataFrame, valueCol: String = "n_chars",
+      srcCol: String = "source"): DataFrame = {
+    val hist = docs.select(col(srcCol).as("source"), col(valueCol).as("x"))
+      .groupBy("source", "x").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one corpus pass feeds levels, sources, and the grid
+    val levels = hist.select("x").distinct()
+    val srcs = hist.select("source").distinct()
+    val grid = srcs.crossJoin(broadcast(levels)) // |sources| x |levels|, domain-bounded
+      .join(hist, Seq("source", "x"), "left")
+      .na.fill(0L, Seq("c"))
+    val cum = grid.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("source").orderBy("x")))
+    val n = hist.groupBy("source").agg(sum(col("c")).as("n"))
+    val side = cum.join(broadcast(n), "source")
+    side.alias("a").join(side.alias("b"),
+        col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n"))).as("num"))
+      .select(col("src_a"), col("src_b"),
+        (col("num").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double"))).as("ks"))
+  }
 }

@@ -676,4 +676,62 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Asymmetric containment pairs: every DIRECTED pair (doc_a, doc_b) with
+    * `|sh(A) ∩ sh(B)| / |sh(A)| >= t` and doc_a != doc_b — "A is (mostly)
+    * quoted inside B". Jaccard misses exactly this case: a short doc fully
+    * embedded in a long one has tiny jaccard but containment 1.0, and at
+    * training scale the embedded copies (quoted articles, boilerplate-wrapped
+    * reposts) are the dominant leak the symmetric metric cannot see.
+    *
+    * Shape: prefix filter on the CONTAINED side only. If containment >= t
+    * then `|A∩B| >= ceil(t*|A|)`, so by pigeonhole A's
+    * `|A| - ceil(t*|A|) + 1` globally rarest shingles (df asc, shingle asc —
+    * the [[jaccardPairsPrefix]] total order) must include a common shingle;
+    * the container side gives no such bound (B may be arbitrarily larger
+    * than the overlap), so B contributes its FULL posting list — the same
+    * linear inverted file the BM25 tier stages, one explode + one shuffle.
+    * Candidate fan-out is governed by the df of PREFIX shingles, and because
+    * prefixes take the rarest shingles first, hot shingles enter a prefix
+    * only for docs made almost entirely of hot shingles — docs that genuinely
+    * are contained nearly everywhere, i.e. output-bound, not plan-bound.
+    * The size prune `|B| >= ceil(t*|A|)` drops candidates that cannot hold
+    * the overlap before the distinct; survivors are verified exactly on the
+    * full shingle arrays, so false candidates only cost compute. */
+  def containmentPairsPrefix(docs: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sh = graft.ops.Par.fanOut(docs)
+      .select(col(idCol).as("doc_id"), shingles(textCol).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint() // reused by df ranking, postings, and verification
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfTab, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .withColumn("n", size(col("ranked")))
+      // exact alpha = ceil(t*n): 6dp rounding keeps t*n from floating a hair
+      // above the integer (5 * 0.8 = 4.0000000000000002) — the
+      // jaccardPairsPrefix correctness note applies verbatim
+      .withColumn("plen",
+        (col("n") - ceil(round(col("n") * lit(threshold), 6)) + 1).cast("int"))
+    val pref = ranked
+      .select(col("doc_id"), col("n"), explode(expr("slice(ranked, 1, plen)")).as("p"))
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("p.s").as("s"))
+    val post = sh.select(col("doc_id").as("doc_b"), size(col("sh")).as("nb"),
+      explode(col("sh")).as("s"))
+    val cand = pref.join(post,
+        pref("s") === post("s") && col("doc_a") =!= col("doc_b")
+          && ceil(round(col("na") * lit(threshold), 6)) <= col("nb"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"), size(col("sh")).as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment", col("inter") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
 }

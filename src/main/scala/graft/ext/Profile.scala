@@ -43,4 +43,38 @@ object Profile {
           col("n_distinct"), asStr(col("mn")).as("min_value"), asStr(col("mx")).as("max_value"))
     }.reduce(_ unionByName _)
   }
+
+  /** k-anonymity generalization ladder: for each candidate bucket width over
+    * the numeric quasi-identifier, the equivalence-class census under
+    * (categorical QIs, floor(value/width)) — how many classes exist, how many
+    * fall below k, and how many ROWS sit in those re-identifiable classes.
+    * This is the audit a training-data release runs before publishing
+    * user-derived records: the smallest width whose risky_rows hits zero is
+    * the minimal generalization that k-anonymizes the cut.
+    *
+    * Shape: widths are a literal ladder, exploded per row (|widths| ~ 3-5,
+    * a constant fan-out, NOT a join), then ONE hash aggregation keyed by
+    * (width, QIs, bucket) with map-side partials, then a |classes|-sized
+    * rollup per width — two shuffles total regardless of ladder length, and
+    * the second input is the class census, not rows. Buckets are computed on
+    * exact integer cents so floor() sees the same IEEE quotient in any
+    * engine; counts are exact integers — bitwise. */
+  def kAnonymityLadder(rows: DataFrame, qiCols: Seq[String], valueCol: String,
+      widths: Seq[Int], k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0), "widths must be positive")
+    require(k >= 2, "k < 2 makes every class safe by definition")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val classes = rows
+      .withColumn("width", explode(array(widths.map(lit(_)): _*)))
+      .withColumn("bucket", floor(cents / (col("width") * lit(100.0))).cast("long"))
+      .groupBy((col("width") +: qiCols.map(col)) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy("width")
+      .agg(
+        count(lit(1)).as("classes"),
+        coalesce(sum(when(col("class_size") < k, 1L)), lit(0L)).as("risky_classes"),
+        coalesce(sum(when(col("class_size") < k, col("class_size"))), lit(0L))
+          .as("risky_rows"))
+      .withColumn("meets_k", when(col("risky_classes") === 0, 1).otherwise(0))
+  }
 }

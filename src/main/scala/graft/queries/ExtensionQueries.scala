@@ -3308,11 +3308,103 @@ object ExtensionQueries {
       |    / CAST(count(*) AS DOUBLE) AS silhouette
       |FROM per GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x88 — asymmetric containment pairs: directed (contained, container) doc
+  // pairs at >= 90% shingle containment — the embedded-copy leak jaccard
+  // dilutes away (a short doc quoted inside a long one). Prefix filter on
+  // the contained side only (pigeonhole over the df-asc rarest shingles);
+  // the container side is the full linear inverted file, so the plan is
+  // explode + equi-join + exact verify — never doc x doc. Containment is an
+  // exact integer ratio — bitwise.
+  // ---------------------------------------------------------------------------
+  private val containmentThreshold = 0.9
+
+  def x88ContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairsPrefix(Tables.documents(spark, dir), containmentThreshold)
+
+  private[queries] val x88Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh WHERE len(shset) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shset) AS n FROM sh WHERE len(shset) > 0)
+       |SELECT doc_a, doc_b, inter * 1.0 / sa.n AS containment
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |WHERE inter * 1.0 / sa.n >= $containmentThreshold""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x89 — per-doc n-gram novelty vs a reference slice (doc_id % 5 = 0 plays
+  // the already-trained corpus): the admission score of an iterative
+  // curation loop. Reference set = ONE distinct over exploded shingles;
+  // novel counts = shingle-keyed anti join — linear, never doc x doc.
+  // ---------------------------------------------------------------------------
+  def x89Novelty(spark: SparkSession, dir: String): DataFrame =
+    Corpus.noveltyScores(Tables.documents(spark, dir))
+
+  private[queries] val x89Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)),
+      |nz AS (SELECT doc_id, shset FROM sh WHERE len(shset) > 0),
+      |ref AS (SELECT DISTINCT unnest(shset) AS s FROM nz WHERE doc_id % 5 = 0),
+      |probe AS (SELECT doc_id, unnest(shset) AS s FROM nz WHERE doc_id % 5 != 0),
+      |novel AS (
+      |  SELECT doc_id, count(*) AS novel FROM probe p
+      |  WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.s = p.s)
+      |  GROUP BY 1)
+      |SELECT nz.doc_id, CAST(len(shset) AS BIGINT) AS ngrams,
+      |  CAST(coalesce(novel.novel, 0) AS BIGINT) AS novel,
+      |  CAST(coalesce(novel.novel, 0) AS BIGINT) * 1.0 / len(shset) AS novelty
+      |FROM nz LEFT JOIN novel ON nz.doc_id = novel.doc_id
+      |WHERE nz.doc_id % 5 != 0""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x90 — k-anonymity generalization ladder over customer quasi-identifiers
+  // (nation, market segment, account-balance bucket): the equivalence-class
+  // census at each candidate bucket width, with the rows re-identifiable at
+  // k < 5 counted per level — the audit a user-derived data release runs to
+  // pick its minimal generalization. One hash aggregation over a constant
+  // 3x fan-out, then a class-census rollup; exact integer counts — bitwise.
+  // ---------------------------------------------------------------------------
+  private val kanonK = 5
+  private val kanonWidths = Seq(100, 1000, 10000)
+
+  def x90KanonLadder(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.kAnonymityLadder(Tables.customer(spark, dir),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", kanonWidths, kanonK)
+
+  private[queries] val x90Sql =
+    s"""WITH w AS (SELECT unnest([${kanonWidths.mkString(", ")}]) AS width),
+       |cl AS (
+       |  SELECT width, c_nationkey, c_mktsegment,
+       |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / (width * 100.0))
+       |         AS BIGINT) AS bucket,
+       |    count(*) AS class_size
+       |  FROM customer CROSS JOIN w
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT width, count(*) AS classes,
+       |  CAST(coalesce(sum(CASE WHEN class_size < $kanonK THEN 1 END), 0)
+       |       AS BIGINT) AS risky_classes,
+       |  CAST(coalesce(sum(CASE WHEN class_size < $kanonK THEN class_size END), 0)
+       |       AS BIGINT) AS risky_rows,
+       |  CASE WHEN coalesce(sum(CASE WHEN class_size < $kanonK THEN 1 END), 0) = 0
+       |       THEN 1 ELSE 0 END AS meets_k
+       |FROM cl GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
+    "x88_containment_pairs" -> (x88ContainmentPairs _),
+    "x89_novelty" -> (x89Novelty _),
+    "x90_kanon_ladder" -> (x90KanonLadder _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
@@ -3422,6 +3514,9 @@ object ExtensionQueries {
     "x85_sorted_neighborhood" -> x85Sql,
     "x87_silhouette" -> x87Sql,
     "x86_fuzzy_block" -> x86Sql,
+    "x88_containment_pairs" -> x88Sql,
+    "x89_novelty" -> x89Sql,
+    "x90_kanon_ladder" -> x90Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

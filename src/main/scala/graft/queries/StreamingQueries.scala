@@ -1029,7 +1029,57 @@ object StreamingQueries {
       |SELECT j, bucket, CAST(sum(c.exact_cnt) AS BIGINT) AS cnt
       |FROM bk JOIN cnt c USING (term) GROUP BY 1, 2""".stripMargin
 
+  /** Streaming k-anonymity census (x90's running half at the finest ladder
+    * width): the equivalence-class counts under (nation, segment,
+    * balance-bucket@100) maintained as a complete-mode streaming aggregation
+    * over the customer feed, emitting the classes still below k — the live
+    * re-identification monitor a user-derived release keeps while records
+    * stream in. State is one exact integer per OBSERVED class — bounded by
+    * the QI domain, not by volume — and integer merge is order-independent,
+    * so the streamed census equals the batch scan bit for bit regardless of
+    * micro-batch boundaries. The `< k` probe is a stateless filter ON the
+    * complete-mode result, so a class that graduates past k disappears from
+    * the risky list exactly as it would batch-side. */
+  def s21StreamKanon(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s21kanon", dir, Seq("customer.parquet")) { out =>
+      graft.Tables.customer(spark, dir)
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s21_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = s21CensusFrame(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s21 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s21 pre-start census frame (PlanAuditSpec pins the shape): the only
+    * stateful operator is the class-count aggregation — integer state keyed
+    * by the QI tuple, no join anywhere on the stream. Bucket arithmetic is
+    * x90's exact-cents form so the batch oracle replays it bitwise. */
+  private[graft] def s21CensusFrame(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("bucket", floor(
+        round(col("c_acctbal") * 100).cast("long") / lit(10000.0)).cast("long"))
+      .groupBy("c_nationkey", "c_mktsegment", "bucket")
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < 5)
+
+  private val s21Sql =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 10000.0) AS BIGINT)
+      |    AS bucket,
+      |  count(*) AS class_size
+      |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_kanon" -> (s21StreamKanon _),
     "s20_stream_cms" -> (s20StreamCms _),
     "s19_stream_psi" -> (s19StreamPsi _),
     "s18_stream_outliers" -> (s18StreamOutliers _),
@@ -1052,6 +1102,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s21_stream_kanon" -> s21Sql, // integer class census, merge-order-proof
     "s20_stream_cms" -> s20Sql, // additive counters, batch-replayed from exact counts
     "s19_stream_psi" -> ExtensionQueries.x81Sql, // live counters, batch-derived PSI
     "s18_stream_outliers" -> FixtureQueries.q48Sql, // batch-planned MAD enforced on the stream

@@ -1276,6 +1276,82 @@ class ExtSpec extends AnyFunSuite {
     assert(got == expect, s"blocking must find exactly the brute-force pairs: $got vs $expect")
   }
 
+  test("containmentPairsPrefix: planted embedded doc found; exact vs brute force; layout-invariant") {
+    val d0 = docs.filter(col("doc_id") === 0).select("text").as[String].head()
+    val d1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()
+    // 200000 wraps d0 verbatim inside d1's text: containment(0 -> 200000) = 1
+    val planted = docs.select("doc_id", "text").unionByName(
+      Seq((200000L, d1 + " " + d0 + " " + d1)).toDF("doc_id", "text"))
+    val got = Dedup.containmentPairsPrefix(planted, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 0L && p._2 == 200000L && p._3 == 1.0),
+      s"the planted embedded copy must surface at containment 1.0: ${got.toSeq}")
+    // exactness: the prefix filter only prunes — brute-force directed
+    // containment over every doc pair must match bitwise (driver doubles
+    // compute the same IEEE integer ratio)
+    val shs = planted.select(col("doc_id"), Dedup.shingles("text").as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .filter(_._2.nonEmpty).map { case (id, s) => (id, s.toSet) }
+    val truth = (for {
+      (ia, sa) <- shs; (ib, sb) <- shs if ia != ib
+      inter = sa.intersect(sb).size if inter.toDouble / sa.size >= 0.9
+    } yield (ia, ib, inter.toDouble / sa.size)).toSet
+    assert(got.toSet == truth, s"prefix-filtered containment must equal brute force:\n${got.toSet}\nvs\n$truth")
+    // layout invariance: ranks and pairs survive any partitioning
+    val again = Dedup.containmentPairsPrefix(planted.repartition(13), 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(again.toSet == got.toSet, "pairs must be bitwise layout-invariant")
+  }
+
+  test("noveltyScores: referenced copies score 0, unique docs score 1, driver replay exact") {
+    val refText = docs.filter(col("doc_id") % 5 === 0)
+      .orderBy("doc_id").select("text").as[String].head()
+    val planted = docs.select("doc_id", "text").unionByName(Seq(
+      300001L -> refText, // % 5 = 1: probe whose every shingle is referenced
+      300002L -> "zq1 zq2 zq3 zq4 zq5 zq6" // probe with unseen shingles only
+    ).toDF("doc_id", "text"))
+    val out = Corpus.noveltyScores(planted)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(300001L)._3 == 0L && out(300001L)._4 == 0.0,
+      s"a verbatim copy of a reference doc has zero novelty: ${out(300001L)}")
+    assert(out(300002L)._3 == out(300002L)._2 && out(300002L)._4 == 1.0,
+      s"a doc of unseen shingles is fully novel: ${out(300002L)}")
+    assert(!out.keySet.exists(_ % 5 == 0), "reference docs are never scored")
+    val shs = planted.select(col("doc_id"), Dedup.shingles("text").as("sh"))
+      .as[(Long, Seq[String])].collect().filter(_._2.nonEmpty)
+    val refSet = shs.filter(_._1 % 5 == 0).flatMap(_._2).toSet
+    val expect = shs.filter(_._1 % 5 != 0).map { case (id, sh) =>
+      val novel = sh.count(s => !refSet.contains(s)).toLong
+      id -> ((id, sh.size.toLong, novel, novel.toDouble / sh.size))
+    }.toMap
+    assert(out == expect, s"driver replay must match bitwise:\n$out\nvs\n$expect")
+  }
+
+  test("kAnonymityLadder: census replay exact; nested widths shrink risky rows monotonically") {
+    val cust = Tables.customer(spark, sf)
+    val widths = Seq(100, 1000, 10000)
+    val out = Profile.kAnonymityLadder(cust,
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", widths, 5)
+      .as[(Int, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val rows = cust.select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+      col("c_acctbal")).as[(Long, String, Double)].collect()
+    def census(w: Int): Seq[Int] = rows.groupBy { case (n, s, b) =>
+      (n, s, math.floor(math.round(b * 100).toDouble / (w * 100.0)).toLong)
+    }.map(_._2.length).toSeq
+    widths.foreach { w =>
+      val cs = census(w)
+      assert(out(w)._2 == cs.size.toLong, s"class count at width $w")
+      assert(out(w)._3 == cs.count(_ < 5).toLong, s"risky classes at width $w")
+      assert(out(w)._4 == cs.filter(_ < 5).map(_.toLong).sum, s"risky rows at width $w")
+      assert(out(w)._5 == (if (cs.count(_ < 5) == 0) 1 else 0), s"meets_k at width $w")
+    }
+    // 100 | 1000 | 10000 nest: a coarse class >= k frees ALL its rows, and a
+    // coarse class < k implies every child was already < k — risky rows can
+    // only shrink as the ladder widens
+    assert(out(100)._4 >= out(1000)._4 && out(1000)._4 >= out(10000)._4,
+      s"nested widths cannot increase risky rows: $out")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -462,6 +462,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"s20's stream side must be a pure counter aggregation — probes stay batch-side:\n$lp")
   }
 
+  test("containment pairs: equi-joins only, no window — prefix vs posting list (x88)") {
+    val p = plan("x88_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates degraded to an all-pairs join:\n$p")
+    assert(!p.contains("Window"),
+      s"nothing in the containment path justifies a global window:\n$p")
+  }
+
+  test("novelty: reference membership is a shingle-keyed ANTI join, never doc x doc (x89)") {
+    val p = plan("x89_novelty")
+    assert(p.contains("LeftAnti"),
+      s"novel counts must come from an anti join against the reference set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"reference membership degraded to a non-equi join:\n$p")
+  }
+
+  test("k-anonymity ladder: pure aggregation — constant fan-out, no join anywhere (x90)") {
+    val p = plan("x90_kanon_ladder")
+    assert(!p.toLowerCase.contains("join"),
+      s"the class census is two hash aggregations; a join means a wrong shape:\n$p")
+    assert(p.contains("Generate"),
+      s"the width ladder must be a constant explode fan-out:\n$p")
+  }
+
+  test("streaming k-anonymity census keeps integer-only, QI-domain-bounded state (s21)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s21-pin").toString
+    Seq((1L, "BUILDING", 123.45), (1L, "BUILDING", 234.56), (2L, "MACHINERY", -10.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s21CensusFrame(stream)
+    assert(df.isStreaming, "s21's census must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(
+      Array("c_nationkey", "c_mktsegment", "bucket", "class_size")), df.schema.treeString)
+    assert(df.schema("class_size").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("join"),
+      s"s21's stream side must be a pure class-count aggregation:\n$lp")
+  }
+
   test("streaming PSI keeps integer-only, volume-independent state (s19)") {
     val spark0 = spark
     import spark0.implicits._
