@@ -739,7 +739,10 @@ object Corpus {
     val cum = grid.withColumn("cum",
       sum(col("c")).over(Window.partitionBy("source").orderBy("x")))
     val n = hist.groupBy("source").agg(sum(col("c")).as("n"))
-    val side = cum.join(broadcast(n), "source")
+    // materialize the ECDF table (|sources| x |levels| rows) once: both
+    // sides of the pair self-join read it, and without this the grid cross
+    // and the windowed cumsum would each run twice
+    val side = cum.join(broadcast(n), "source").localCheckpoint()
     side.alias("a").join(side.alias("b"),
         col("a.x") === col("b.x") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"),

@@ -381,4 +381,39 @@ object TextStats {
         (((col("freq") + 1) * col("n_next")).cast("double")
           / col("n_types").cast("double")).as("gt_freq"))
   }
+
+  /** Memorization-risk audit: every `ctxLen`-word context that occurs at
+    * least `minOcc` times corpus-wide with EXACTLY ONE continuation — the
+    * phrases a model trained on this corpus will reproduce verbatim, because
+    * the data never shows it an alternative. Deduplication bounds but does
+    * not eliminate these (boilerplate families and quotations survive
+    * near-dup removal); this pass emits the actual drop/decontamination
+    * list, not just a rate.
+    *
+    * Shape: one explode pass emits (context, next) slots — ctxLen+1-gram
+    * windows, all built-in array ops, codegen'd — then two hash
+    * aggregations: (context, next) occurrence counts, then the per-context
+    * rollup (occurrences, distinct continuations). Linear in tokens with
+    * map-side partials; the minOcc filter cuts before anything wide. The
+    * single continuation falls out of min(next) under n_next = 1 — no
+    * second pass. Exact integer counts — bitwise. */
+  def memorizedContexts(docs: DataFrame, ctxLen: Int = 4, minOcc: Long = 3,
+      textCol: String = "text"): DataFrame = {
+    require(ctxLen >= 1, "a context needs at least one word")
+    val grams = graft.ops.Par.fanOut(
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(split(trim(col(textCol)), " ").as("w")))
+      .filter(size(col("w")) >= ctxLen + 1)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(w) - $ctxLen),
+           |  i -> struct(concat_ws(' ', slice(w, i, $ctxLen)) AS ctx,
+           |              element_at(w, i + $ctxLen) AS nxt))""".stripMargin)).as("g"))
+      .select(col("g.ctx").as("ctx"), col("g.nxt").as("nxt"))
+    val cn = grams.groupBy("ctx", "nxt").agg(count(lit(1)).as("c"))
+    cn.groupBy("ctx")
+      .agg(sum(col("c")).as("occ"), count(lit(1)).as("n_next"),
+        min(col("nxt")).as("next_tok"))
+      .filter(col("occ") >= minOcc && col("n_next") === 1)
+      .select("ctx", "occ", "next_tok")
+  }
 }

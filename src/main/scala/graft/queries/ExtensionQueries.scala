@@ -3397,6 +3397,66 @@ object ExtensionQueries {
        |       THEN 1 ELSE 0 END AS meets_k
        |FROM cl GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x91 — exact two-sample KS drift matrix: the sup-norm ECDF gap between
+  // every source pair over the doc-length distribution. PSI (x81) coarsens
+  // into log buckets; KS is the full-resolution statistic. Everything after
+  // one corpus aggregation is histogram-level (|sources| x |levels| grid,
+  // |pairs| x |levels| sup scan); the sup is an integer cross-product max
+  // and the one division happens on exact integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def x91KsMatrix(spark: SparkSession, dir: String): DataFrame =
+    Corpus.ksMatrix(Tables.documents(spark, dir))
+
+  private[queries] val x91Sql =
+    """WITH h AS (
+      |  SELECT source, n_chars AS x, count(*) AS c FROM documents GROUP BY 1, 2),
+      |lv AS (SELECT DISTINCT x FROM h),
+      |sr AS (SELECT DISTINCT source FROM h),
+      |g AS (
+      |  SELECT sr.source, lv.x, coalesce(h.c, 0) AS c
+      |  FROM sr CROSS JOIN lv
+      |  LEFT JOIN h ON h.source = sr.source AND h.x = lv.x),
+      |cu AS (
+      |  SELECT source, x,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum
+      |  FROM g),
+      |n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, na.n AS na, nb.n AS nb,
+      |    max(abs(a.cum * nb.n - b.cum * na.n)) AS num
+      |  FROM cu a JOIN cu b ON a.x = b.x AND a.source < b.source
+      |  JOIN n na ON na.source = a.source
+      |  JOIN n nb ON nb.source = b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT src_a, src_b,
+      |  CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x92 — memorization-risk audit: every 4-word context seen >= 3 times
+  // corpus-wide with exactly one continuation — the phrases a trained model
+  // will reproduce verbatim; the output is the drop/decontamination list
+  // itself. One explode pass + two hash aggregations; integer counts.
+  // ---------------------------------------------------------------------------
+  def x92Memorization(spark: SparkSession, dir: String): DataFrame =
+    TextStats.memorizedContexts(Tables.documents(spark, dir))
+
+  private[queries] val x92Sql =
+    """WITH w AS (
+      |  SELECT string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE trim(text) <> ''),
+      |g AS (
+      |  SELECT array_to_string(w[i:i+3], ' ') AS ctx, w[i + 4] AS nxt
+      |  FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i
+      |        FROM w WHERE len(w) >= 5)),
+      |cn AS (SELECT ctx, nxt, count(*) AS c FROM g GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT ctx, CAST(sum(c) AS BIGINT) AS occ, count(*) AS n_next,
+      |    min(nxt) AS next_tok
+      |  FROM cn GROUP BY 1)
+      |SELECT ctx, occ, next_tok FROM ag WHERE occ >= 3 AND n_next = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
@@ -3405,6 +3465,8 @@ object ExtensionQueries {
     "x88_containment_pairs" -> (x88ContainmentPairs _),
     "x89_novelty" -> (x89Novelty _),
     "x90_kanon_ladder" -> (x90KanonLadder _),
+    "x91_ks_matrix" -> (x91KsMatrix _),
+    "x92_memorization" -> (x92Memorization _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
@@ -3517,6 +3579,8 @@ object ExtensionQueries {
     "x88_containment_pairs" -> x88Sql,
     "x89_novelty" -> x89Sql,
     "x90_kanon_ladder" -> x90Sql,
+    "x91_ks_matrix" -> x91Sql,
+    "x92_memorization" -> x92Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1352,6 +1352,67 @@ class ExtSpec extends AnyFunSuite {
       s"nested widths cannot increase risky rows: $out")
   }
 
+  test("ksMatrix: every source pair, ks in [0,1], identical slices score 0, driver replay exact") {
+    val out = Corpus.ksMatrix(docs).as[(String, String, Double)].collect()
+    val nSrc = docs.select("source").distinct().count().toInt
+    assert(out.length == nSrc * (nSrc - 1) / 2, s"one row per unordered source pair: ${out.length}")
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0), s"KS is a probability sup-gap: ${out.toSeq}")
+    // a duplicated source must sit at exactly 0 from its twin
+    val twin = docs.select("source", "n_chars").unionByName(
+      docs.filter(col("source") === "src0")
+        .select(lit("srcX").as("source"), col("n_chars")))
+    val withTwin = Corpus.ksMatrix(twin).as[(String, String, Double)].collect()
+    assert(withTwin.exists(r => r._1 == "src0" && r._2 == "srcX" && r._3 == 0.0),
+      s"identical distributions must give ks = 0: ${withTwin.filter(_._2 == "srcX").toSeq}")
+    // full driver replay: integer cross-product sup over the merged level set
+    val rows = docs.select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val bySrc = rows.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val levels = rows.map(_._2).distinct.sorted
+    val expect = (for {
+      a <- bySrc.keys.toSeq; b <- bySrc.keys.toSeq if a < b
+      na = bySrc(a).length.toLong; nb = bySrc(b).length.toLong
+    } yield {
+      val num = levels.map { x =>
+        math.abs(bySrc(a).count(_ <= x).toLong * nb - bySrc(b).count(_ <= x).toLong * na)
+      }.max
+      (a, b, num.toDouble / (na.toDouble * nb.toDouble))
+    }).toSet
+    assert(out.toSet == expect, s"driver replay must match bitwise")
+  }
+
+  test("memorizedContexts: deterministic continuations found, branching contexts excluded, threshold respected") {
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon end1",
+      2L -> "alpha beta gamma delta epsilon end2",
+      3L -> "alpha beta gamma delta epsilon end3", // ctx "alpha beta gamma delta" -> epsilon x3 (memorized)
+      4L -> "one two three four five",
+      5L -> "one two three four six",              // ctx "one two three four" branches -> excluded
+      6L -> "solo phrase appears here once"        // below threshold
+    ).toDF("doc_id", "text")
+    val out = TextStats.memorizedContexts(corpus)
+      .as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.contains("alpha beta gamma delta") &&
+      out("alpha beta gamma delta") == (("alpha beta gamma delta", 3L, "epsilon")),
+      s"the 3x deterministic continuation must surface: $out")
+    // downstream contexts of the same phrase also repeat 3x but branch at the
+    // final word — "gamma delta epsilon" has three continuations
+    assert(!out.contains("beta gamma delta epsilon"), s"branching contexts must be excluded: $out")
+    assert(!out.contains("one two three four"), s"two continuations is not memorization: $out")
+    assert(!out.keys.exists(_.startsWith("solo")), s"sub-threshold contexts must be excluded: $out")
+    // fixture smoke: output matches a driver replay
+    val shs = docs.select("text").as[String].collect()
+      .map(_.trim).filter(_.nonEmpty).map(_.split(" "))
+      .filter(_.length >= 5)
+      .flatMap(w => w.sliding(5).map(g => (g.take(4).mkString(" "), g(4))))
+    val expect = shs.groupBy(_._1).collect {
+      case (ctx, occs) if occs.length >= 3 && occs.map(_._2).distinct.length == 1 =>
+        ctx -> ((ctx, occs.length.toLong, occs.head._2))
+    }.toMap
+    val full = TextStats.memorizedContexts(docs)
+      .as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(full == expect, s"fixture replay must match bitwise")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -486,6 +486,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the width ladder must be a constant explode fan-out:\n$p")
   }
 
+  test("KS matrix sup scan: level-keyed equi self-join over the materialized ECDF (x91)") {
+    // the ECDF table is localCheckpoint'd (domain-bounded), so the visible
+    // plan is the pair sup scan itself: it must pair sources through the
+    // level-keyed equi join — never a corpus-sized cross
+    val p = plan("x91_ks_matrix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the pair sup scan must ride the level-keyed equi join:\n$p")
+    assert(p.contains("Join"),
+      s"expected the ECDF self-join in the final plan:\n$p")
+  }
+
+  test("memorization audit: explode + two hash aggs, no join anywhere (x92)") {
+    val p = plan("x92_memorization")
+    assert(!p.toLowerCase.contains("join"),
+      s"context stats are two aggregations; a join means a wrong shape:\n$p")
+    assert(p.contains("Generate"),
+      s"gram slots must come from one explode pass:\n$p")
+    assert(!p.contains("Window"),
+      s"nothing here justifies a window:\n$p")
+  }
+
   test("streaming k-anonymity census keeps integer-only, QI-domain-bounded state (s21)") {
     val spark0 = spark
     import spark0.implicits._
