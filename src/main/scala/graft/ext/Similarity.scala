@@ -876,4 +876,51 @@ object Similarity {
         (sum(col("s").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
           .cast("double") / count(lit(1)).cast("double")).as("silhouette"))
   }
+
+  /** Farthest-first k-center coreset selection (Gonzalez greedy, the
+    * 2-approximation): pick the min-id seed, then k-1 times the vector
+    * farthest (cosine distance) from everything selected so far. The
+    * diversity-maximizing dual of dedup — a training-data pipeline uses the
+    * selected set as a coverage skeleton (eval anchors, cluster seeds,
+    * labeling budget) where random sampling would oversample the dense modes.
+    *
+    * Returns (sel_rank, vec_id, radius): radius is the selected vector's
+    * min-distance at selection time — by the greedy invariant it is also a
+    * cover bound, every vector sits within radius of the PREVIOUS selection —
+    * monotonically non-increasing; the seed carries the cosine-diameter
+    * bound 2.0.
+    *
+    * Shape: k rounds, each ONE narrow pass over the corpus (broadcast 1-row
+    * center, `least` running min-distance, localCheckpoint'd so round r+1
+    * scans a materialized (vec_id, v, mind) table, not a k-deep lineage) and
+    * ONE TakeOrdered(1) argmax — no shuffle anywhere, k * O(n/p) wall. The
+    * argmax rows are the only driver-visible data (k rows). Distances are
+    * 6dp-pre-rounded cosines, ties break on vec_id asc — deterministic at
+    * any parallelism, replayed bitwise by the unrolled oracle. */
+  def kCenterCoreset(emb: DataFrame, k: Int = 8,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need at least the seed")
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val seed = base.orderBy("vec_id").limit(1).localCheckpoint()
+    var picks = Seq(seed.select(lit(1).as("sel_rank"), col("vec_id"),
+      lit(2.0).as("radius")))
+    var cur = base
+      .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("vec_id"), col("v"),
+        (lit(1.0) - round(cosine_sim(col("v"), col("cv")), 6)).as("mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val next = cur.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint()
+      picks = picks :+ next.select(lit(r).as("sel_rank"), col("vec_id"),
+        col("mind").as("radius"))
+      if (r < k) cur = cur
+        .crossJoin(broadcast(next.select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"),
+          least(col("mind"),
+            lit(1.0) - round(cosine_sim(col("v"), col("cv")), 6)).as("mind"))
+        .localCheckpoint()
+    }
+    picks.reduce(_ unionByName _)
+  }
 }

@@ -3457,6 +3457,44 @@ object ExtensionQueries {
       |  FROM cn GROUP BY 1)
       |SELECT ctx, occ, next_tok FROM ag WHERE occ >= 3 AND n_next = 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x93 — farthest-first k-center coreset (Gonzalez greedy): the min-id seed
+  // plus 7 rounds of "farthest from everything selected", on 6dp-rounded
+  // cosine distances with vec_id tie-break. Each round is one narrow
+  // broadcast pass + one TakeOrdered(1) — no shuffle; the oracle unrolls the
+  // identical 8 steps and replays bitwise.
+  // ---------------------------------------------------------------------------
+  private val kCoresetK = 8
+
+  def x93KcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterCoreset(Tables.embeddings(spark, dir), kCoresetK)
+
+  private[queries] val x93Sql = {
+    val steps = (2 to kCoresetK).map { i =>
+      val p = i - 1
+      s"""s$i AS (SELECT vec_id, v, mind FROM d$p ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$i AS (
+         |  SELECT d$p.vec_id, d$p.v,
+         |    least(d$p.mind, CAST(1.0 AS DOUBLE)
+         |      - round(list_cosine_similarity(d$p.v, s$i.v), 6)) AS mind
+         |  FROM d$p CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to kCoresetK).map { i =>
+      s"SELECT $i AS sel_rank, vec_id, mind AS radius FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (
+       |  SELECT e.vec_id, e.v,
+       |    CAST(1.0 AS DOUBLE)
+       |      - round(list_cosine_similarity(e.v, s1.v), 6) AS mind
+       |  FROM e CROSS JOIN s1),
+       |$steps
+       |SELECT 1 AS sel_rank, vec_id, CAST(2.0 AS DOUBLE) AS radius FROM s1
+       |UNION ALL $union""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
@@ -3467,6 +3505,7 @@ object ExtensionQueries {
     "x90_kanon_ladder" -> (x90KanonLadder _),
     "x91_ks_matrix" -> (x91KsMatrix _),
     "x92_memorization" -> (x92Memorization _),
+    "x93_kcenter_coreset" -> (x93KcenterCoreset _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
@@ -3581,6 +3620,7 @@ object ExtensionQueries {
     "x90_kanon_ladder" -> x90Sql,
     "x91_ks_matrix" -> x91Sql,
     "x92_memorization" -> x92Sql,
+    "x93_kcenter_coreset" -> x93Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

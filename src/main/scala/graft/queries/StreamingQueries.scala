@@ -1078,7 +1078,68 @@ object StreamingQueries {
       |  count(*) AS class_size
       |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin
 
+  /** Streaming novelty telemetry (x89's running half): per-source counts of
+    * n-gram slots already covered by the trained reference slice vs novel
+    * ones, maintained while candidate documents stream in — the live
+    * "is this feed still adding anything" meter of an iterative curation
+    * loop. The reference shingle set is a STATIC staged table, so the
+    * membership probe is a stateless stream-static left join; the only
+    * state is the per-source (probed, novel) integer counters — bounded by
+    * |sources| — and integer merge is order-independent, so the streamed
+    * meters equal the batch scan bit for bit. */
+  def s22StreamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s22novel", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(out)
+    }
+    val refDir = stageInput("s22ref", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+        .select(explode(graft.ext.Dedup.shingles("text")).as("s")).distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    val ref = spark.read.parquet(refDir).withColumn("hit", lit(1))
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s22_")
+    withStateSizedShuffle(spark, Seq(inDir, refDir)) {
+      val q = s22NoveltyFrame(stream, ref)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s22 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s22 pre-start meter frame (PlanAuditSpec pins the shape): ONE
+    * stateless stream-static membership join, then the per-source integer
+    * counter aggregation — the only stateful operator, |sources|-bounded. */
+  private[graft] def s22NoveltyFrame(stream: DataFrame, ref: DataFrame): DataFrame =
+    stream
+      .select(col("source"), explode(graft.ext.Dedup.shingles("text")).as("s"))
+      .join(ref, Seq("s"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("probed"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).cast("long").as("novel"))
+      .withColumn("novelty_rate", col("novel") / col("probed"))
+
+  private val s22Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(
+      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shset
+      |  FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents)),
+      |ref AS (SELECT DISTINCT unnest(shset) AS s FROM sh WHERE doc_id % 5 = 0),
+      |probe AS (
+      |  SELECT source, unnest(shset) AS s FROM sh WHERE doc_id % 5 != 0)
+      |SELECT p.source, count(*) AS probed,
+      |  CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+      |  CAST(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+      |    / count(*) AS novelty_rate
+      |FROM probe p LEFT JOIN ref r ON p.s = r.s GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_stream_novelty" -> (s22StreamNovelty _),
     "s21_stream_kanon" -> (s21StreamKanon _),
     "s20_stream_cms" -> (s20StreamCms _),
     "s19_stream_psi" -> (s19StreamPsi _),
@@ -1102,6 +1163,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s22_stream_novelty" -> s22Sql, // integer counters over a static-ref probe
     "s21_stream_kanon" -> s21Sql, // integer class census, merge-order-proof
     "s20_stream_cms" -> s20Sql, // additive counters, batch-replayed from exact counts
     "s19_stream_psi" -> ExtensionQueries.x81Sql, // live counters, batch-derived PSI

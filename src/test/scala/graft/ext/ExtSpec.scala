@@ -1413,6 +1413,40 @@ class ExtSpec extends AnyFunSuite {
     assert(full == expect, s"fixture replay must match bitwise")
   }
 
+  test("kCenterCoreset: greedy invariants + full driver replay bitwise") {
+    val out = Similarity.kCenterCoreset(emb, 8)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).sameElements(1 to 8), "one pick per rank")
+    assert(out.map(_._2).distinct.length == 8, "picks must be distinct vectors")
+    val radii = out.filter(_._1 >= 2).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"greedy radii are non-increasing: ${radii.toSeq}")
+    // driver replay with identical rounding and tie-breaks
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- 0 until math.min(x.length, y.length)) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+      }
+      val d = math.sqrt(nx) * math.sqrt(ny); if (d == 0.0) 0.0 else dot / d
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    var mind = vecs.map(v => v._1 -> (1.0 - r6(cos(v._2, vecs.head._2)))).toMap
+    val byId = vecs.toMap
+    var expect = List((1, vecs.head._1, 2.0))
+    for (r <- 2 to 8) {
+      val (id, d) = mind.toSeq.maxBy { case (i, d) => (d, -i) }
+      expect = expect :+ ((r, id, d))
+      if (r < 8) mind = mind.map { case (i, m) =>
+        i -> math.min(m, 1.0 - r6(cos(byId(i), byId(id)))) }
+    }
+    assert(out.toList.map(t => (t._1, t._2, t._3)) == expect,
+      s"driver greedy replay must match bitwise:\n${out.toList}\nvs\n$expect")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

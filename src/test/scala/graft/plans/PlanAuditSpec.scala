@@ -507,6 +507,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"nothing here justifies a window:\n$p")
   }
 
+  test("k-center coreset result assembles from materialized picks — no shuffle, no join (x93)") {
+    // each greedy round ran as a narrow broadcast pass + TakeOrdered(1),
+    // localCheckpoint'd; the final plan must be a plain union of those k
+    // 1-row scans — an Exchange or Join here means a round leaked a shuffle
+    val p = plan("x93_kcenter_coreset")
+    assert(!p.contains("Exchange"), s"coreset assembly must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"coreset assembly must not join:\n$p")
+  }
+
+  test("streaming novelty meter: one stateless static probe, integer |sources| state (s22)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s22-pin").toString
+    Seq((1L, "web", "a b c d"), (2L, "books", "c d e f"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(s"$tmp/in")
+    val ref = Seq("a b c").toDF("s").withColumn("hit",
+      org.apache.spark.sql.functions.lit(1))
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s22NoveltyFrame(stream, ref)
+    assert(df.isStreaming, "s22's meter must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(
+      Array("source", "probed", "novel", "novelty_rate")), df.schema.treeString)
+    assert(df.schema("probed").dataType.typeName == "long" &&
+      df.schema("novel").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(lp.toLowerCase.split("join").length == 2,
+      s"exactly ONE stream-static membership join, nothing stateful-joined:\n$lp")
+  }
+
   test("streaming k-anonymity census keeps integer-only, QI-domain-bounded state (s21)") {
     val spark0 = spark
     import spark0.implicits._

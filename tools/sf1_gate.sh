@@ -63,5 +63,6 @@ ONLY=$(printf '%s,' \
   q51_assoc_rules q52_khop x84_cms_heavy x85_sorted_neighborhood \
   x86_fuzzy_block x87_silhouette s20_stream_cms \
   x89_novelty x90_kanon_ladder s21_stream_kanon \
-  x91_ks_matrix x92_memorization | sed 's/,$//')
+  x91_ks_matrix x92_memorization x93_kcenter_coreset \
+  s22_stream_novelty | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
