@@ -416,4 +416,55 @@ object TextStats {
       .filter(col("occ") >= minOcc && col("n_next") === 1)
       .select("ctx", "occ", "next_tok")
   }
+
+  /** Conditional next-token entropy rate per context length 1..maxCtx: the
+    * corpus predictability curve `H_n = Σ_ctx p(ctx) · H(next | ctx)` — the
+    * information-theoretic datacard stat. A steeply falling curve means the
+    * corpus is template-dominated (n-gram context nearly determines the next
+    * token — the aggregate view of what [[memorizedContexts]] lists
+    * instance-by-instance); a flat one means genuinely diverse text. Useful
+    * as a per-release scalar to compare corpus builds.
+    *
+    * Shape: one explode pass emits (n, ctx, next) slots for all context
+    * lengths at once (maxCtx-way constant fan-out), then two ctx-keyed hash
+    * aggregations and a |contexts|-sized rollup — linear in tokens, output
+    * is maxCtx rows. Determinism: the only float steps are one IEEE
+    * division + one ln per distinct (ctx, next) and one product per
+    * distinct ctx, each 6dp-rounded and summed as DECIMAL (the PSI/x81
+    * discipline) — order-free, bitwise on any engine. */
+  def entropyRate(docs: DataFrame, maxCtx: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(maxCtx >= 1, "need at least unigram contexts")
+    val dec = org.apache.spark.sql.types.DecimalType(27, 6)
+    val grams = graft.ops.Par.fanOut(
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(split(trim(col(textCol)), " ").as("w")))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxCtx), n ->
+           |  CASE WHEN size(w) >= n + 1
+           |    THEN transform(sequence(1, size(w) - n),
+           |      i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS ctx,
+           |                  element_at(w, i + n) AS nxt))
+           |    ELSE array() END))""".stripMargin)).as("g"))
+      .select(col("g.n").as("n"), col("g.ctx").as("ctx"), col("g.nxt").as("nxt"))
+    val cn = grams.groupBy("n", "ctx", "nxt").agg(count(lit(1)).as("c"))
+    // H(next|ctx): sum of 6dp-rounded -(c/occ) ln(c/occ) terms, DECIMAL-exact
+    val perCtx = cn
+      .withColumn("occ", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n", "ctx")))
+      .withColumn("t", round(
+        (col("c").cast("double") / col("occ").cast("double"))
+          * log(col("occ").cast("double") / col("c").cast("double")), 6)
+        .cast(dec))
+      .groupBy("n", "ctx", "occ")
+      .agg(sum(col("t")).cast("double").as("h_ctx"))
+    val totals = perCtx.groupBy("n").agg(sum(col("occ")).as("slots"))
+    perCtx.join(broadcast(totals), "n")
+      .withColumn("contrib", round(
+        col("h_ctx") * col("occ").cast("double") / col("slots").cast("double"), 6)
+        .cast(dec))
+      .groupBy("n", "slots")
+      .agg(count(lit(1)).as("contexts"), sum(col("contrib")).cast("double").as("entropy_rate"))
+      .select("n", "contexts", "slots", "entropy_rate")
+  }
 }

@@ -3495,6 +3495,43 @@ object ExtensionQueries {
        |UNION ALL $union""".stripMargin
   }
 
+  // ---------------------------------------------------------------------------
+  // x94 — conditional next-token entropy rate per context length 1..3: the
+  // corpus predictability curve (x92's aggregate view — template-dominated
+  // corpora fall steeply). One explode pass for all three lengths, two
+  // ctx-keyed aggregations, |contexts|-level rollup; every float step is a
+  // 6dp-rounded single IEEE op summed as DECIMAL (the x81 discipline).
+  // ---------------------------------------------------------------------------
+  def x94EntropyRate(spark: SparkSession, dir: String): DataFrame =
+    TextStats.entropyRate(Tables.documents(spark, dir))
+
+  private[queries] val x94Sql =
+    """WITH w AS (
+      |  SELECT string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE trim(text) <> ''),
+      |g AS (
+      |  SELECT n, array_to_string(w[i:i+n-1], ' ') AS ctx, w[i + n] AS nxt
+      |  FROM (SELECT w, n, unnest(range(1, len(w) - n + 1)) AS i
+      |        FROM w CROSS JOIN (SELECT unnest(range(1, 4)) AS n) ns
+      |        WHERE len(w) >= n + 1)),
+      |cn AS (SELECT n, ctx, nxt, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |tc AS (
+      |  SELECT n, ctx, c,
+      |    CAST(sum(c) OVER (PARTITION BY n, ctx) AS BIGINT) AS occ
+      |  FROM cn),
+      |pc AS (
+      |  SELECT n, ctx, occ,
+      |    CAST(sum(CAST(round((CAST(c AS DOUBLE) / CAST(occ AS DOUBLE))
+      |      * ln(CAST(occ AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+      |      AS DECIMAL(27,6))) AS DOUBLE) AS h_ctx
+      |  FROM tc GROUP BY 1, 2, 3),
+      |tot AS (SELECT n, CAST(sum(occ) AS BIGINT) AS slots FROM pc GROUP BY 1)
+      |SELECT CAST(pc.n AS INTEGER) AS n, count(*) AS contexts, tot.slots,
+      |  CAST(sum(CAST(round(h_ctx * CAST(occ AS DOUBLE)
+      |    / CAST(slots AS DOUBLE), 6) AS DECIMAL(27,6))) AS DOUBLE)
+      |    AS entropy_rate
+      |FROM pc JOIN tot ON pc.n = tot.n GROUP BY 1, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
@@ -3506,6 +3543,7 @@ object ExtensionQueries {
     "x91_ks_matrix" -> (x91KsMatrix _),
     "x92_memorization" -> (x92Memorization _),
     "x93_kcenter_coreset" -> (x93KcenterCoreset _),
+    "x94_entropy_rate" -> (x94EntropyRate _),
     "x79_triangles" -> (x79Triangles _),
     "x80_vocab_spectrum" -> (x80VocabSpectrum _),
     "x81_psi_drift" -> (x81PsiDrift _),
@@ -3621,6 +3659,7 @@ object ExtensionQueries {
     "x91_ks_matrix" -> x91Sql,
     "x92_memorization" -> x92Sql,
     "x93_kcenter_coreset" -> x93Sql,
+    "x94_entropy_rate" -> x94Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

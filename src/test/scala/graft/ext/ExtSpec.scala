@@ -1447,6 +1447,40 @@ class ExtSpec extends AnyFunSuite {
       s"driver greedy replay must match bitwise:\n${out.toList}\nvs\n$expect")
   }
 
+  test("entropyRate: deterministic corpus scores 0, fixture replay exact") {
+    // two identical docs: every context fully determines its next token
+    val det = Seq(1L -> "a b c d e", 2L -> "a b c d e").toDF("doc_id", "text")
+    val dz = TextStats.entropyRate(det).as[(Int, Long, Long, Double)].collect()
+    assert(dz.length == 3 && dz.forall(_._4 == 0.0),
+      s"a deterministic corpus has zero conditional entropy: ${dz.toSeq}")
+    val out = TextStats.entropyRate(docs)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = docs.select("text").as[String].collect()
+      .map(_.trim).filter(_.nonEmpty).map(_.split(" "))
+    for (n <- 1 to 3) {
+      val slotsList = texts.filter(_.length >= n + 1)
+        .flatMap(w => w.sliding(n + 1).map(g => (g.take(n).mkString(" "), g(n))))
+      val cn = slotsList.groupBy(identity).toSeq
+        .map { case ((ctx, nxt), o) => (ctx, nxt, o.length.toLong) }
+      val occ = cn.groupBy(_._1).map { case (ctx, rs) => ctx -> rs.map(_._3).sum }
+      val hCtx = cn.groupBy(_._1).map { case (ctx, rs) =>
+        val o = occ(ctx)
+        ctx -> rs.map { case (_, _, c) =>
+          BigDecimal(r6((c.toDouble / o.toDouble) * math.log(o.toDouble / c.toDouble)))
+            .setScale(6)
+        }.foldLeft(BigDecimal(0))(_ + _).toDouble
+      }
+      val slots = occ.values.sum
+      val hn = occ.keys.toSeq.map { ctx =>
+        BigDecimal(r6(hCtx(ctx) * occ(ctx).toDouble / slots.toDouble)).setScale(6)
+      }.foldLeft(BigDecimal(0))(_ + _).toDouble
+      assert(out(n)._2 == occ.size.toLong && out(n)._3 == slots && out(n)._4 == hn,
+        s"n=$n driver replay must match bitwise: ${out(n)} vs (${occ.size}, $slots, $hn)")
+    }
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -516,6 +516,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("join"), s"coreset assembly must not join:\n$p")
   }
 
+  test("entropy rate: ctx-keyed aggs + broadcast totals, no wide join (x94)") {
+    val p = plan("x94_entropy_rate")
+    assert(p.contains("Generate"), s"gram slots come from one explode pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row totals table must broadcast onto the context rollup:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing here justifies shuffling two corpus-sized sides together:\n$p")
+  }
+
   test("streaming novelty meter: one stateless static probe, integer |sources| state (s22)") {
     val spark0 = spark
     import spark0.implicits._
