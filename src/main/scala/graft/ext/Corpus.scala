@@ -752,4 +752,45 @@ object Corpus {
         (col("num").cast("double")
           / (col("na").cast("double") * col("nb").cast("double"))).as("ks"))
   }
+
+  /** Neyman-optimal stratified sample design: allocate a fixed document
+    * budget across strata proportionally to `N_h · S_h` (stratum size times
+    * stratum standard deviation) — the allocation that minimizes the
+    * variance of the stratified estimate for a given budget. This is the
+    * design pass a curation pipeline runs BEFORE [[stratifiedSample]]:
+    * big-and-heterogeneous sources earn proportionally more of the sample
+    * than small-or-uniform ones.
+    *
+    * Shape: ONE hash aggregation over the corpus (count, Σx, Σx² — all
+    * map-side-combinable exact integers), then everything is |strata|-sized:
+    * the variance numerator `N·Σx² − (Σx)²` stays in exact BIGINTs, the sd
+    * is one sqrt + one division then the house 6dp round into DECIMAL, the
+    * weight is an exact DECIMAL·integer product, and the single total is a
+    * broadcast scalar. Deterministic — the same corpus always prices the
+    * same design. Floor allocation means Σ alloc ≤ budget (the remainder is
+    * the caller's to assign; largest-remainder would need a sort by a
+    * double, which is exactly the nondeterminism this avoids). */
+  def neymanAllocation(docs: DataFrame, stratumCol: Column, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "a sample design needs a positive budget")
+    val stats = docs
+      .groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(valueCol).as("s1"), sum(valueCol * valueCol).as("s2"))
+      .withColumn("num", col("n_docs") * col("s2") - col("s1") * col("s1"))
+      .withColumn("sd", round(
+        sqrt(col("num").cast("double")) / col("n_docs").cast("double"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(16, 6)))
+      .withColumn("w", (col("sd") * col("n_docs"))
+        .cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+      // |strata|-sized: materialize once so the weight total and the final
+      // projection don't each re-run the corpus aggregation
+      .localCheckpoint()
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"),
+        col("sd").cast("double").as("sd_chars"),
+        floor(col("w").cast("double") * lit(budget.toDouble)
+          / col("tw").cast("double")).cast("long").as("alloc"))
+  }
 }

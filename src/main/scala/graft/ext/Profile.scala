@@ -77,4 +77,58 @@ object Profile {
           .as("risky_rows"))
       .withColumn("meets_k", when(col("risky_classes") === 0, 1).otherwise(0))
   }
+
+  /** Benford first-digit conformance audit per group — the classic
+    * fabricated-data / broken-generator detector for monetary columns: the
+    * leading significant digit of naturally occurring amounts follows
+    * `P(d) = log10(1 + 1/d)`; a synthesized or truncated feed deviates and
+    * the per-group chi-square statistic flags it. Emits the full digit
+    * table (observed, expected, per-digit chi term) plus the group's chi2,
+    * so the audit shows WHICH digits carry the deviation.
+    *
+    * Shape: digit extraction is string-on-exact-cents (integer→string is
+    * exact in every engine — no float log10 on the data path), then ONE
+    * hash aggregation keyed by (group, digit) and a 9-row-per-group
+    * grid completion via a literal digit ladder — the second pass is over
+    * the 9·|groups| census, not rows. Determinism: expected probabilities
+    * are 6dp literals; expected counts are exact integer·DECIMAL products;
+    * each chi term is DECIMAL-cast after two IEEE ops on exact inputs and
+    * the group chi2 is a DECIMAL sum — bitwise. */
+  def benfordAudit(rows: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 6)
+    // round(log10(1 + 1/d), 6) for d = 1..9, inlined as literals so both
+    // engines see constants, not a libm call on the data path
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val obs = rows
+      .select(col(groupCol).as("grp"),
+        substring(round(col(valueCol) * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("obs"))
+    val grid = obs.select("grp").distinct()
+      .crossJoin(spark(obs).range(1, 10).select(col("id").cast("int").as("digit")))
+    // DECIMAL(8,6), not (27,6): the p·n product must stay inside the 38-digit
+    // decimal cap on every engine (8 + 18 + 1 = 27 digits)
+    val pExpr = benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (p, i)) =>
+      when(col("digit") === i + 1, lit(p)).otherwise(acc)
+    }.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+    val filled = grid
+      .join(obs, Seq("grp", "digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("n", sum(col("obs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .withColumn("exp_cnt", (pExpr * col("n")).cast(dec))
+      .withColumn("chi_term", round(
+        (col("obs").cast("double") - col("exp_cnt").cast("double"))
+          * (col("obs").cast("double") - col("exp_cnt").cast("double"))
+          / col("exp_cnt").cast("double"), 6).cast(dec))
+    filled
+      .withColumn("chi2", sum(col("chi_term")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")).cast("double"))
+      .select(col("grp"), col("digit"), col("obs"),
+        col("exp_cnt").cast("double").as("exp_cnt"),
+        col("chi_term").cast("double").as("chi_term"), col("chi2"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
 }

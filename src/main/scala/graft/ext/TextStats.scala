@@ -467,4 +467,110 @@ object TextStats {
       .agg(count(lit(1)).as("contexts"), sum(col("contrib")).cast("double").as("entropy_rate"))
       .select("n", "contexts", "slots", "entropy_rate")
   }
+
+  /** Per-document bigram cross-entropy under the corpus's own add-one-
+    * smoothed bigram model — the classic cheap LM quality score: documents
+    * whose word transitions the rest of the corpus never makes (garbled
+    * text, wrong-language spans, markup soup) surface at the top, template
+    * boilerplate at the bottom. `cost(slot) = ln((c(ctx)+V) / (c(ctx,nxt)+1))`,
+    * the add-one-smoothed negative log-likelihood; `xent` is the per-slot
+    * mean.
+    *
+    * Shape: one explode pass emits bigram slots; the model is two hash
+    * aggregations over those slots (pair counts, then context totals);
+    * scoring joins each document's DISTINCT bigrams (not every slot) to the
+    * model on the bigram key and multiplies by the in-doc multiplicity —
+    * the join input is |distinct doc-bigrams|, not |tokens|. The vocabulary
+    * size is one scalar `count()` (same driver-side pattern as q51's basket
+    * total). Determinism: one IEEE division + one ln per distinct
+    * (ctx, nxt), 6dp-rounded, times an exact integer multiplicity, summed
+    * as DECIMAL; the final per-doc mean is one division then 6dp round —
+    * bitwise on any engine. */
+  /** One explode pass emitting (keep..., ctx, nxt) bigram slots. */
+  private def bigramSlots(docs: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame =
+    graft.ops.Par.fanOut(
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(keep.map(col) :+ split(trim(col(textCol)), " ").as("w"): _*))
+      .filter(size(col("w")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS ctx,
+          |              element_at(w, i + 1) AS nxt))""".stripMargin)).as("g"): _*)
+      .select(keep.map(col) :+ col("g.ctx").as("ctx") :+ col("g.nxt").as("nxt"): _*)
+
+  /** The (ctx, nxt, cp) bigram count table [[bigramCrossEntropy]] trains —
+    * exposed so a streaming scorer can stage it as a static model (context
+    * totals and the vocab scalar both derive from it). */
+  def bigramModel(docs: DataFrame, textCol: String = "text"): DataFrame =
+    bigramSlots(docs, textCol, Nil)
+      .groupBy("ctx", "nxt").agg(count(lit(1)).as("cp"))
+
+  def bigramCrossEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // (9,6) not (27,6): the t·m product must stay inside the 38-digit cap
+    // on every engine (ln of any count ratio is < 1000)
+    val dec = org.apache.spark.sql.types.DecimalType(9, 6)
+    val slots = bigramSlots(docs, textCol, Seq(idCol))
+    val pairC = slots.groupBy("ctx", "nxt").agg(count(lit(1)).as("cp"))
+    val ctxC = pairC.groupBy("ctx").agg(sum(col("cp")).as("cc"))
+    val vocab = slots.select("nxt").distinct().count()
+    val docPairs = slots.groupBy(col(idCol), col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("m"))
+    // the per-doc mean happens in exact integer MICRO-units with explicit
+    // half-up integer division: a 6dp-decimal total over an integer slot
+    // count lands the quotient exactly on a …5 boundary often enough that
+    // round-after-divide is engine-dependent (observed at sf0.1); the
+    // final /1e6 is one IEEE division by a constant — bitwise
+    docPairs
+      .join(pairC, Seq("ctx", "nxt"))
+      .join(ctxC, Seq("ctx"))
+      .withColumn("t", round(log(
+        (col("cc") + lit(vocab)).cast("double")
+          / (col("cp") + 1L).cast("double")), 6).cast(dec))
+      .withColumn("tmicro", (col("t") * lit(1000000L)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("slots"),
+        sum(col("tmicro") * col("m")).as("nmicro"))
+      .select(col(idCol), col("slots"),
+        (expr("(2 * nmicro + slots) div (2 * slots)").cast("double")
+          / lit(1000000.0)).as("xent"))
+  }
+
+  /** Gini coefficient of token mass per source — the Lorenz-curve
+    * concentration of the term-frequency distribution: 0 = every type
+    * equally frequent, →1 = a handful of types carry all the mass. The
+    * one-scalar diversity companion to [[vocabularySpectrum]]: a source
+    * whose gini jumps between corpus builds has collapsed into boilerplate.
+    *
+    * Shape: one term aggregation per source, then everything happens on the
+    * FREQUENCY SPECTRUM (freq level × type count — O(√tokens) rows, the x80
+    * trick): within a tie block of `m` types at frequency `f` occupying
+    * ranks `(r, r+m]`, the rank-weighted mass `Σ i·xᵢ` is
+    * `f·(m·r + m(m+1)/2)` regardless of intra-block order, so the sort
+    * that the textbook formula implies never materializes. Doubling to
+    * `S2 = Σ f·(2·m·r + m(m+1))` keeps every step in exact BIGINTs; the
+    * single division `(S2 − (n+1)·T) / (n·T)` happens once at the end —
+    * bitwise on any engine. */
+  def giniConcentration(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val spectrum = graft.ops.Par.fanOut(
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(col(sourceCol), explode(split(trim(col(textCol)), " ")).as("term")))
+      .groupBy(col(sourceCol), col("term")).agg(count(lit(1)).as("freq"))
+      .groupBy(col(sourceCol), col("freq")).agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy("freq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    spectrum
+      .withColumn("r", coalesce(sum(col("m")).over(w), lit(0L)))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("m")).as("n_types"),
+        sum(col("freq") * col("m")).as("total_tokens"),
+        sum(col("freq") * (lit(2L) * col("m") * col("r")
+          + col("m") * (col("m") + 1L))).as("s2"))
+      .select(col(sourceCol), col("n_types"), col("total_tokens"),
+        round((col("s2") - (col("n_types") + 1L) * col("total_tokens")).cast("double")
+          / (col("n_types") * col("total_tokens")).cast("double"), 6).as("gini"))
+  }
 }

@@ -3532,7 +3532,166 @@ object ExtensionQueries {
       |    AS entropy_rate
       |FROM pc JOIN tot ON pc.n = tot.n GROUP BY 1, 3""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x95 — per-document bigram cross-entropy under the corpus's own add-one-
+  // smoothed bigram model: the cheap LM quality score (garbled/wrong-language
+  // text scores high, boilerplate low). Model = two hash aggregations over
+  // one explode pass; scoring joins each doc's DISTINCT bigrams (not every
+  // slot) to the model. One IEEE div + ln per distinct bigram, 6dp-rounded,
+  // integer-multiplied, DECIMAL-summed — bitwise.
+  // ---------------------------------------------------------------------------
+  def x95BigramXent(spark: SparkSession, dir: String): DataFrame =
+    TextStats.bigramCrossEntropy(Tables.documents(spark, dir))
+
+  private[queries] val x95Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE trim(text) <> ''),
+      |g AS (
+      |  SELECT doc_id, w[i] AS ctx, w[i + 1] AS nxt
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM w WHERE len(w) >= 2)),
+      |pc AS (SELECT ctx, nxt, count(*) AS cp FROM g GROUP BY 1, 2),
+      |cc AS (SELECT ctx, CAST(sum(cp) AS BIGINT) AS cc FROM pc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT nxt) AS v FROM g),
+      |dm AS (SELECT doc_id, ctx, nxt, count(*) AS m FROM g GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT dm.doc_id, dm.m,
+      |    CAST(CAST(round(ln(CAST(cc.cc + v.v AS DOUBLE) / CAST(pc.cp + 1 AS DOUBLE)), 6)
+      |      AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS tmicro
+      |  FROM dm JOIN pc ON dm.ctx = pc.ctx AND dm.nxt = pc.nxt
+      |  JOIN cc ON dm.ctx = cc.ctx CROSS JOIN v),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS slots,
+      |    CAST(sum(tmicro * m) AS BIGINT) AS nmicro
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, slots,
+      |  CAST((2 * nmicro + slots) // (2 * slots) AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS xent
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x96 — Benford first-digit conformance audit on order totals per priority
+  // class: the fabricated-data / broken-generator detector. Digit extraction
+  // is string-on-exact-cents (no float log10 on the data path); expected
+  // probabilities are 6dp literals; chi terms are IEEE ops on exact inputs,
+  // DECIMAL-summed per group — bitwise.
+  // ---------------------------------------------------------------------------
+  def x96Benford(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.benfordAudit(Tables.orders(spark, dir),
+      "o_totalprice", "o_orderpriority")
+      .withColumnRenamed("grp", "o_orderpriority")
+
+  private[queries] val x96Sql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+      |      1, 1) AS INTEGER) AS digit
+      |  FROM orders),
+      |o AS (SELECT grp, digit, count(*) AS obs FROM d GROUP BY 1, 2),
+      |grps AS (SELECT DISTINCT grp FROM o),
+      |p AS (
+      |  SELECT digit, CAST(CASE digit
+      |    WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+      |    WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+      |    WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757
+      |    END AS DECIMAL(8,6)) AS p
+      |  FROM (SELECT unnest(range(1, 10)) AS digit)),
+      |f AS (
+      |  SELECT grps.grp, p.digit, coalesce(o.obs, 0) AS obs, p.p
+      |  FROM grps CROSS JOIN p
+      |  LEFT JOIN o ON o.grp = grps.grp AND o.digit = p.digit),
+      |w AS (
+      |  SELECT grp, digit, obs, p,
+      |    CAST(sum(obs) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM f),
+      |t AS (
+      |  SELECT grp, digit, CAST(obs AS BIGINT) AS obs,
+      |    CAST(p * n AS DECIMAL(27,6)) AS exp_cnt,
+      |    CAST(round(
+      |      (CAST(obs AS DOUBLE) - CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE))
+      |      * (CAST(obs AS DOUBLE) - CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE))
+      |      / CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE), 6)
+      |      AS DECIMAL(27,6)) AS chi_term
+      |  FROM w)
+      |SELECT grp AS o_orderpriority, digit, obs,
+      |  CAST(exp_cnt AS DOUBLE) AS exp_cnt,
+      |  CAST(chi_term AS DOUBLE) AS chi_term,
+      |  CAST(sum(chi_term) OVER (PARTITION BY grp) AS DOUBLE) AS chi2
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x97 — Gini token-mass concentration per source (Lorenz curve on the term
+  // frequency distribution). Everything after the term aggregation runs on
+  // the FREQUENCY SPECTRUM (x80's trick): tie blocks make the rank-weighted
+  // mass a closed form, so the textbook global sort never materializes.
+  // Exact BIGINTs until one final division — bitwise.
+  // ---------------------------------------------------------------------------
+  def x97Gini(spark: SparkSession, dir: String): DataFrame =
+    TextStats.giniConcentration(Tables.documents(spark, dir))
+
+  private[queries] val x97Sql =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |f AS (SELECT source, term, count(*) AS freq FROM t GROUP BY 1, 2),
+      |sp AS (SELECT source, freq, count(*) AS m FROM f GROUP BY 1, 2),
+      |o AS (
+      |  SELECT source, freq, m,
+      |    coalesce(CAST(sum(m) OVER (PARTITION BY source ORDER BY freq
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r
+      |  FROM sp),
+      |a AS (
+      |  SELECT source, CAST(sum(m) AS BIGINT) AS n_types,
+      |    CAST(sum(freq * m) AS BIGINT) AS total_tokens,
+      |    CAST(sum(freq * (2 * m * r + m * (m + 1))) AS BIGINT) AS s2
+      |  FROM o GROUP BY 1)
+      |SELECT source, n_types, total_tokens,
+      |  round(CAST(s2 - (n_types + 1) * total_tokens AS DOUBLE)
+      |    / CAST(n_types * total_tokens AS DOUBLE), 6) AS gini
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x98 — Neyman-optimal sample design: allocate a 1000-doc budget across
+  // sources proportional to N_h * sd(n_chars) — the variance-minimizing
+  // stratified design, priced before sampling. One corpus aggregation
+  // (exact integer count/Σx/Σx²), then |sources|-sized arithmetic; floor
+  // allocation so Σ alloc <= budget without a nondeterministic remainder
+  // sort — bitwise.
+  // ---------------------------------------------------------------------------
+  private val neymanBudget = 1000L
+
+  def x98Neyman(spark: SparkSession, dir: String): DataFrame =
+    Corpus.neymanAllocation(Tables.documents(spark, dir),
+      col("source"), col("n_chars"), neymanBudget)
+      .withColumnRenamed("stratum", "source")
+
+  private[queries] val x98Sql =
+    s"""WITH s AS (
+       |  SELECT source AS stratum, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS s1,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY 1),
+       |t AS (
+       |  SELECT stratum, n_docs,
+       |    CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE), 6) AS DECIMAL(16,6)) AS sd
+       |  FROM s),
+       |w AS (
+       |  SELECT stratum, n_docs, sd,
+       |    CAST(sd * n_docs AS DECIMAL(27,6)) AS w
+       |  FROM t),
+       |tw AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS tw FROM w)
+       |SELECT stratum AS source, n_docs, CAST(sd AS DOUBLE) AS sd_chars,
+       |  CAST(floor(CAST(w AS DOUBLE) * CAST($neymanBudget AS DOUBLE)
+       |    / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc
+       |FROM w CROSS JOIN tw""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x98_neyman_alloc" -> (x98Neyman _),
+    "x95_bigram_xent" -> (x95BigramXent _),
+    "x96_benford" -> (x96Benford _),
+    "x97_gini" -> (x97Gini _),
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
@@ -3660,6 +3819,10 @@ object ExtensionQueries {
     "x92_memorization" -> x92Sql,
     "x93_kcenter_coreset" -> x93Sql,
     "x94_entropy_rate" -> x94Sql,
+    "x95_bigram_xent" -> x95Sql,
+    "x96_benford" -> x96Sql,
+    "x97_gini" -> x97Sql,
+    "x98_neyman_alloc" -> x98Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1853,7 +1853,96 @@ object FixtureQueries {
       |       FROM (SELECT * FROM a2 UNION ALL SELECT * FROM h3) GROUP BY 1)
       |SELECT n AS part, dist AS hops FROM a3""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q53 — last-touch marketing attribution: each purchase is credited to the
+  // most recent preceding click/view by the same user within a 3-day
+  // lookback, else 'direct'. The per-user history walk is ONE window pass
+  // (two last-ignoring-nulls frames sharing a single user-keyed sort — no
+  // self-join, no per-purchase scan-back); the time gate is pure timestamp
+  // interval comparison (no epoch conversion, so NTZ vs TZ semantics can't
+  // skew it). Revenue is exact-cents DECIMAL arithmetic — bitwise.
+  // At 100 TB: one shuffle keyed by user_id, state bounded by the frame
+  // being last-value (running scalar per partition, not a buffered frame).
+  // ---------------------------------------------------------------------------
+  def q53Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marketing = col("event_type").isin("click", "view")
+    Tables.events(spark, dir)
+      // both frames in ONE projection so they fuse into a single Window
+      // operator (one sort, one exchange) — chained withColumn splits them
+      .select(col("*"),
+        last(when(marketing, col("ts")), ignoreNulls = true).over(w).as("touch_ts"),
+        last(when(marketing, col("event_type")), ignoreNulls = true).over(w).as("touch_ch"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull
+          && col("touch_ts") >= col("ts") - expr("INTERVAL 3 DAYS"), col("touch_ch"))
+          .otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("purchases"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("channel"), col("purchases"),
+        round(col("cents").cast("double") / lit(100.0), 2).as("total_value"))
+  }
+
+  private[queries] val q53Sql =
+    """WITH t AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+      |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ch
+      |  FROM events)
+      |SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 3 DAY
+      |            THEN touch_ch ELSE 'direct' END AS channel,
+      |  count(*) AS purchases,
+      |  round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / CAST(100.0 AS DOUBLE), 2) AS total_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q54 — activity gaps-and-islands: per user, the maximal runs of
+  // CONSECUTIVE active calendar days (streaks) — the classic retention/
+  // engagement primitive. The island key is the textbook day_number −
+  // row_number trick: consecutive days share a constant difference, so the
+  // whole segmentation is one user-keyed window pass over the per-user
+  // DISTINCT day table (≤31 rows per user here, ≤days-of-history at scale —
+  // the window input is the day census, never raw events). All integer date
+  // arithmetic — bitwise.
+  // ---------------------------------------------------------------------------
+  def q54Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("islands"), max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+  }
+
+  private[queries] val q54Sql =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    (day - DATE '1970-01-01')
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |i AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS islands,
+      |  CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(sum(len) AS BIGINT) AS active_days
+      |FROM i GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_attribution" -> (q53Attribution _),
+    "q54_streaks" -> (q54Streaks _),
     "q51_assoc_rules" -> (q51AssocRules _),
     "q52_khop" -> (q52KHop _),
     "q47_copurchase" -> (q47CoPurchase _),
@@ -1959,5 +2048,7 @@ object FixtureQueries {
     "q50_scd2" -> q50Sql,
     "q51_assoc_rules" -> q51Sql,
     "q52_khop" -> q52Sql,
+    "q53_attribution" -> q53Sql,
+    "q54_streaks" -> q54Sql,
     "q46_integrity" -> q46Sql)
 }

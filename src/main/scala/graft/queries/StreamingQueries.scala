@@ -1138,7 +1138,155 @@ object StreamingQueries {
       |    / count(*) AS novelty_rate
       |FROM probe p LEFT JOIN ref r ON p.s = r.s GROUP BY 1""".stripMargin
 
+  /** Streaming LM-quality telemetry (x95's live half): per-source bigram
+    * cross-entropy of incoming documents under a BATCH-TRAINED add-one
+    * bigram model — the "has this feed gone garbled" meter (a scraper
+    * emitting markup soup or the wrong language spikes its source's xent
+    * within one micro-batch). The model (pair counts, context totals, one
+    * vocab scalar) is trained on the static reference slice before the
+    * stream starts — the s10-DSIR batch-train/stream-score pattern — so the
+    * per-slot cost is a stateless stream-static join; the only state is the
+    * per-source (slots, unseen, DECIMAL nll) counters, |sources|-bounded,
+    * and integer/DECIMAL merge is order-free, so the streamed meters equal
+    * the batch replay bit for bit. */
+  def s23StreamXent(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s23score", dir, Seq("documents.parquet")) { out =>
+      graft.Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(out)
+    }
+    val modelDir = stageInput("s23model", dir, Seq("documents.parquet")) { out =>
+      graft.ext.TextStats.bigramModel(
+        graft.Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0))
+        .write.mode("overwrite").parquet(out)
+    }
+    val pairs = spark.read.parquet(modelDir)
+    val ctxTotals = pairs.groupBy("ctx").agg(sum(col("cp")).as("cc"))
+    val vocab = pairs.select("nxt").distinct().count()
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s23_")
+    withStateSizedShuffle(spark, Seq(inDir, modelDir)) {
+      val q = s23XentFrame(stream, pairs, ctxTotals, vocab)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s23 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s23 pre-start scoring frame (PlanAuditSpec pins the shape): two
+    * stateless stream-static model joins, then the per-source counter
+    * aggregation — the only stateful operator, |sources|-bounded. */
+  private[graft] def s23XentFrame(stream: DataFrame, pairs: DataFrame,
+      ctxTotals: DataFrame, vocab: Long): DataFrame = {
+    // per-slot costs carry as exact integer MICRO-units (x95's discipline:
+    // round-after-divide on a 6dp total is engine-dependent; integer state
+    // also merges cheaper across micro-batches than DECIMAL)
+    val dec = org.apache.spark.sql.types.DecimalType(9, 6)
+    stream.filter(trim(col("text")) =!= "")
+      .select(col("source"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS ctx,
+          |              element_at(w, i + 1) AS nxt))""".stripMargin)).as("g"))
+      .select(col("source"), col("g.ctx").as("ctx"), col("g.nxt").as("nxt"))
+      .join(pairs, Seq("ctx", "nxt"), "left")
+      .join(ctxTotals, Seq("ctx"), "left")
+      .withColumn("tmicro", (round(log(
+        (coalesce(col("cc"), lit(0L)) + lit(vocab)).cast("double")
+          / (coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double")), 6).cast(dec)
+        * lit(1000000L)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("slots"),
+        sum(when(col("cp").isNull, 1L).otherwise(0L)).cast("long").as("unseen_pairs"),
+        sum(col("tmicro")).as("nmicro"))
+      .select(col("source"), col("slots"), col("unseen_pairs"),
+        (expr("(2 * nmicro + slots) div (2 * slots)").cast("double")
+          / lit(1000000.0)).as("xent"))
+  }
+
+  private val s23Sql =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+      |  WHERE trim(text) <> ''),
+      |g AS (
+      |  SELECT doc_id, source, w[i] AS ctx, w[i + 1] AS nxt
+      |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+      |        FROM w WHERE len(w) >= 2)),
+      |tr AS (SELECT ctx, nxt FROM g WHERE doc_id % 5 = 0),
+      |pc AS (SELECT ctx, nxt, count(*) AS cp FROM tr GROUP BY 1, 2),
+      |cc AS (SELECT ctx, CAST(sum(cp) AS BIGINT) AS cc FROM pc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT nxt) AS v FROM tr),
+      |s AS (
+      |  SELECT g.source,
+      |    CASE WHEN pc.cp IS NULL THEN 1 ELSE 0 END AS unseen,
+      |    CAST(CAST(round(ln(CAST(coalesce(cc.cc, 0) + v.v AS DOUBLE)
+      |      / CAST(coalesce(pc.cp, 0) + 1 AS DOUBLE)), 6) AS DECIMAL(9,6))
+      |      * 1000000 AS BIGINT) AS tmicro
+      |  FROM g LEFT JOIN pc ON g.ctx = pc.ctx AND g.nxt = pc.nxt
+      |  LEFT JOIN cc ON g.ctx = cc.ctx
+      |  CROSS JOIN v
+      |  WHERE g.doc_id % 5 != 0),
+      |a AS (
+      |  SELECT source, count(*) AS slots, CAST(sum(unseen) AS BIGINT) AS unseen_pairs,
+      |    CAST(sum(tmicro) AS BIGINT) AS nmicro
+      |  FROM s GROUP BY 1)
+      |SELECT source, slots, unseen_pairs,
+      |  CAST((2 * nmicro + slots) // (2 * slots) AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS xent
+      |FROM a""".stripMargin
+
+  /** Streaming Benford first-digit census (x96's live half): per event type,
+    * the leading-digit counts of the value stream, maintained as integer
+    * counters — the live feed-integrity monitor (a broken or fabricated
+    * upstream generator skews its type's digit histogram within one
+    * micro-batch; the batch-side x96 turns the same census into chi²).
+    * Digit extraction is the same string-on-exact-cents transform as x96 —
+    * stateless, no float log — and the only state is the 9·|types| counter
+    * grid; integer merge is order-free, so the streamed census equals the
+    * batch scan bit for bit. */
+  def s24StreamBenford(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s24benford", dir, Seq("events.parquet")) { out =>
+      graft.Tables.events(spark, dir).select("event_type", "value")
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s24_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = s24BenfordFrame(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s24 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s24 pre-start census frame (PlanAuditSpec pins the shape): one
+    * stateless digit projection, then the counter aggregation — the only
+    * stateful operator, 9·|types|-bounded. */
+  private[graft] def s24BenfordFrame(rows: DataFrame): DataFrame =
+    rows
+      .select(col("event_type"),
+        substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("obs"))
+
+  private val s24Sql =
+    """SELECT event_type,
+      |  CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS INTEGER) AS digit,
+      |  count(*) AS obs
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_benford" -> (s24StreamBenford _),
+    "s23_stream_xent" -> (s23StreamXent _),
     "s22_stream_novelty" -> (s22StreamNovelty _),
     "s21_stream_kanon" -> (s21StreamKanon _),
     "s20_stream_cms" -> (s20StreamCms _),
@@ -1163,6 +1311,8 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s24_stream_benford" -> s24Sql, // exact-cents digit counters, merge-order-proof
+    "s23_stream_xent" -> s23Sql, // batch-trained model, stream-scored, counter state
     "s22_stream_novelty" -> s22Sql, // integer counters over a static-ref probe
     "s21_stream_kanon" -> s21Sql, // integer class census, merge-order-proof
     "s20_stream_cms" -> s20Sql, // additive counters, batch-replayed from exact counts

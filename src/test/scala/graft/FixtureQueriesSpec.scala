@@ -217,6 +217,63 @@ class FixtureQueriesSpec extends AnyFunSuite {
     assert(total === graft.Tables.events(spark, sf).count(), "events conserved")
   }
 
+  test("q53 attribution: last-touch within lookback else direct, full driver replay bitwise") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q53_attribution")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // driver replay: per-user history walk under the same (ts, event_id) order
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.time.LocalDateTime, Long, String, Double)].collect()
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val attributed = ev.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._2.getNano, r._1))
+      var touch: Option[(java.time.LocalDateTime, String)] = None
+      sorted.flatMap { case (_, ts, _, tpe, value) =>
+        val channel = touch match {
+          case Some((tts, ch)) if !tts.isBefore(ts.minusDays(3)) => ch
+          case _ => "direct"
+        }
+        val emit = if (tpe == "purchase") Some((channel, value)) else None
+        if (tpe == "click" || tpe == "view") touch = Some((ts, tpe))
+        emit
+      }
+    }
+    val expect = attributed.groupBy(_._1).map { case (ch, ps) =>
+      val cents = ps.map(p => BigDecimal(p._2 * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      ch -> ((ch, ps.size.toLong, r(cents.toDouble / 100.0, 2)))
+    }
+    assert(out == expect, s"driver replay must match bitwise:\n$out\nvs\n$expect")
+    assert(out.values.map(_._2).sum ==
+      ev.count(_._4 == "purchase"), "every purchase attributed exactly once")
+  }
+
+  test("q54 streaks: island segmentation matches a driver replay; identities hold") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q54_streaks")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val days = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .as[(Long, java.time.LocalDate)].collect()
+    val expect = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2.toEpochDay).sorted
+      // split sorted days into consecutive runs
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (runStartDay, len)
+        case ((start, len) :: rest, d) if d == start + len => (start, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }
+      val lens = runs.map(_._2)
+      u -> ((u, lens.size.toLong, lens.max, lens.sum))
+    }
+    assert(out == expect, "driver replay must match bitwise")
+    // identities: active_days = distinct days; islands <= active_days
+    assert(out.values.forall(r => r._2 <= r._4 && r._3 <= r._4),
+      "islands and longest streak bounded by active days")
+  }
+
   test("q51 association rules: confidence/lift identities hold against a driver replay") {
     val out = FixtureQueries.queries("q51_assoc_rules")(spark, sf).cache()
     assert(out.count() > 0, "fixture must yield at least one rule")

@@ -344,4 +344,38 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id", "position").as[(Long, Long)].collect().toMap
     assert(out.exists(r => reseeded(r._1) != r._3), "seed changes the order")
   }
+
+  test("neymanAllocation: uniform stratum earns 0, allocation tracks N*sd, budget respected") {
+    // s1: 3 docs all length 10 (sd 0) — earns nothing despite its size;
+    // s2: 2 docs lengths 10/30 (sd 10); s3: 4 docs lengths 0/10/20/30
+    // (sd ~11.18) — bigger AND wider, so it must out-earn s2
+    val rows = Seq(
+      (1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 10L),
+      (4L, "s2", 10L), (5L, "s2", 30L),
+      (6L, "s3", 0L), (7L, "s3", 10L), (8L, "s3", 20L), (9L, "s3", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.neymanAllocation(rows, col("source"), col("n_chars"), 100L)
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1")._4 == 0L, s"zero-variance stratum earns nothing: $out")
+    assert(out("s3")._4 > out("s2")._4, s"bigger and wider must out-earn: $out")
+    assert(out.values.map(_._4).sum <= 100L, s"floor allocation respects the budget: $out")
+    assert(out("s2")._3 == 10.0, s"population sd of {10,30} is 10: $out")
+    // driver replay with identical arithmetic
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val strata = Seq(
+      ("s1", Seq(10L, 10L, 10L)), ("s2", Seq(10L, 30L)), ("s3", Seq(0L, 10L, 20L, 30L)))
+    val ws = strata.map { case (s, xs) =>
+      val n = xs.size.toLong
+      val num = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val sd = BigDecimal(r6(math.sqrt(num.toDouble) / n.toDouble)).setScale(6)
+      (s, n, sd, sd * BigDecimal(n))
+    }
+    val tw = ws.map(_._4).foldLeft(BigDecimal(0))(_ + _)
+    ws.foreach { case (s, n, sd, w) =>
+      val alloc = math.floor(w.toDouble * 100.0 / tw.toDouble).toLong
+      assert(out(s) == ((s, n, sd.toDouble, alloc)),
+        s"driver replay must match bitwise for $s: ${out(s)} vs ($s, $n, $sd, $alloc)")
+    }
+  }
 }

@@ -1481,6 +1481,100 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramCrossEntropy: repeated transitions score low, fixture replay bitwise") {
+    val corpus = Seq(
+      1L -> "a b a b a b a b",
+      2L -> "a b a b",
+      3L -> "x q z w").toDF("doc_id", "text")
+    val toy = TextStats.bigramCrossEntropy(corpus)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(toy(1L)._2 == 7L && toy(2L)._2 == 3L && toy(3L)._2 == 3L, s"slot counts: $toy")
+    assert(toy(3L)._3 > toy(1L)._3,
+      s"unique transitions must cost more than corpus-common ones: $toy")
+    // fixture replay with identical arithmetic
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.trim) }.filter(_._2.nonEmpty)
+      .map { case (id, t) => (id, t.split(" ")) }.filter(_._2.length >= 2)
+    val slotsList = texts.flatMap { case (id, w) =>
+      w.sliding(2).map(g => (id, g(0), g(1))) }
+    val pc = slotsList.groupBy(s => (s._2, s._3)).map { case (k, v) => k -> v.size.toLong }
+    val cc = pc.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val v = slotsList.map(_._3).distinct.size.toLong
+    val expect = slotsList.groupBy(_._1).map { case (id, ss) =>
+      val byPair = ss.groupBy(s => (s._2, s._3)).map { case (k, o) => k -> o.size.toLong }
+      val nmicro = byPair.toSeq.map { case ((c, n), m) =>
+        (BigDecimal(r6(math.log((cc(c) + v).toDouble / (pc((c, n)) + 1).toDouble)))
+          .setScale(6) * 1000000).toLong * m
+      }.sum
+      val slots = ss.size.toLong
+      id -> ((id, slots, ((2 * nmicro + slots) / (2 * slots)).toDouble / 1000000.0))
+    }
+    val full = TextStats.bigramCrossEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(full == expect, "fixture replay must match bitwise")
+  }
+
+  test("giniConcentration: uniform 0, known skew exact, fixture replay bitwise") {
+    val uniform = Seq((1L, "a b c d", "s1")).toDF("doc_id", "text", "source")
+    val u = TextStats.giniConcentration(uniform)
+      .as[(String, Long, Long, Double)].collect()
+    assert(u.toSeq == Seq(("s1", 4L, 4L, 0.0)), s"uniform mass has zero gini: ${u.toSeq}")
+    // "a a a b": sorted masses (1, 3) -> gini = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    val skew = Seq((1L, "a a a b", "s1")).toDF("doc_id", "text", "source")
+    val s = TextStats.giniConcentration(skew).as[(String, Long, Long, Double)].collect()
+    assert(s.toSeq == Seq(("s1", 2L, 4L, 0.25)), s"textbook replay: ${s.toSeq}")
+    // fixture replay via the textbook sorted-rank formula (ties rank-sum-
+    // invariant, so any tie order gives the same S)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bySource = docs.select("source", "text").as[(String, String)].collect()
+      .map { case (src, t) => (src, t.trim) }.filter(_._2.nonEmpty)
+      .groupBy(_._1)
+    val expect = bySource.map { case (src, rows) =>
+      val freqs = rows.flatMap(_._2.split(" ")).groupBy(identity)
+        .map(_._2.size.toLong).toSeq.sorted
+      val n = freqs.size.toLong
+      val t = freqs.sum
+      val sRank = freqs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (src, n, t, r6((2 * sRank - (n + 1) * t).toDouble / (n * t).toDouble))
+    }.toSet
+    val full = TextStats.giniConcentration(docs)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(full == expect, "fixture replay must match bitwise")
+  }
+
+  test("benfordAudit: digit census exact, zero-digit grid completion, chi2 replay") {
+    val rows = Seq(
+      ("g1", 1.23), ("g1", 19.99), ("g1", 0.02), ("g1", 3.50),
+      ("g2", 9.99), ("g2", 0.91)).toDF("grp", "amount")
+    val out = Profile.benfordAudit(rows, "amount", "grp")
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+    assert(out.length == 18, s"9-digit grid per group: ${out.length}")
+    val g1 = out.filter(_._1 == "g1").map(r => r._2 -> r).toMap
+    assert(g1(1)._3 == 2L && g1(2)._3 == 1L && g1(3)._3 == 1L && g1(4)._3 == 0L,
+      s"observed digit census: ${g1.values.toSeq.sortBy(_._2)}")
+    // chi2 replay with identical arithmetic (6dp expected literals,
+    // exact-decimal expected counts, DECIMAL term sum)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val chi2 = (1 to 9).map { d =>
+      val e = BigDecimal(p(d - 1)).setScale(6) * BigDecimal(4)
+      val dev = g1(d)._3.toDouble - e.toDouble
+      BigDecimal(r6(dev * dev / e.toDouble)).setScale(6)
+    }.foldLeft(BigDecimal(0))(_ + _).toDouble
+    assert(g1(1)._6 == chi2, s"chi2 replay: ${g1(1)._6} vs $chi2")
+    assert(g1.values.map(_._6).toSet.size == 1, "chi2 is constant within a group")
+    // expected counts carry the group total: the 6dp Benford literals
+    // telescope to exactly 1.000000 (Σ log10(1+1/d) = log10(10)), so the
+    // expected mass equals n
+    val expSum = g1.values.map(_._4).sum
+    assert(math.abs(expSum - 4.0) < 1e-9, s"expected-count mass: $expSum")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -525,6 +525,111 @@ class PlanAuditSpec extends AnyFunSuite {
       s"nothing here justifies shuffling two corpus-sized sides together:\n$p")
   }
 
+  test("bigram xent: explode + model equi-joins, never doc x doc (x95)") {
+    val p = plan("x95_bigram_xent")
+    assert(p.contains("Generate"), s"bigram slots come from one explode pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring joins doc-bigrams to the model on the bigram KEY — equi only:\n$p")
+    assert(!p.contains("Window"), s"nothing here justifies a window:\n$p")
+  }
+
+  test("benford audit: exact-cents digits, every join broadcast-sized (x96)") {
+    // obs census is rows-sized; everything after (9-digit grid, group list,
+    // 45-row window) is bounded — a SortMergeJoin would mean a corpus-sized
+    // side leaked into the grid completion
+    val p = plan("x96_benford")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid completion joins bounded sides — they must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("log10"),
+      s"no float log on the data path — digits come from exact cents:\n$p")
+  }
+
+  test("gini concentration: spectrum-level — no join, window input is the spectrum (x97)") {
+    val p = plan("x97_gini")
+    assert(!p.toLowerCase.contains("join"),
+      s"the Lorenz mass is a closed form on the spectrum; a join means a wrong shape:\n$p")
+    assert(p.contains("Generate"), s"terms come from one explode pass:\n$p")
+    // the window runs over the per-source FREQUENCY SPECTRUM (O(sqrt tokens)
+    // rows), after two hash aggregations — assert both aggs precede it
+    assert(count(p, "HashAggregate") >= 4,
+      s"term agg + spectrum agg (partial+final each) must precede the window:\n$p")
+  }
+
+  test("attribution: ONE user-keyed window pass, no join, no second sort (q53)") {
+    val p = plan("q53_attribution")
+    assert(!p.toLowerCase.contains("join"),
+      s"the history walk is a window pass, not a self-join:\n$p")
+    assert(count(p, "Window") == 1,
+      s"both last-touch columns must share ONE window operator (one sort, one exchange):\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"window + final channel rollup = at most two exchanges:\n$p")
+  }
+
+  test("neyman allocation: ONE corpus aggregation, scalar total broadcasts (x98)") {
+    val p = plan("x98_neyman_alloc")
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      s"one stratum-keyed aggregation shuffle — the rest is |strata|-sized:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row weight total must broadcast, never shuffle-join:\n$p")
+    assert(!p.contains("Window"), s"nothing here justifies a window:\n$p")
+  }
+
+  test("streaks: window input is the per-user DAY CENSUS, not raw events (q54)") {
+    val p = plan("q54_streaks")
+    assert(!p.toLowerCase.contains("join"),
+      s"islands are a window trick, not a self-join:\n$p")
+    assert(count(p, "Window") == 1, s"one user-keyed window pass:\n$p")
+    // the distinct (user, day) aggregation must run BEFORE the window sort —
+    // on the plan string the first HashAggregate pair appears below Window
+    val winAt = p.indexOf("Window")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"the day-census distinct must feed the window, not follow it:\n$p")
+  }
+
+  test("streaming benford census: stateless digit projection, 9x|types| counter state (s24)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s24-pin").toString
+    Seq(("purchase", 12.34), ("view", 0.02))
+      .toDF("event_type", "value").write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s24BenfordFrame(stream)
+    assert(df.isStreaming, "s24's census must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(
+      Array("event_type", "digit", "obs")), df.schema.treeString)
+    assert(df.schema("obs").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("join"),
+      s"s24's stream side must be a pure counter aggregation:\n$lp")
+    assert(!lp.toUpperCase.contains("LOG10") && !lp.toUpperCase.contains("LOG("),
+      s"digits come from exact cents, no float log on the stream:\n$lp")
+  }
+
+  test("streaming xent scorer: two stateless model joins, |sources| counter state (s23)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s23-pin").toString
+    Seq((1L, "web", "a b c d"), (2L, "books", "c d e f"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite").parquet(s"$tmp/in")
+    val pairs = Seq(("a", "b", 3L), ("b", "c", 2L)).toDF("ctx", "nxt", "cp")
+    val ctxTotals = pairs.groupBy("ctx")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("cp")).as("cc"))
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s23XentFrame(stream, pairs, ctxTotals, 5L)
+    assert(df.isStreaming, "s23's scorer must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(
+      Array("source", "slots", "unseen_pairs", "xent")), df.schema.treeString)
+    assert(df.schema("slots").dataType.typeName == "long" &&
+      df.schema("unseen_pairs").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(lp.toLowerCase.split("join").length == 3,
+      s"exactly TWO stream-static model joins, nothing stateful-joined:\n$lp")
+  }
+
   test("streaming novelty meter: one stateless static probe, integer |sources| state (s22)") {
     val spark0 = spark
     import spark0.implicits._

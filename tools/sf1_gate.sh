@@ -64,5 +64,7 @@ ONLY=$(printf '%s,' \
   x86_fuzzy_block x87_silhouette s20_stream_cms \
   x89_novelty x90_kanon_ladder s21_stream_kanon \
   x91_ks_matrix x92_memorization x93_kcenter_coreset \
-  s22_stream_novelty x94_entropy_rate | sed 's/,$//')
+  s22_stream_novelty x94_entropy_rate \
+  x95_bigram_xent x96_benford x97_gini x98_neyman_alloc \
+  q53_attribution q54_streaks s23_stream_xent s24_stream_benford | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
