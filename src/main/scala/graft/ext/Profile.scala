@@ -131,4 +131,48 @@ object Profile {
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Winsorization audit: per group, the exact `loPct`/`hiPct` percentile
+    * clip thresholds of a monetary column and what clipping there would do —
+    * how many rows clip on each side and how much total mass moves. The
+    * outlier-clamping design pass of an ETL feed: run the audit, eyeball the
+    * moved mass, then apply the clip (or don't) as a plain `least/greatest`.
+    *
+    * Shape: everything runs on the VALUE CENSUS in exact cents (groupBy
+    * value first — the x82/q48 domain-bounded trick), so the windowed
+    * inverse-CDF sweep and the threshold probe see |distinct values| rows,
+    * never the corpus; thresholds come back as a broadcast |groups|-row
+    * table. The percentile definition is pure integer arithmetic
+    * (`100·cum ≥ pct·n` — lowest value whose cumulative count reaches the
+    * cut), and every output is an exact integer — bitwise by construction. */
+  def winsorizeAudit(rows: DataFrame, valueCol: String, groupCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100, "need 0 < lo < hi < 100")
+    val census = rows
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy("grp", "cents").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one corpus pass feeds the sweep and the probe
+    val n = census.groupBy("grp").agg(sum(col("c")).as("n"))
+    val cum = census.join(broadcast(n), "grp")
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("cents")))
+    val thr = cum.groupBy("grp", "n")
+      .agg(min(when(col("cum") * 100 >= col("n") * loPct, col("cents"))).as("lo"),
+        min(when(col("cum") * 100 >= col("n") * hiPct, col("cents"))).as("hi"))
+    census.join(broadcast(thr), "grp")
+      .groupBy("grp", "n", "lo", "hi")
+      .agg(
+        coalesce(sum(when(col("cents") < col("lo"), col("c"))), lit(0L))
+          .as("clipped_lo"),
+        coalesce(sum(when(col("cents") > col("hi"), col("c"))), lit(0L))
+          .as("clipped_hi"),
+        (coalesce(sum(when(col("cents") < col("lo"),
+            (col("lo") - col("cents")) * col("c"))), lit(0L))
+          + coalesce(sum(when(col("cents") > col("hi"),
+            (col("cents") - col("hi")) * col("c"))), lit(0L))).as("moved_cents"))
+      .select(col("grp"), col("n"), col("lo").as("lo_cents"),
+        col("hi").as("hi_cents"), col("clipped_lo"), col("clipped_hi"),
+        col("moved_cents"))
+  }
 }

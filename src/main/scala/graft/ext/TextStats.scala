@@ -537,6 +537,55 @@ object TextStats {
           / lit(1000000.0)).as("xent"))
   }
 
+  /** Vocabulary growth curve (Heaps'-law census): cumulative distinct word
+    * types vs cumulative tokens at ten checkpoints of the corpus in doc_id
+    * order — the datacard curve that says whether a corpus is still adding
+    * vocabulary or has gone repetitive (types ~ tokens^β; a β collapse
+    * between releases means the new data is boilerplate).
+    *
+    * Shape: checkpoints are doc_id VALUE ranges (`(doc_id·10) div (max+1)`,
+    * one scalar max — exact integer bucketing), NOT a rank — so there is no
+    * global sort and no corpus-sized window anywhere. A term's first
+    * appearance is `min(bucket)` per term (bucket is monotone in doc_id),
+    * one term-keyed aggregation; tokens/docs per bucket are one doc-level
+    * aggregation; the cumulative rollup is a window over the TEN-row bucket
+    * table. All exact integers — bitwise. */
+  def vocabularyGrowth(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val maxId = docs.agg(max(col(idCol)).as("m"))
+    val bucketed = graft.ops.Par.fanOut(
+        docs.filter(trim(col(textCol)) =!= "")
+          .select(col(idCol), split(trim(col(textCol)), " ").as("ws")))
+      .crossJoin(broadcast(maxId))
+      .select(expr(s"($idCol * 10) div (m + 1)").as("bucket"), col("ws"))
+    val perBucket = bucketed
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum(size(col("ws"))).as("tokens"))
+    val firstSeen = bucketed
+      .select(col("bucket"), explode(col("ws")).as("term"))
+      .groupBy("term").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // 3-gram first appearances track the curve that actually saturates last
+    // (type growth flattens long before phrase growth does)
+    val firstShingle = bucketed
+      .filter(size(col("ws")) >= 3)
+      .select(col("bucket"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+        .as("s"))
+      .groupBy("s").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_shingles"))
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .join(firstShingle, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types", "new_shingles"))
+      .select(col("bucket"),
+        sum(col("docs")).over(w).as("cum_docs"),
+        sum(col("tokens")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"),
+        sum(col("new_shingles")).over(w).as("cum_shingles"))
+  }
+
   /** Gini coefficient of token mass per source — the Lorenz-curve
     * concentration of the term-frequency distribution: 0 = every type
     * equally frequent, →1 = a handful of types carry all the mass. The

@@ -3687,7 +3687,88 @@ object ExtensionQueries {
        |    / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc
        |FROM w CROSS JOIN tw""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x99 — winsorization audit: exact p5/p95 clip thresholds of the value
+  // stream per event type (integer inverse-CDF over the cents census) plus
+  // the clip's blast radius (rows clipped each side, total mass moved).
+  // Everything after the census is |distinct values|-sized; all outputs are
+  // exact integers — bitwise by construction.
+  // ---------------------------------------------------------------------------
+  def x99Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.winsorizeAudit(Tables.events(spark, dir), "value", "event_type")
+      .withColumnRenamed("grp", "event_type")
+
+  private[queries] val x99Sql =
+    """WITH c AS (
+      |  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |cu AS (
+      |  SELECT c.grp, cents, c, n,
+      |    CAST(sum(c) OVER (PARTITION BY c.grp ORDER BY cents) AS BIGINT) AS cum
+      |  FROM c JOIN n ON c.grp = n.grp),
+      |t AS (
+      |  SELECT grp, n,
+      |    min(CASE WHEN cum * 100 >= n * 5 THEN cents END) AS lo,
+      |    min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS hi
+      |  FROM cu GROUP BY 1, 2)
+      |SELECT c.grp AS event_type, t.n, t.lo AS lo_cents, t.hi AS hi_cents,
+      |  CAST(coalesce(sum(CASE WHEN cents < lo THEN c END), 0) AS BIGINT)
+      |    AS clipped_lo,
+      |  CAST(coalesce(sum(CASE WHEN cents > hi THEN c END), 0) AS BIGINT)
+      |    AS clipped_hi,
+      |  CAST(coalesce(sum(CASE WHEN cents < lo THEN (lo - cents) * c END), 0)
+      |     + coalesce(sum(CASE WHEN cents > hi THEN (cents - hi) * c END), 0)
+      |    AS BIGINT) AS moved_cents
+      |FROM c JOIN t ON c.grp = t.grp
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x100 — vocabulary growth curve (Heaps'-law census): cumulative distinct
+  // types vs cumulative tokens at ten doc_id-range checkpoints. Buckets are
+  // integer VALUE ranges (one scalar max), first appearance is min(bucket)
+  // per term — no global sort, no corpus-sized window; the cumulative
+  // rollup runs over the ten-row bucket table. Exact integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def x100VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabularyGrowth(Tables.documents(spark, dir))
+
+  private[queries] val x100Sql =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |d AS (
+      |  SELECT (doc_id * 10) // (m + 1) AS bucket,
+      |    string_split(trim(text), ' ') AS ws
+      |  FROM documents CROSS JOIN mx WHERE trim(text) <> ''),
+      |pb AS (
+      |  SELECT bucket, count(*) AS docs, CAST(sum(len(ws)) AS BIGINT) AS tokens
+      |  FROM d GROUP BY 1),
+      |fs AS (
+      |  SELECT bucket, count(*) AS new_types FROM (
+      |    SELECT term, min(bucket) AS bucket
+      |    FROM (SELECT bucket, unnest(ws) AS term FROM d) GROUP BY 1)
+      |  GROUP BY 1),
+      |sh AS (
+      |  SELECT bucket, count(*) AS new_shingles FROM (
+      |    SELECT s, min(bucket) AS bucket FROM (
+      |      SELECT bucket,
+      |        unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                FOR i IN range(1, len(ws) - 1)]) AS s
+      |      FROM d WHERE len(ws) >= 3) GROUP BY 1)
+      |  GROUP BY 1)
+      |SELECT pb.bucket,
+      |  CAST(sum(docs) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_docs,
+      |  CAST(sum(tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+      |    AS cum_types,
+      |  CAST(sum(coalesce(new_shingles, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+      |    AS cum_shingles
+      |FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+      |LEFT JOIN sh ON pb.bucket = sh.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_winsorize" -> (x99Winsorize _),
+    "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
     "x95_bigram_xent" -> (x95BigramXent _),
     "x96_benford" -> (x96Benford _),
@@ -3823,6 +3904,8 @@ object ExtensionQueries {
     "x96_benford" -> x96Sql,
     "x97_gini" -> x97Sql,
     "x98_neyman_alloc" -> x98Sql,
+    "x99_winsorize" -> x99Sql,
+    "x100_vocab_growth" -> x100Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1284,7 +1284,60 @@ object StreamingQueries {
       |  count(*) AS obs
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming winsorization enforcement (x99's live half): batch-planned
+    * p5/p95 clip thresholds enforced on the value stream — per event type,
+    * how many rows clip each side and how much mass the clip moves,
+    * maintained live (the s11/s18 batch-plan/stream-enforce pattern). The
+    * threshold table is staged batch-side, so the probe is one stateless
+    * stream-static join; the only state is the per-type integer counters,
+    * and integer merge is order-free — the streamed audit equals the batch
+    * scan bit for bit (s25 shares x99's oracle verbatim). */
+  def s25StreamWinsor(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s25winsor", dir, Seq("events.parquet")) { out =>
+      graft.Tables.events(spark, dir).select("event_type", "value")
+        .write.mode("overwrite").parquet(out)
+    }
+    val thrDir = stageInput("s25thr", dir, Seq("events.parquet")) { out =>
+      graft.ext.Profile.winsorizeAudit(
+          graft.Tables.events(spark, dir), "value", "event_type")
+        .select(col("grp").as("event_type"), col("lo_cents"), col("hi_cents"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val thresholds = spark.read.parquet(thrDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s25_")
+    withStateSizedShuffle(spark, Seq(inDir, thrDir)) {
+      val q = s25WinsorFrame(stream, thresholds)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s25 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s25 pre-start enforcement frame (PlanAuditSpec pins the shape):
+    * one stateless threshold join, then the per-type counter aggregation —
+    * the only stateful operator, |types|-bounded. */
+  private[graft] def s25WinsorFrame(stream: DataFrame, thresholds: DataFrame): DataFrame =
+    stream
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .join(thresholds, Seq("event_type"))
+      .groupBy("event_type", "lo_cents", "hi_cents")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L)).cast("long")
+          .as("clipped_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L)).cast("long")
+          .as("clipped_hi"),
+        sum(when(col("cents") < col("lo_cents"), col("lo_cents") - col("cents"))
+          .when(col("cents") > col("hi_cents"), col("cents") - col("hi_cents"))
+          .otherwise(0L)).cast("long").as("moved_cents"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("clipped_lo"), col("clipped_hi"), col("moved_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_stream_winsor" -> (s25StreamWinsor _),
     "s24_stream_benford" -> (s24StreamBenford _),
     "s23_stream_xent" -> (s23StreamXent _),
     "s22_stream_novelty" -> (s22StreamNovelty _),
@@ -1311,6 +1364,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s25_stream_winsor" -> ExtensionQueries.x99Sql, // batch-planned clip, stream-enforced
     "s24_stream_benford" -> s24Sql, // exact-cents digit counters, merge-order-proof
     "s23_stream_xent" -> s23Sql, // batch-trained model, stream-scored, counter state
     "s22_stream_novelty" -> s22Sql, // integer counters over a static-ref probe

@@ -1575,6 +1575,60 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(expSum - 4.0) < 1e-9, s"expected-count mass: $expSum")
   }
 
+  test("winsorizeAudit: exact percentile thresholds, clip census, moved mass identity") {
+    // 100 rows of value k cents for k = 1..100 in one group: p5 = 5, p95 = 95
+    val rows = (1 to 100).map(k => ("g", k / 100.0)).toDF("grp", "v")
+    val out = Profile.winsorizeAudit(rows, "v", "grp")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // below 5: {1,2,3,4} -> moved (5-1)+(5-2)+(5-3)+(5-4)=10; above 95:
+    // {96..100} -> moved 1+2+3+4+5=15
+    assert(out.toSeq == Seq(("g", 100L, 5L, 95L, 4L, 5L, 25L)),
+      s"textbook percentile census: ${out.toSeq}")
+    // fixture replay on events at sf0.001 via a driver inverse-CDF
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = ev.groupBy(_._1).map { case (t, rs) =>
+      val cs = rs.map(r => cents(r._2)).sorted
+      val n = cs.length.toLong
+      def thr(pct: Int): Long = cs(math.max(0,
+        cs.indices.find(i => (i + 1).toLong * 100 >= n * pct).get))
+      val (lo, hi) = (thr(5), thr(95))
+      val moved = cs.filter(_ < lo).map(lo - _).sum + cs.filter(_ > hi).map(_ - hi).sum
+      (t, n, lo, hi, cs.count(_ < lo).toLong, cs.count(_ > hi).toLong, moved)
+    }.toSet
+    val full = graft.queries.ExtensionQueries.queries("x99_winsorize")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == expect, s"fixture replay must match bitwise:\n$full\nvs\n$expect")
+  }
+
+  test("vocabularyGrowth: known first-appearances, monotone curve, fixture totals") {
+    // ids 0..9 -> buckets 0..9 under (id*10) div 10; vocab grows then repeats
+    val corpus = (0L to 9L).map { i =>
+      val text = if (i < 5) s"w$i w$i w$i" else "w0 w1 w0"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = TextStats.vocabularyGrowth(corpus)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).sameElements(0L to 9L), s"ten buckets: ${out.toSeq}")
+    assert(out.last._2 == 10L && out.last._3 == 30L, s"totals: ${out.last}")
+    // types: one new type per bucket 0..4, none after
+    assert(out.map(_._4).sameElements(Seq(1L, 2L, 3L, 4L, 5L, 5L, 5L, 5L, 5L, 5L)),
+      s"type curve: ${out.map(_._4).toSeq}")
+    // shingles: each doc is one distinct 3-gram; buckets 5..9 repeat one
+    assert(out.map(_._5).sameElements(Seq(1L, 2L, 3L, 4L, 5L, 6L, 6L, 6L, 6L, 6L)),
+      s"shingle curve: ${out.map(_._5).toSeq}")
+    // monotone + bounded on the fixture
+    val fix = TextStats.vocabularyGrowth(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fix.zip(fix.tail).forall { case (a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5 },
+      "cumulative curves must be monotone")
+    val totalDocs = docs.filter(trim(col("text")) =!= "").count()
+    assert(fix.last._2 == totalDocs, "every non-blank doc lands in a bucket")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -607,6 +607,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"digits come from exact cents, no float log on the stream:\n$lp")
   }
 
+  test("winsorize audit: sweep runs on the cents CENSUS, thresholds broadcast back (x99)") {
+    val p = plan("x99_winsorize")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |groups|-row threshold table must broadcast onto the census probe:\n$p")
+    assert(p.contains("Window"),
+      s"the inverse-CDF sweep is a window over the value census:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed pairing anywhere:\n$p")
+  }
+
+  test("vocab growth: value-range buckets — no global sort, bounded joins (x100)") {
+    val p = plan("x100_vocab_growth")
+    assert(p.contains("Generate"), s"terms/shingles come from explode passes:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 10-row bucket tables must broadcast-join:\n$p")
+    // the only window runs over the ten-row bucket rollup, so no
+    // corpus-sized Sort may feed a Window (the global-rank formulation
+    // would show exactly that)
+    assert(count(p, "Window") == 1, s"one cumulative rollup window:\n$p")
+  }
+
+  test("streaming winsor enforcement: one stateless threshold join, |types| counter state (s25)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s25-pin").toString
+    Seq(("purchase", 12.34), ("view", 0.02))
+      .toDF("event_type", "value").write.mode("overwrite").parquet(s"$tmp/in")
+    val thr = Seq(("purchase", 100L, 1000L), ("view", 1L, 500L))
+      .toDF("event_type", "lo_cents", "hi_cents")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s25WinsorFrame(stream, thr)
+    assert(df.isStreaming, "s25's audit must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(Array("event_type", "n",
+      "lo_cents", "hi_cents", "clipped_lo", "clipped_hi", "moved_cents")),
+      df.schema.treeString)
+    assert(df.schema("moved_cents").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(lp.toLowerCase.split("join").length == 2,
+      s"exactly ONE stream-static threshold join, nothing stateful-joined:\n$lp")
+  }
+
   test("streaming xent scorer: two stateless model joins, |sources| counter state (s23)") {
     val spark0 = spark
     import spark0.implicits._

@@ -66,5 +66,6 @@ ONLY=$(printf '%s,' \
   x91_ks_matrix x92_memorization x93_kcenter_coreset \
   s22_stream_novelty x94_entropy_rate \
   x95_bigram_xent x96_benford x97_gini x98_neyman_alloc \
-  q53_attribution q54_streaks s23_stream_xent s24_stream_benford | sed 's/,$//')
+  q53_attribution q54_streaks s23_stream_xent s24_stream_benford \
+  x99_winsorize x100_vocab_growth s25_stream_winsor | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
