@@ -175,4 +175,88 @@ object Profile {
         col("hi").as("hi_cents"), col("clipped_lo"), col("clipped_hi"),
         col("moved_cents"))
   }
+
+  /** Kaplan–Meier user-survival curve from an activity log: each user's
+    * observed lifetime runs from first to last active day; a user counts as
+    * churned (the "event") when their last activity is at least
+    * `churnGapDays` before the observation end, else they are censored at
+    * the end of observation — the textbook right-censored estimator, driven
+    * entirely by the activity log (no labels needed).
+    *
+    * Shape: ONE user-keyed aggregation (min/max day) is the only
+    * corpus-sized shuffle; everything after runs on the |distinct
+    * lifetimes|-row census (bounded by the history span in days), where the
+    * at-risk rollup and the survival product are windows over that tiny
+    * table. The product is kept as a DECIMAL sum of 6dp-rounded ln terms
+    * (the x94 discipline): each term is one IEEE division + one ln, rounded
+    * before the order-free DECIMAL accumulation — bitwise across engines. */
+  def survivalCurve(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", churnGapDays: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val users = events
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("u").agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+    val horizon = users.agg(max(col("ld")).as("m"), count(lit(1)).as("total"))
+    val census = users.crossJoin(broadcast(horizon))
+      .select(col("total"),
+        (col("ld") <= col("m") - churnGapDays).as("is_churn"),
+        when(col("ld") <= col("m") - churnGapDays, col("ld") - col("fd"))
+          .otherwise(col("m") - col("fd")).as("t"))
+      .groupBy("t", "total")
+      .agg(coalesce(sum(when(col("is_churn"), 1L)), lit(0L)).as("churned"),
+        coalesce(sum(when(!col("is_churn"), 1L)), lit(0L)).as("censored"))
+    census
+      .withColumn("at_risk", col("total") - coalesce(
+        sum(col("churned") + col("censored")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // a time with zero at-risk survivors after its deaths contributes no
+      // defined ln term (S hits 0); keep the sum at its last finite value
+      .withColumn("term", when(col("churned") > 0 && col("at_risk") > col("churned"),
+        round(log((col("at_risk") - col("churned")).cast("double")
+          / col("at_risk").cast("double")), 6)).otherwise(lit(0.0)))
+      .withColumn("log_surv", sum(col("term").cast("decimal(27,6)")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("double"))
+      .select(col("t").cast("long").as("t"), col("at_risk"), col("churned"),
+        col("censored"), col("log_surv"))
+  }
+
+  /** Inter-arrival burstiness per event type: gaps between consecutive
+    * events of the same (user, type) stream, aggregated to the
+    * Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) per type
+    * (−1 = metronome, 0 = Poisson, →1 = heavy bursts) — the traffic-shape
+    * profile that decides batch sizing and rate limits.
+    *
+    * Shape: the lag runs in a (user, type)-keyed window — millions of small
+    * partitions, never a type-wide sort, so a hot event type cannot
+    * concentrate a partition. Gaps are exact integer seconds (µs div 10⁶);
+    * the rollup keeps exact BIGINT Σx and DECIMAL(38,0) Σx² — order-free —
+    * and B is computed from those exact sums in one final 6dp-rounded
+    * step. */
+  def burstiness(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol, typeCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("event_type"), col(userCol), col(idCol), col(tsCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("gap_s", expr("gap_us div 1000000L"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum((col("gap_s") * col("gap_s")).cast("decimal(38,0)")).as("sum_gap_sq"))
+      .withColumn("mean_x_n", col("sum_gap_s").cast("double"))
+      .withColumn("sd_x_n", sqrt((col("sum_gap_sq").cast("double") * col("n_gaps")
+        - col("sum_gap_s").cast("double") * col("sum_gap_s").cast("double"))))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap_s"),
+        col("sum_gap_sq").cast("double").as("sum_gap_sq"),
+        when(col("sd_x_n") + col("mean_x_n") === 0.0, lit(0.0))
+          .otherwise(round((col("sd_x_n") - col("mean_x_n"))
+            / (col("sd_x_n") + col("mean_x_n")), 6)).as("burstiness"))
+  }
 }

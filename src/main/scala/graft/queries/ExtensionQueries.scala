@@ -3766,7 +3766,85 @@ object ExtensionQueries {
       |FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
       |LEFT JOIN sh ON pb.bucket = sh.bucket""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x101 — Kaplan–Meier user-survival curve from the activity log: lifetimes
+  // run first→last active day; churn = inactive for ≥8 days before the
+  // observation end, else right-censored. ONE user-keyed agg is the only
+  // corpus shuffle; the at-risk rollup and the survival product are windows
+  // over the |distinct lifetimes| census, and the product is a DECIMAL sum
+  // of 6dp-rounded ln terms (the x94 discipline) — bitwise.
+  // ---------------------------------------------------------------------------
+  def x101Survival(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.survivalCurve(Tables.events(spark, dir))
+
+  private[queries] val x101Sql =
+    """WITH d AS (
+      |  SELECT user_id AS u, (CAST(ts AS DATE) - DATE '1970-01-01') AS d
+      |  FROM events),
+      |u AS (SELECT u, min(d) AS fd, max(d) AS ld FROM d GROUP BY 1),
+      |h AS (SELECT max(ld) AS m, count(*) AS total FROM u),
+      |lab AS (
+      |  SELECT total, (ld <= m - 8) AS is_churn,
+      |    CASE WHEN ld <= m - 8 THEN ld - fd ELSE m - fd END AS t
+      |  FROM u CROSS JOIN h),
+      |c AS (
+      |  SELECT CAST(t AS BIGINT) AS t, total,
+      |    CAST(coalesce(sum(CASE WHEN is_churn THEN 1 END), 0) AS BIGINT) AS churned,
+      |    CAST(coalesce(sum(CASE WHEN NOT is_churn THEN 1 END), 0) AS BIGINT)
+      |      AS censored
+      |  FROM lab GROUP BY 1, 2),
+      |r AS (
+      |  SELECT t, churned, censored,
+      |    total - CAST(coalesce(sum(churned + censored) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS at_risk
+      |  FROM c)
+      |SELECT t, at_risk, churned, censored,
+      |  CAST(sum(CAST(CASE WHEN churned > 0 AND at_risk > churned
+      |      THEN round(ln(CAST(at_risk - churned AS DOUBLE)
+      |        / CAST(at_risk AS DOUBLE)), 6) ELSE 0.0 END AS DECIMAL(27,6)))
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS log_surv
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x102 — inter-arrival burstiness per event type (Goh–Barabási
+  // B = (σ−μ)/(σ+μ) over same-(user,type) gaps): the traffic-shape profile
+  // behind batch sizing and rate limits. The lag window is keyed by
+  // (user, type) — millions of small partitions, never a type-wide sort —
+  // and the rollup carries exact BIGINT Σx / DECIMAL Σx², with B one final
+  // 6dp-rounded step from those exact sums.
+  // ---------------------------------------------------------------------------
+  def x102Burstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.burstiness(Tables.events(spark, dir))
+
+  private[queries] val x102Sql =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY user_id, event_type
+      |       ORDER BY us, event_id)) // 1000000 AS gap_s
+      |  FROM e),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_gaps,
+      |    CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+      |    CAST(sum(CAST(gap_s AS HUGEINT) * gap_s) AS DOUBLE) AS ssq
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps, sum_gap_s, ssq AS sum_gap_sq,
+      |  CASE WHEN sqrt(ssq * n_gaps - CAST(sum_gap_s AS DOUBLE)
+      |         * CAST(sum_gap_s AS DOUBLE)) + CAST(sum_gap_s AS DOUBLE) = 0
+      |       THEN 0.0
+      |       ELSE round((sqrt(ssq * n_gaps - CAST(sum_gap_s AS DOUBLE)
+      |           * CAST(sum_gap_s AS DOUBLE)) - CAST(sum_gap_s AS DOUBLE))
+      |         / (sqrt(ssq * n_gaps - CAST(sum_gap_s AS DOUBLE)
+      |           * CAST(sum_gap_s AS DOUBLE)) + CAST(sum_gap_s AS DOUBLE)), 6)
+      |  END AS burstiness
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x101_survival" -> (x101Survival _),
+    "x102_burstiness" -> (x102Burstiness _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -3906,6 +3984,8 @@ object ExtensionQueries {
     "x98_neyman_alloc" -> x98Sql,
     "x99_winsorize" -> x99Sql,
     "x100_vocab_growth" -> x100Sql,
+    "x101_survival" -> x101Sql,
+    "x102_burstiness" -> x102Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1940,7 +1940,104 @@ object FixtureQueries {
       |  CAST(sum(len) AS BIGINT) AS active_days
       |FROM i GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q55 — RFM segmentation: every purchasing user scored 1..5 on Recency /
+  // Frequency / Monetary against exact quintile thresholds, rolled up to
+  // segment cells — the classic CRM partitioning of a customer base. The
+  // quintile cuts use the integer inverse-CDF over each metric's VALUE
+  // CENSUS (the x99 discipline: smallest value whose 5·cum ≥ q·n), so the
+  // threshold tables are 1-row broadcasts and nothing user-sized ever
+  // sorts; scoring is pure integer comparison (1 + #thresholds strictly
+  // below). One user-keyed aggregation is the only corpus shuffle; all
+  // outputs exact integers / 2dp cents — bitwise.
+  // ---------------------------------------------------------------------------
+  def q55Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val horizon = p.agg(max(col("day")).as("mx"))
+    val users = p.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), datediff(col("mx"), col("last_day")).cast("long").as("rec"),
+        col("freq"), col("cents"))
+      .localCheckpoint() // one user pass feeds three censuses and the scoring scan
+    def cuts(metric: String, pfx: String): DataFrame = {
+      val cen = users.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+      val n = cen.agg(sum(col("c")).as("n"))
+      val cum = cen.crossJoin(broadcast(n))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("v")))
+      cum.agg(
+        min(when(col("cum") * 5 >= col("n") * 1, col("v"))).as(s"${pfx}1"),
+        min(when(col("cum") * 5 >= col("n") * 2, col("v"))).as(s"${pfx}2"),
+        min(when(col("cum") * 5 >= col("n") * 3, col("v"))).as(s"${pfx}3"),
+        min(when(col("cum") * 5 >= col("n") * 4, col("v"))).as(s"${pfx}4"))
+    }
+    def score(metric: String, pfx: String) =
+      (lit(1) + (col(metric) > col(s"${pfx}1")).cast("int")
+        + (col(metric) > col(s"${pfx}2")).cast("int")
+        + (col(metric) > col(s"${pfx}3")).cast("int")
+        + (col(metric) > col(s"${pfx}4")).cast("int")).as(s"${pfx}_score")
+    users
+      .crossJoin(broadcast(cuts("rec", "r")))
+      .crossJoin(broadcast(cuts("freq", "f")))
+      .crossJoin(broadcast(cuts("cents", "m")))
+      .select(col("user_id"), col("cents"),
+        score("rec", "r"), score("freq", "f"), score("cents", "m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("users"),
+        round(sum(col("cents")).cast("double") / lit(100.0), 2).as("monetary"))
+  }
+
+  private[queries] val q55Sql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(day) AS mx FROM p),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', max(day), (SELECT mx FROM mx)) AS BIGINT) AS rec,
+      |    count(*) AS freq, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM p GROUP BY 1),
+      |rc AS (SELECT rec AS v, count(*) AS c FROM u GROUP BY 1),
+      |rcu AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |        (SELECT CAST(sum(c) AS BIGINT) FROM rc) AS n FROM rc),
+      |rt AS (SELECT min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS t1,
+      |       min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS t2,
+      |       min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS t3,
+      |       min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS t4 FROM rcu),
+      |fc AS (SELECT freq AS v, count(*) AS c FROM u GROUP BY 1),
+      |fcu AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |        (SELECT CAST(sum(c) AS BIGINT) FROM fc) AS n FROM fc),
+      |ft AS (SELECT min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS t1,
+      |       min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS t2,
+      |       min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS t3,
+      |       min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS t4 FROM fcu),
+      |mc AS (SELECT cents AS v, count(*) AS c FROM u GROUP BY 1),
+      |mcu AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |        (SELECT CAST(sum(c) AS BIGINT) FROM mc) AS n FROM mc),
+      |mt AS (SELECT min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS t1,
+      |       min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS t2,
+      |       min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS t3,
+      |       min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS t4 FROM mcu)
+      |SELECT
+      |  1 + CAST(u.rec > rt.t1 AS INT) + CAST(u.rec > rt.t2 AS INT)
+      |    + CAST(u.rec > rt.t3 AS INT) + CAST(u.rec > rt.t4 AS INT) AS r_score,
+      |  1 + CAST(u.freq > ft.t1 AS INT) + CAST(u.freq > ft.t2 AS INT)
+      |    + CAST(u.freq > ft.t3 AS INT) + CAST(u.freq > ft.t4 AS INT) AS f_score,
+      |  1 + CAST(u.cents > mt.t1 AS INT) + CAST(u.cents > mt.t2 AS INT)
+      |    + CAST(u.cents > mt.t3 AS INT) + CAST(u.cents > mt.t4 AS INT) AS m_score,
+      |  count(*) AS users,
+      |  round(CAST(CAST(sum(u.cents) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+      |    AS monetary
+      |FROM u CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_rfm" -> (q55Rfm _),
     "q53_attribution" -> (q53Attribution _),
     "q54_streaks" -> (q54Streaks _),
     "q51_assoc_rules" -> (q51AssocRules _),
@@ -2050,5 +2147,6 @@ object FixtureQueries {
     "q52_khop" -> q52Sql,
     "q53_attribution" -> q53Sql,
     "q54_streaks" -> q54Sql,
+    "q55_rfm" -> q55Sql,
     "q46_integrity" -> q46Sql)
 }

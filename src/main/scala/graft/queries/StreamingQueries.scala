@@ -1336,7 +1336,72 @@ object StreamingQueries {
       .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
         col("clipped_lo"), col("clipped_hi"), col("moved_cents"))
 
+  /** Chained streaming rollup — the 5min→1h re-aggregation tier running as
+    * ONE streaming query with two stateful window aggregations back to back
+    * (Spark's multi-stateful-operator pipeline: the hourly groupBy windows
+    * over the 5-minute window column directly). This is the streaming HALF
+    * of the batch rollup ladder (A4): at 100 TB the hourly tier reads the
+    * 12×-smaller finalized 5-min windows, never raw events, and both tiers'
+    * state is watermark-bounded. Append mode is what finalizes windows, so
+    * the staged input carries one `__wm` sentinel row 3 hours past the real
+    * maximum — it advances the watermark past every real hour (flushing
+    * them deterministically under AvailableNow). The sentinel is dropped by
+    * a filter ON THE EVENT-TIME COLUMN (`ts < sentinel`): a predicate on
+    * any other column gets pushed below the EventTimeWatermark node (and
+    * into the scan), so the watermark would never see the sentinel —
+    * predicates referencing the watermark attribute are the one class
+    * Catalyst keeps above it. Exact integer counts/cents — order-free,
+    * bitwise vs the batch hourly oracle. */
+  def s26StreamRollup(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s26roll", dir, Seq("events.parquet")) { out =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val sentinel = ev.agg(max(col("ts")).as("mts"))
+        .select((col("mts") + expr("INTERVAL 3 HOURS")).as("ts"),
+          lit("__wm").as("event_type"), lit(0L).as("cents"))
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(out)
+    }
+    val sentinelTs = spark.read.parquet(inDir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s26_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = s26RollupFrame(stream, sentinelTs)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s26 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s26 pre-start frame (PlanAuditSpec pins the two-tier shape): the
+    * hourly aggregation consumes the 5-minute WINDOW COLUMN — no second
+    * scan of raw events anywhere. */
+  private[graft] def s26RollupFrame(stream: DataFrame,
+      sentinelTs: java.sql.Timestamp): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts") < lit(sentinelTs))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("cents")).as("cents"))
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("events")).as("events"), sum(col("cents")).as("cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("events"),
+        round(col("cents").cast("double") / lit(100.0), 2).as("amount"))
+
+  private val s26Sql =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  count(*) AS events,
+      |  round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / CAST(100.0 AS DOUBLE), 2) AS amount
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_stream_rollup" -> (s26StreamRollup _),
     "s25_stream_winsor" -> (s25StreamWinsor _),
     "s24_stream_benford" -> (s24StreamBenford _),
     "s23_stream_xent" -> (s23StreamXent _),
@@ -1364,6 +1429,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s26_stream_rollup" -> s26Sql, // two chained stateful window aggs, append mode
     "s25_stream_winsor" -> ExtensionQueries.x99Sql, // batch-planned clip, stream-enforced
     "s24_stream_benford" -> s24Sql, // exact-cents digit counters, merge-order-proof
     "s23_stream_xent" -> s23Sql, // batch-trained model, stream-scored, counter state

@@ -296,4 +296,41 @@ class FixtureQueriesSpec extends AnyFunSuite {
       BigDecimal((co * baskets).toDouble / (na * nb).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q55 RFM: full segment table matches a driver inverse-CDF replay") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q55_rfm")(spark, sf)
+      .as[(Int, Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    val p = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .as[(Long, java.time.LocalDate, Double)].collect()
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val mx = p.map(_._2.toEpochDay).max
+    val users = p.groupBy(_._1).map { case (u, rows) =>
+      (u, mx - rows.map(_._2.toEpochDay).max, rows.size.toLong,
+        rows.map(r => cents(r._3)).sum)
+    }.toSeq
+    // exact quintile cuts: smallest value whose 5*cum >= q*n over the census
+    def cuts(vals: Seq[Long]): Seq[Long] = {
+      val sorted = vals.sorted; val n = sorted.size.toLong
+      (1 to 4).map(q => sorted(sorted.indices.find(i => (i + 1).toLong * 5 >= n * q).get))
+    }
+    def score(v: Long, ts: Seq[Long]): Int = 1 + ts.count(v > _)
+    val (rc, fc, mc) = (cuts(users.map(_._2)), cuts(users.map(_._3)), cuts(users.map(_._4)))
+    val expect = users.groupBy { case (_, r, f, m) => (score(r, rc), score(f, fc), score(m, mc)) }
+      .map { case (k, rs) =>
+        k -> ((rs.size.toLong, BigDecimal(rs.map(_._4).sum.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    assert(out == expect, s"segment table replay:\n$out\nvs\n$expect")
+    // quintile balance: users scoring <= k on each axis cover >= k/5 of the base
+    val n = users.size.toLong
+    for (k <- 1 to 4) {
+      val atMost = out.collect { case ((r, _, _), (c, _)) if r <= k => c }.sum
+      assert(atMost * 5 >= n * k, s"recency quintile $k holds ${atMost} of $n")
+    }
+  }
 }

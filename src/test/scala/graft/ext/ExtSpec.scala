@@ -1629,6 +1629,65 @@ class ExtSpec extends AnyFunSuite {
     assert(fix.last._2 == totalDocs, "every non-blank doc lands in a bucket")
   }
 
+  test("survivalCurve: textbook Kaplan-Meier on a hand-built cohort, fixture identities") {
+    // observation ends at day 20 (user C's last activity); churn gap 8 days
+    // => churned iff last day <= 12. A: lifetime 10 (churn), B: 0 (churn),
+    // C: 20 (censored at the horizon).
+    val log = Seq(
+      ("A", "2024-01-01"), ("A", "2024-01-11"),
+      ("B", "2024-01-01"),
+      ("C", "2024-01-01"), ("C", "2024-01-21")
+    ).toDF("user_id", "ts")
+    val out = Profile.survivalCurve(log)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t0 = r6(math.log(2.0 / 3.0))
+    val t10 = BigDecimal(t0) + BigDecimal(r6(math.log(0.5)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 1L, 0L, t0),
+      (10L, 2L, 1L, 0L, t10.toDouble),
+      (20L, 1L, 0L, 1L, t10.toDouble)), s"KM table: ${out.toSeq}")
+    // fixture identities at sf0.001: at-risk telescopes from the cohort
+    // total, events partition the cohort, log-survival is non-increasing
+    val fix = Profile.survivalCurve(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val cohort = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(fix.head._2 == cohort, "first at-risk row must equal the cohort size")
+    assert(fix.map(r => r._3 + r._4).sum == cohort, "churned+censored must partition the cohort")
+    fix.zip(fix.tail).foreach { case (a, b) =>
+      assert(b._2 == a._2 - a._3 - a._4, s"at-risk must telescope: $a -> $b")
+      assert(b._5 <= a._5 + 1e-12, "survival cannot increase")
+    }
+  }
+
+  test("burstiness: metronome pins B=-1, known two-gap stream, fixture gap accounting") {
+    // u1/"a": gaps 10,10,10 (sigma=0 -> B=-1); u2/"b": gaps 1,3 ->
+    // n*sigma = sqrt(n*Sx2 - Sx^2) = sqrt(2*10-16) = 2, n*mu = 4 -> B = -1/3
+    val log = Seq(
+      ("u1", "a", 1L, "2024-01-01 00:00:00"), ("u1", "a", 2L, "2024-01-01 00:00:10"),
+      ("u1", "a", 3L, "2024-01-01 00:00:20"), ("u1", "a", 4L, "2024-01-01 00:00:30"),
+      ("u2", "b", 5L, "2024-01-01 00:00:00"), ("u2", "b", 6L, "2024-01-01 00:00:01"),
+      ("u2", "b", 7L, "2024-01-01 00:00:04")
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val out = Profile.burstiness(log)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", 3L, 30L, 300.0, -1.0),
+      ("b", 2L, 4L, 10.0, -0.333333)), s"burstiness table: ${out.toSeq}")
+    // fixture accounting at sf0.001: per type, #gaps = #events - #active
+    // (user,type) streams; B stays in the defined [-1, 1) band
+    val fix = Profile.burstiness(Tables.events(spark, sf))
+      .as[(String, Long, Long, Double, Double)].collect()
+    val expectGaps = Tables.events(spark, sf)
+      .groupBy("event_type").agg(
+        (count(lit(1)) - countDistinct(col("user_id"))).as("g"))
+      .as[(String, Long)].collect().toMap
+    fix.foreach { r =>
+      assert(r._2 == expectGaps(r._1), s"gap count for ${r._1}: $r vs ${expectGaps(r._1)}")
+      assert(r._5 >= -1.0 && r._5 < 1.0, s"B out of band: $r")
+    }
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

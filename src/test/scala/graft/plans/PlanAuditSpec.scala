@@ -730,4 +730,67 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!lp.toLowerCase.contains("join"),
       s"s19's stream side must be a pure counter aggregation — floats stay batch-side:\n$lp")
   }
+
+  test("survival curve: one corpus shuffle, census-sized KM windows (x101)") {
+    val p = plan("x101_survival")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row horizon must broadcast onto the user table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed pairing:\n$p")
+    // the at-risk rollup and the survival product share ONE census window
+    // pass (two Window frames collapse into one Window node when they share
+    // the ordering); a per-user or per-event window would be a second node
+    assert(count(p, "Window") <= 2, s"windows must run on the lifetime census only:\n$p")
+  }
+
+  test("burstiness: lag window keyed by (user,type) — never a type-wide sort (x102)") {
+    val p = plan("x102_burstiness")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("user_id") && winLine.contains("event_type"),
+      s"the lag window must partition by (user, type):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"one scan, one window, one rollup — no joins at all:\n$p")
+  }
+
+  test("RFM: three census sweeps broadcast, no user-sized sort (q55)") {
+    val p = plan("q55_rfm")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row cut tables must broadcast onto the scoring scan:\n$p")
+    // exactly three cumulative windows — one per metric census; a
+    // user-sized ntile/percent_rank formulation would add more
+    assert(count(p, "Window") == 3, s"three census windows only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"broadcast NLJ only for 1-row cuts:\n$p")
+  }
+
+  test("streaming rollup chain: hourly tier consumes the 5-min windows, not raw events (s26)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s26-pin").toString
+    Seq(("2024-01-01 00:01:00", "purchase", 100L), ("2024-01-01 00:59:00", "view", 5L))
+      .toDF("ts", "event_type", "cents")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("cents"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s26RollupFrame(stream,
+      java.sql.Timestamp.valueOf("2024-01-01 04:00:00"))
+    assert(df.isStreaming, "the rollup chain must run ON the stream")
+    // (optimizedPlan is unavailable pre-start on a stream; the analyzed tree
+    // pins the construction. The one optimizer property that matters — the
+    // sentinel filter staying ABOVE EventTimeWatermark, which holds because
+    // its predicate references the watermark attribute — is runtime-proven
+    // by the s26 oracle: pushed below, the watermark would stop 10 min short
+    // of the sentinel and the last hour of windows would never flush.)
+    val lp = df.queryExecution.analyzed.toString
+    assert("Aggregate".r.findAllIn(lp).size == 2,
+      s"two chained stateful window aggregations:\n$lp")
+    assert(lp.contains("EventTimeWatermark"), s"watermark must bound both tiers' state:\n$lp")
+    val fi = lp.indexOf("Filter"); val wi = lp.indexOf("EventTimeWatermark")
+    assert(fi >= 0 && fi < wi, s"sentinel filter must sit above the watermark:\n$lp")
+    assert(!lp.toLowerCase.contains("join"), s"no join anywhere in the chain:\n$lp")
+    // the hourly tier's grouping consumes the 5-minute WINDOW struct, not ts
+    val hourly = lp.substring(0, lp.indexOf("Aggregate", lp.indexOf("Aggregate") + 1))
+    assert(hourly.contains("window#") || hourly.contains("window("),
+      s"hourly groupBy must key on the 5-min window column:\n$lp")
+  }
 }

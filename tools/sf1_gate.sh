@@ -67,5 +67,6 @@ ONLY=$(printf '%s,' \
   s22_stream_novelty x94_entropy_rate \
   x95_bigram_xent x96_benford x97_gini x98_neyman_alloc \
   q53_attribution q54_streaks s23_stream_xent s24_stream_benford \
-  x99_winsorize x100_vocab_growth s25_stream_winsor | sed 's/,$//')
+  x99_winsorize x100_vocab_growth s25_stream_winsor \
+  x101_survival x102_burstiness q55_rfm s26_stream_rollup | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
