@@ -259,4 +259,100 @@ object Profile {
           .otherwise(round((col("sd_x_n") - col("mean_x_n"))
             / (col("sd_x_n") + col("mean_x_n")), 6)).as("burstiness"))
   }
+
+  /** CUSUM sweep over a (event_type, day, cnt) daily census: one-sided
+    * positive and negative cumulative-sum statistics against each type's
+    * own mean, reported as the peak excursion and the day it peaks (the
+    * change-point estimate) per direction. Deviations are scaled by n_days
+    * (d = n·x − Σx) so everything stays exact BIGINT — no division, no
+    * floats anywhere. The recursions S⁺_t = max(0, S⁺_{t−1}+d_t) /
+    * S⁻_t = max(0, S⁻_{t−1}−d_t) are rewritten as prefix identities
+    * (S⁺_t = P_t − min(0, min_{j≤t} P_j), mirrored for S⁻), so the whole
+    * sweep is two running windows plus an argmax — no iterative loop.
+    *
+    * Shape: the input census is |types|·|days| rows (domain-bounded — at
+    * 100 TB it is still thousands of rows); the per-type windows and the
+    * struct-argmax rollup never touch anything corpus-sized. */
+  def cusumSweep(byDay: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("event_type").orderBy("day")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = byDay.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+    byDay.join(broadcast(tot), "event_type")
+      .withColumn("dev", col("cnt") * col("n_days") - col("total"))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("pos", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("neg", greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+      .groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total_events"),
+        max(struct(col("pos"), (-col("day")).as("nd"))).as("mp"),
+        max(struct(col("neg"), (-col("day")).as("nd"))).as("mn"))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        col("mp.pos").as("peak_pos"), (-col("mp.nd")).as("peak_pos_day"),
+        col("mn.neg").as("peak_neg"), (-col("mn.nd")).as("peak_neg_day"))
+  }
+
+  /** CUSUM change-point detection on each event type's daily volume — the
+    * standard "did traffic shift, and when" audit. One corpus-sized
+    * (type, day) counting aggregation builds the census; `cusumSweep` does
+    * the rest on the domain-bounded table. */
+  def cusumChangePoint(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    cusumSweep(events
+      .select(col(typeCol).as("event_type"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+
+  /** Daily-volume autocorrelation function per event type, lags 1..maxLag —
+    * the seasonality detector (a weekly cycle shows as an ACF spike at 7).
+    * The series is the ZERO-FILLED day census (gaps are real zeros, not
+    * missing observations), densified per type via sequence(min, max).
+    *
+    * Exactness: lagged pairs come from an equi-join of the census against
+    * itself at day−k (identical on the oracle side — no engine-specific lag
+    * semantics), carriers are exact BIGINT Σx/Σy and DECIMAL(38,0)
+    * Σx²/Σy²/Σxy, and Pearson r per (type, lag) is ONE final rounded
+    * double expression from those exact sums — bitwise across engines.
+    *
+    * Shape: census-sized everything (|types|·|days| rows, ×maxLag for the
+    * pair table); the only corpus-sized work is the day-count aggregation. */
+  def autocorrelation(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val census = events
+      .select(col(typeCol).as("event_type"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val span = census.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dense = span
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(census, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint() // probed twice (current + lagged side) per lag
+    val ks = dense.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val prev = dense.select(col("event_type"), col("day").as("pday"), col("cnt").as("y"))
+    dense.crossJoin(broadcast(ks))
+      .select(col("event_type"), col("lag"), col("cnt").as("x"),
+        (col("day") - col("lag")).as("pday"))
+      .join(prev, Seq("event_type", "pday"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("covn", col("sxy").cast("double") * col("n_pairs")
+        - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("vx", col("sxx").cast("double") * col("n_pairs")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("vy", col("syy").cast("double") * col("n_pairs")
+        - col("sy").cast("double") * col("sy").cast("double"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("vx") * col("vy") <= 0.0, lit(0.0))
+          .otherwise(round(col("covn") / sqrt(col("vx") * col("vy")), 6)).as("acf"))
+  }
 }

@@ -3842,9 +3842,100 @@ object ExtensionQueries {
       |  END AS burstiness
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x103 — CUSUM change-point detection on daily volume per event type: the
+  // "did traffic shift, and when" audit. Deviations scaled by n_days keep
+  // everything exact BIGINT; the max(0, S+d) recursions run as prefix
+  // identities (two windows + argmax) over the |types|·|days| census — ONE
+  // corpus-sized counting agg, nothing else scales with rows.
+  // ---------------------------------------------------------------------------
+  def x103Cusum(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.cusumChangePoint(Tables.events(spark, dir))
+
+  private[queries] val x103Sql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(cnt) AS BIGINT) AS total
+      |  FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT c.event_type, day, n_days, total,
+      |    CAST(sum(cnt * n_days - total) OVER (PARTITION BY c.event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS p
+      |  FROM c JOIN t USING (event_type)),
+      |s AS (
+      |  SELECT event_type, day, n_days, total,
+      |    p - least(CAST(0 AS BIGINT), CAST(min(p) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT)) AS pos,
+      |    greatest(CAST(0 AS BIGINT), CAST(max(p) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT)) - p AS neg
+      |  FROM p),
+      |m AS (
+      |  SELECT event_type, max(n_days) AS n_days, max(total) AS total_events,
+      |    max(pos) AS peak_pos, max(neg) AS peak_neg
+      |  FROM s GROUP BY 1)
+      |SELECT m.event_type, n_days, total_events, peak_pos,
+      |  (SELECT min(day) FROM s
+      |   WHERE s.event_type = m.event_type AND s.pos = m.peak_pos) AS peak_pos_day,
+      |  peak_neg,
+      |  (SELECT min(day) FROM s
+      |   WHERE s.event_type = m.event_type AND s.neg = m.peak_neg) AS peak_neg_day
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // x104 — daily-volume ACF per event type (lags 1..7): the seasonality
+  // detector. Series = ZERO-FILLED day census; lagged pairs via a census
+  // self-join at day−k (identical semantics on the oracle side); exact
+  // BIGINT/DECIMAL carriers, Pearson r as ONE final rounded double step.
+  // ---------------------------------------------------------------------------
+  def x104Acf(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.autocorrelation(Tables.events(spark, dir))
+
+  private[queries] val x104Sql =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM c GROUP BY 1),
+      |dd AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM sp),
+      |dense AS (
+      |  SELECT dd.event_type, dd.day, coalesce(c.cnt, 0) AS cnt
+      |  FROM dd LEFT JOIN c ON c.event_type = dd.event_type AND c.day = dd.day),
+      |ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+      |pr AS (
+      |  SELECT a.event_type, k.lag, a.cnt AS x, b.cnt AS y
+      |  FROM dense a CROSS JOIN ks k
+      |  JOIN dense b ON b.event_type = a.event_type AND b.day = a.day - k.lag),
+      |ag AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT event_type, lag, n_pairs,
+      |  CASE WHEN (sxx * n_pairs - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (syy * n_pairs - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+      |    THEN 0.0
+      |    ELSE round((sxy * n_pairs - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((sxx * n_pairs - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (syy * n_pairs - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS acf
+      |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
     "x102_burstiness" -> (x102Burstiness _),
+    "x103_cusum" -> (x103Cusum _),
+    "x104_acf" -> (x104Acf _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -3986,6 +4077,8 @@ object ExtensionQueries {
     "x100_vocab_growth" -> x100Sql,
     "x101_survival" -> x101Sql,
     "x102_burstiness" -> x102Sql,
+    "x103_cusum" -> x103Sql,
+    "x104_acf" -> x104Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1400,7 +1400,42 @@ object StreamingQueries {
       |    / CAST(100.0 AS DOUBLE), 2) AS amount
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming CUSUM telemetry — x103's live half. The stream maintains the
+    * (event_type, day) integer day-census in complete mode: |types|·|days|
+    * counter rows, domain-bounded and volume-independent state (the s19/s24
+    * argument), and counter updates are pure integer addition so micro-batch
+    * boundaries cannot change a bit. The CUSUM sweep itself — windows and
+    * argmax over the tiny census — runs batch-side on the materialized
+    * counters via the SAME `Profile.cusumSweep` the batch path uses. */
+  def s27StreamCusum(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s27cusum", dir, Seq("events.parquet")) { out =>
+      graft.Tables.events(spark, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s27_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = s27CounterFrame(stream)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s27 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    graft.ext.Profile.cusumSweep(spark.table(name).localCheckpoint())
+  }
+
+  /** The s27 pre-start counter frame (PlanAuditSpec pins it): the only
+    * stateful operator on the stream is the (type, day) integer counter
+    * aggregation — every window/argmax float-free sweep stays batch-side. */
+  private[graft] def s27CounterFrame(stream: DataFrame): DataFrame =
+    stream.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_stream_cusum" -> (s27StreamCusum _),
     "s26_stream_rollup" -> (s26StreamRollup _),
     "s25_stream_winsor" -> (s25StreamWinsor _),
     "s24_stream_benford" -> (s24StreamBenford _),
@@ -1429,6 +1464,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s27_stream_cusum" -> ExtensionQueries.x103Sql, // streamed day census, batch sweep
     "s26_stream_rollup" -> s26Sql, // two chained stateful window aggs, append mode
     "s25_stream_winsor" -> ExtensionQueries.x99Sql, // batch-planned clip, stream-enforced
     "s24_stream_benford" -> s24Sql, // exact-cents digit counters, merge-order-proof

@@ -1688,6 +1688,85 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumChangePoint: hand-built level shift localized; fixture replay bitwise") {
+    // 5 days at volume 1, then 5 at volume 3: the positive CUSUM peaks at
+    // the last day (50, still climbing), the negative at the last
+    // low-volume day (day index 4) — the classic pre-shift change point.
+    val days = (0 until 10).map(d => (f"2024-01-${d + 1}%02d", if (d < 5) 1 else 3))
+    val log = days.flatMap { case (ts, n) => Seq.fill(n)(("a", ts)) }
+      .toDF("event_type", "ts")
+    val out = Profile.cusumChangePoint(log)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val d0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(out.toSeq == Seq(("a", 10L, 20L, 50L, d0 + 9, 50L, d0 + 4)),
+      s"level-shift CUSUM: ${out.toSeq}")
+    // fixture replay at sf0.001: rebuild the day census on the driver and
+    // run the textbook max(0, S+d) recursions directly
+    val census = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .as[(String, java.time.LocalDate, Long)].collect()
+    val expect = census.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2.toEpochDay).map(r => (r._2.toEpochDay, r._3))
+      val n = xs.length.toLong; val tot = xs.map(_._2).sum
+      var (sp, sn) = (0L, 0L)
+      var (bp, bn) = ((Long.MinValue, 0L), (Long.MinValue, 0L)) // (peak, day)
+      xs.foreach { case (d, x) =>
+        val dev = x * n - tot
+        sp = math.max(0L, sp + dev); sn = math.max(0L, sn - dev)
+        if (sp > bp._1) bp = (sp, d)
+        if (sn > bn._1) bn = (sn, d)
+      }
+      (t, n, tot, bp._1, bp._2, bn._1, bn._2)
+    }.toSet
+    val full = graft.queries.ExtensionQueries.queries("x103_cusum")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == expect, s"fixture CUSUM replay:\n$full\nvs\n$expect")
+  }
+
+  test("autocorrelation: period-2 series pins ACF(-1,+1,0); fixture replay bitwise") {
+    // daily volumes 1,3,1,3 over four days: lag1 r=-1, lag2 r=+1, lag3
+    // degenerate (one pair, zero variance -> 0.0), lags 4..7 have no pairs
+    val days = Seq(("2024-01-01", 1), ("2024-01-02", 3), ("2024-01-03", 1), ("2024-01-04", 3))
+    val log = days.flatMap { case (ts, n) => Seq.fill(n)(("a", ts)) }
+      .toDF("event_type", "ts")
+    val out = Profile.autocorrelation(log)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("a", 1L, 3L, -1.0), ("a", 2L, 2L, 1.0), ("a", 3L, 1L, 0.0)),
+      s"period-2 ACF: ${out.toSeq}")
+    // fixture replay at sf0.001: zero-filled dense series, same exact-sum
+    // Pearson formula on the driver
+    val census = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .as[(String, java.time.LocalDate, Long)].collect()
+    val expect = census.groupBy(_._1).flatMap { case (t, rows) =>
+      val m = rows.map(r => r._2.toEpochDay -> r._3).toMap
+      val (d0, d1) = (m.keys.min, m.keys.max)
+      val s = (d0 to d1).map(d => m.getOrElse(d, 0L))
+      (1 to 7).flatMap { k =>
+        val pairs = (k until s.length).map(i => (s(i), s(i - k)))
+        if (pairs.isEmpty) None else {
+          val np = pairs.length.toLong
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+          val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+          val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+          val covn = sxy.toDouble * np - sx.toDouble * sy.toDouble
+          val vx = sxx.toDouble * np - sx.toDouble * sx.toDouble
+          val vy = syy.toDouble * np - sy.toDouble * sy.toDouble
+          val r = if (vx * vy <= 0.0) 0.0
+            else BigDecimal(covn / math.sqrt(vx * vy))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((t, k.toLong, np, r))
+        }
+      }
+    }.toSet
+    val full = graft.queries.ExtensionQueries.queries("x104_acf")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(full == expect, s"fixture ACF replay:\n$full\nvs\n$expect")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -761,6 +761,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"broadcast NLJ only for 1-row cuts:\n$p")
   }
 
+  test("CUSUM: windows collapse onto ONE census pass, totals broadcast (x103)") {
+    val p = plan("x103_cusum")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |types|-row totals must broadcast onto the day census:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed pairing:\n$p")
+    // the running sum feeds the running min/max, so the three land in TWO
+    // pipelined Window nodes — but they share one partitioning and one
+    // sort: exactly ONE Sort in the whole plan (the argmax SortAggregate
+    // reuses the window order), never a per-window re-shuffle
+    assert(count(p, "Window") == 2, s"two pipelined census window nodes:\n$p")
+    assert(count(p, "Sort \\[") == 1,
+      s"both windows and the argmax must share ONE census sort:\n$p")
+  }
+
+  test("ACF: no window at all — lag pairs are census equi-joins (x104)") {
+    val p = plan("x104_acf")
+    assert(count(p, "Window") == 0,
+      s"the lag formulation must be a census self-join, not a per-type sort window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pair join probes the checkpointed census broadcast-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 7-row lag table broadcasts; pairs join on (type, day-k):\n$p")
+  }
+
+  test("streaming CUSUM keeps integer-only, |types|x|days| counter state (s27)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s27-pin").toString
+    Seq(("purchase", 19723L), ("view", 19724L)).toDF("event_type", "day")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s27CounterFrame(stream)
+    assert(df.isStreaming, "s27's census must count ON the stream")
+    assert(df.schema.fieldNames.sameElements(Array("event_type", "day", "cnt")),
+      df.schema.treeString)
+    assert(df.schema("cnt").dataType.typeName == "long", df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("join"),
+      s"pure counter aggregation — the CUSUM sweep (windows, argmax) stays batch-side:\n$lp")
+    assert(!lp.contains("Window"), s"no window runs on the stream:\n$lp")
+  }
+
   test("streaming rollup chain: hourly tier consumes the 5-min windows, not raw events (s26)") {
     val spark0 = spark
     import spark0.implicits._
