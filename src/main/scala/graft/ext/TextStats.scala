@@ -382,6 +382,51 @@ object TextStats {
           / col("n_types").cast("double")).as("gt_freq"))
   }
 
+  /** Zipf rank–frequency slope: ordinary least squares over the log–log
+    * rank/frequency curve, the one-number "is this corpus natural-language-
+    * shaped" diagnostic (natural text sits near −1; machine-generated or
+    * boilerplate-heavy corpora drift shallow). Points are SPECTRUM-level:
+    * (ln rank_hi(f), ln f) per distinct frequency, where rank_hi(f) = #types
+    * with frequency ≥ f — the exact rank of the last tied type, so ties
+    * contribute one point instead of an arbitrary intra-tie order.
+    *
+    * Scale shape: one term shuffle (the same exchange every term stat pays),
+    * then everything runs on the O(√tokens) spectrum — the descending
+    * cumulative window and the regression rollup never see terms. The ln
+    * values are 6dp-rounded before DECIMAL accumulation (products re-rounded
+    * at 12dp — the x94/x95 discipline), so the sums are order-free and the
+    * slope/intercept are each ONE final rounded double step — bitwise. */
+  def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("freq").desc).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tok = graft.ops.Par.fanOut(docs)
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+    val s = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+    val pts = s.withColumn("rank_hi", sum(col("n_types")).over(w))
+      .select(round(log(col("rank_hi").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    pts
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast("decimal(27,6)")).as("sx"),
+        sum(col("y").cast("decimal(27,6)")).as("sy"),
+        sum(round(col("x") * col("y"), 12).cast("decimal(38,12)")).as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast("decimal(38,12)")).as("sxx"))
+      .withColumn("md", col("m").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("num", col("sxy").cast("double") * col("md")
+        - col("sxd") * col("syd"))
+      .withColumn("den", col("sxx").cast("double") * col("md")
+        - col("sxd") * col("sxd"))
+      .select(col("m").as("n_points"),
+        when(col("den") === 0.0, lit(0.0))
+          .otherwise(round(col("num") / col("den"), 6)).as("zipf_slope"),
+        when(col("den") === 0.0, round(col("syd") / col("md"), 6))
+          .otherwise(round((col("syd") - (col("num") / col("den")) * col("sxd"))
+            / col("md"), 6)).as("intercept"))
+  }
+
   /** Memorization-risk audit: every `ctxLen`-word context that occurs at
     * least `minOcc` times corpus-wide with EXACTLY ONE continuation — the
     * phrases a model trained on this corpus will reproduce verbatim, because

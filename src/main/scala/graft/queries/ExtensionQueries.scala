@@ -3931,11 +3931,57 @@ object ExtensionQueries {
       |  END AS acf
       |FROM ag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x105 — Zipf rank–frequency slope: OLS over (ln rank_hi, ln freq) at the
+  // SPECTRUM level (rank_hi = #types with freq ≥ f, so ties are one point) —
+  // the "is this corpus natural-language-shaped" diagnostic. One term
+  // shuffle; the window and regression run on the O(√tokens) spectrum; ln
+  // terms 6dp-rounded into DECIMAL sums (x94 discipline) — bitwise.
+  // ---------------------------------------------------------------------------
+  def x105ZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.zipfSlope(Tables.documents(spark, dir))
+
+  private[queries] val x105Sql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+      |f AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+      |s AS (SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM f GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(sum(n_types) OVER (ORDER BY freq DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS rank_hi, freq
+      |  FROM s),
+      |pts AS (
+      |  SELECT round(ln(CAST(rank_hi AS DOUBLE)), 6) AS x,
+      |    round(ln(CAST(freq AS DOUBLE)), 6) AS y
+      |  FROM r),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    sum(CAST(x AS DECIMAL(27,6))) AS sx,
+      |    sum(CAST(y AS DECIMAL(27,6))) AS sy,
+      |    sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS sxy,
+      |    sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx
+      |  FROM pts),
+      |d AS (
+      |  SELECT m, CAST(m AS DOUBLE) AS md,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(sxy AS DOUBLE) * CAST(m AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(sxx AS DOUBLE) * CAST(m AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+      |  FROM ag)
+      |SELECT m AS n_points,
+      |  CASE WHEN den = 0.0 THEN 0.0 ELSE round(num / den, 6) END AS zipf_slope,
+      |  CASE WHEN den = 0.0 THEN round(syd / md, 6)
+      |       ELSE round((syd - (num / den) * sxd) / md, 6) END AS intercept
+      |FROM d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
     "x102_burstiness" -> (x102Burstiness _),
     "x103_cusum" -> (x103Cusum _),
     "x104_acf" -> (x104Acf _),
+    "x105_zipf_slope" -> (x105ZipfSlope _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -4079,6 +4125,7 @@ object ExtensionQueries {
     "x102_burstiness" -> x102Sql,
     "x103_cusum" -> x103Sql,
     "x104_acf" -> x104Sql,
+    "x105_zipf_slope" -> x105Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -2036,7 +2036,117 @@ object FixtureQueries {
       |FROM u CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q56 — rolling 7-day actives (DAU / WAU / stickiness): exact sliding
+  // distinct-user counts, the growth dashboard's core series. No range join
+  // and no window: each (user, day) census row EXPLODES into the ≤7 trailing
+  // days it covers (a broadcast of the 7-row offset table), and a second
+  // distinct collapses multi-covered users — sliding distinct as two hash
+  // shuffles of the census, both map-side combinable, nothing user²-sized.
+  // Stickiness DAU/WAU is one final rounded division.
+  // ---------------------------------------------------------------------------
+  def q56RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+      .localCheckpoint() // feeds both the DAU rollup and the coverage explode
+    val horizon = census.agg(max(col("day")).as("d1"))
+    val offsets = spark.range(0, 7).select(col("id").as("off"))
+    val wau = census.crossJoin(broadcast(offsets))
+      .select(col("user_id"), (col("day") + col("off")).as("day"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("d1"))
+      .select("user_id", "day").distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = census.groupBy("day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double")
+          / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  private[queries] val q56Sql =
+    """WITH c AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM events),
+      |h AS (SELECT max(day) AS d1 FROM c),
+      |cov AS (
+      |  SELECT DISTINCT user_id, day + off AS day
+      |  FROM c CROSS JOIN (SELECT unnest(generate_series(CAST(0 AS BIGINT),
+      |    CAST(6 AS BIGINT))) AS off) o
+      |  WHERE day + off <= (SELECT d1 FROM h)),
+      |w AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM c GROUP BY 1)
+      |SELECT w.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau,
+      |  round(CAST(coalesce(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+      |    AS stickiness
+      |FROM w LEFT JOIN d ON d.day = w.day""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q57 — Wilson confidence intervals on the purchase rate per day-of-week:
+  // interval estimation for conversion dashboards (the Wilson score interval
+  // stays inside [0,1] and behaves at small n, unlike the normal interval).
+  // dow = epoch_day % 7 (pure integer — no engine-specific DOW semantics);
+  // ONE (user, dow)-keyed aggregation is the only corpus shuffle, and the
+  // closed-form interval is mirrored expression-for-expression in the
+  // oracle, so the IEEE evaluation order is identical — bitwise.
+  // ---------------------------------------------------------------------------
+  def q57WilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96).cast("double")
+    val users = Tables.events(spark, dir)
+      .select(
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"), lit(7L)).as("dow"),
+        col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+      .groupBy("dow", "user_id").agg(max(col("pur")).as("purchased"))
+    users.groupBy("dow")
+      .agg(count(lit(1)).as("n_users"), sum(col("purchased")).as("purchasers"))
+      .withColumn("n", col("n_users").cast("double"))
+      .withColumn("p", col("purchasers").cast("double") / col("n"))
+      .withColumn("den", lit(1.0) + (z * z) / col("n"))
+      .withColumn("ctr", (col("p") + (z * z) / (lit(2.0) * col("n"))) / col("den"))
+      .withColumn("hw", (z * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+        + (z * z) / (lit(4.0) * col("n") * col("n")))) / col("den"))
+      .select(col("dow"), col("n_users"), col("purchasers"),
+        round(col("p"), 6).as("p_hat"),
+        round(col("ctr") - col("hw"), 6).as("wilson_lo"),
+        round(col("ctr") + col("hw"), 6).as("wilson_hi"))
+  }
+
+  private[queries] val q57Sql =
+    """WITH u AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+      |    user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(purchased) AS BIGINT) AS purchasers
+      |  FROM u GROUP BY 1),
+      |e AS (
+      |  SELECT dow, n_users, purchasers,
+      |    CAST(n_users AS DOUBLE) AS n,
+      |    CAST(purchasers AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+      |    CAST(1.96 AS DOUBLE) AS z
+      |  FROM a),
+      |f AS (
+      |  SELECT dow, n_users, purchasers, p,
+      |    (p + (z * z) / (CAST(2.0 AS DOUBLE) * n)) / (CAST(1.0 AS DOUBLE) + (z * z) / n) AS ctr,
+      |    (z * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+      |       + (z * z) / (CAST(4.0 AS DOUBLE) * n * n)))
+      |      / (CAST(1.0 AS DOUBLE) + (z * z) / n) AS hw
+      |  FROM e)
+      |SELECT dow, n_users, purchasers, round(p, 6) AS p_hat,
+      |  round(ctr - hw, 6) AS wilson_lo, round(ctr + hw, 6) AS wilson_hi
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_rolling_actives" -> (q56RollingActives _),
+    "q57_wilson_ci" -> (q57WilsonCi _),
     "q55_rfm" -> (q55Rfm _),
     "q53_attribution" -> (q53Attribution _),
     "q54_streaks" -> (q54Streaks _),
@@ -2148,5 +2258,7 @@ object FixtureQueries {
     "q53_attribution" -> q53Sql,
     "q54_streaks" -> q54Sql,
     "q55_rfm" -> q55Sql,
+    "q56_rolling_actives" -> q56Sql,
+    "q57_wilson_ci" -> q57Sql,
     "q46_integrity" -> q46Sql)
 }

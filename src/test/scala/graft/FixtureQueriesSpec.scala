@@ -297,6 +297,57 @@ class FixtureQueriesSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q56 rolling actives: trailing-7d distinct matches a driver replay") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q56_rolling_actives")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val census = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .as[(Long, java.time.LocalDate)].collect()
+      .map(r => (r._1, r._2.toEpochDay))
+    val d1 = census.map(_._2).max
+    val expect = census.flatMap { case (u, d) =>
+      (0L to 6L).map(o => (u, d + o)).filter(_._2 <= d1)
+    }.distinct.groupBy(_._2).map { case (day, rows) =>
+      val dau = census.count(_._2 == day).toLong
+      val wau = rows.length.toLong
+      day -> ((day, dau, wau,
+        BigDecimal(dau.toDouble / wau.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out == expect, s"rolling-actives replay:\n$out\nvs\n$expect")
+    // identities: a day's actives are inside its trailing window
+    assert(out.values.forall(r => r._2 <= r._3), "DAU must be <= WAU")
+  }
+
+  test("q57 Wilson CI: interval brackets the MLE and replays bitwise") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q57_wilson_ci")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("event_type") === "purchase").as("pur"))
+      .as[(Long, java.time.LocalDate, Boolean)].collect()
+    val perUser = users.map(r => ((r._2.toEpochDay % 7, r._1), r._3))
+      .groupBy(_._1).toSeq.map { case (k, rs) => (k._1, rs.exists(_._2)) }
+    val byDow = perUser.groupBy(_._1).map { case (dow, rs) =>
+      val n = rs.size.toLong; val k = rs.count(_._2).toLong
+      val z = 1.96; val nd = n.toDouble
+      val p = k.toDouble / nd
+      val den = 1.0 + (z * z) / nd
+      val ctr = (p + (z * z) / (2.0 * nd)) / den
+      val hw = (z * math.sqrt(p * (1.0 - p) / nd + (z * z) / (4.0 * nd * nd))) / den
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      dow -> ((dow, n, k, r6(p), r6(ctr - hw), r6(ctr + hw)))
+    }
+    assert(out == byDow, s"Wilson replay:\n$out\nvs\n$byDow")
+    out.values.foreach { r =>
+      assert(r._5 <= r._4 && r._4 <= r._6, s"interval must bracket p_hat: $r")
+      assert(r._5 >= 0.0 && r._6 <= 1.0, s"Wilson stays inside [0,1]: $r")
+    }
+  }
+
   test("q55 RFM: full segment table matches a driver inverse-CDF replay") {
     import spark.implicits._
     val out = FixtureQueries.queries("q55_rfm")(spark, sf)

@@ -1767,6 +1767,44 @@ class ExtSpec extends AnyFunSuite {
     assert(full == expect, s"fixture ACF replay:\n$full\nvs\n$expect")
   }
 
+  test("zipfSlope: hand spectrum replays OLS; fixture slope negative and replayed") {
+    def ols(spectrum: Seq[(Long, Long)]): (Long, Double, Double) = {
+      // spectrum rows (freq, n_types); points (ln rank_hi desc-cum, ln freq)
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r12(v: Double) = BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val pts = spectrum.sortBy(-_._1)
+        .scanLeft((0L, 0L)) { case ((cum, _), (f, n)) => (cum + n, f) }.tail
+        .map { case (rank, f) => (r6(math.log(rank.toDouble)), r6(math.log(f.toDouble))) }
+      val m = pts.length.toLong
+      val sx = pts.map(p => BigDecimal(p._1)).sum.toDouble
+      val sy = pts.map(p => BigDecimal(p._2)).sum.toDouble
+      val sxy = pts.map(p => r12(p._1 * p._2)).sum.toDouble
+      val sxx = pts.map(p => r12(p._1 * p._1)).sum.toDouble
+      val md = m.toDouble
+      val num = sxy * md - sx * sy
+      val den = sxx * md - sx * sx
+      if (den == 0.0) (m, 0.0, r6(sy / md))
+      else (m, r6(num / den), r6((sy - (num / den) * sx) / md))
+    }
+    // corpus: a:4 b:2 c:2 d:1 -> spectrum {4:1, 2:2, 1:1}
+    val corpus = Seq((0L, "a a a a"), (1L, "b b"), (2L, "c c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val out = TextStats.zipfSlope(corpus).as[(Long, Double, Double)].head()
+    val exp = ols(Seq((4L, 1L), (2L, 2L), (1L, 1L)))
+    assert(out == exp, s"hand spectrum: $out vs $exp")
+    assert(out._2 < 0.0, "frequency must fall with rank")
+    // fixture replay at sf0.001: rebuild the spectrum in Spark (small),
+    // replay the regression on the driver
+    val spec = graft.ops.Par.fanOut(docs)
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_types"))
+      .as[(Long, Long)].collect().toSeq
+    val fix = TextStats.zipfSlope(docs).as[(Long, Double, Double)].head()
+    assert(fix == ols(spec), s"fixture replay: $fix vs ${ols(spec)}")
+    assert(fix._2 < 0.0, s"fixture corpus must be Zipf-shaped: $fix")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -785,6 +785,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 7-row lag table broadcasts; pairs join on (type, day-k):\n$p")
   }
 
+  test("rolling actives: sliding distinct via explode — no window, no range join (q56)") {
+    val p = plan("q56_rolling_actives")
+    assert(count(p, "Window") == 0,
+      s"trailing-7d distinct must come from the coverage explode, not a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 7-row offsets and 1-row horizon broadcast; day tables hash-join:\n$p")
+  }
+
+  test("Wilson CI: two hash aggregations, no join, no window (q57)") {
+    val p = plan("q57_wilson_ci")
+    assert(!p.toLowerCase.contains("join"),
+      s"one (user,dow) rollup then one dow rollup — nothing joins:\n$p")
+    assert(count(p, "Window") == 0, s"closed-form interval needs no window:\n$p")
+  }
+
+  test("Zipf slope: regression runs on the frequency spectrum, one window (x105)") {
+    val p = plan("x105_zipf_slope")
+    assert(!p.toLowerCase.contains("join"), s"term -> spectrum -> rollup, no join:\n$p")
+    assert(count(p, "Window") == 1,
+      s"the descending-rank cumulative window runs once, on the spectrum:\n$p")
+  }
+
   test("streaming CUSUM keeps integer-only, |types|x|days| counter state (s27)") {
     val spark0 = spark
     import spark0.implicits._
