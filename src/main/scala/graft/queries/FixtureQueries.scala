@@ -2144,9 +2144,70 @@ object FixtureQueries {
       |  round(ctr - hw, 6) AS wilson_lo, round(ctr + hw, 6) AS wilson_hi
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q58 — point-in-time feature join: every purchase event attributed to the
+  // SCD2 band that was valid AT its timestamp (the training-data classic —
+  // features must reflect state as-of the label event, never the future),
+  // rolled up per band. The lookup runs through the native as-of MERGE JOIN
+  // exec (one key shuffle + linear merge — no range join, no per-row probe);
+  // non-strict with seg as the tie-break, which on a gapless SCD2 chain is
+  // exactly interval containment (an empty [t,t) segment can never win
+  // because the later segment at the same instant has the larger seg). The
+  // oracle states the SAME semantics declaratively as a range predicate.
+  // ---------------------------------------------------------------------------
+  def q58PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scd = q50Scd2(spark, dir)
+      .select(col("user_id"), col("seg"), col("band"), col("valid_from"))
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.plans.AsOfMergeJoin.asOfLeft(
+        p, scd, keys = Seq("user_id"), leftTime = "ts", rightTime = "valid_from",
+        payload = Seq("band", "seg"), strict = false, tieBreak = Seq("seg"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("purchases"),
+        countDistinct(col("user_id")).as("users"),
+        round(sum(col("cents")).cast("double") / lit(100.0), 2).as("amount"))
+  }
+
+  private[queries] val q58Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    length(bin(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))) AS band
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(band) OVER w IS NULL
+      |                   OR lag(band) OVER w <> band THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, seg, min(band) AS band, min(ts) AS valid_from
+      |  FROM s GROUP BY 1, 2),
+      |scd AS (
+      |  SELECT user_id, band, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT sc.band, p.user_id, p.cents
+      |  FROM p JOIN scd sc
+      |    ON sc.user_id = p.user_id AND sc.valid_from <= p.ts
+      |    AND (sc.valid_to IS NULL OR p.ts < sc.valid_to))
+      |SELECT band, CAST(count(*) AS BIGINT) AS purchases,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+      |    AS amount
+      |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_rolling_actives" -> (q56RollingActives _),
     "q57_wilson_ci" -> (q57WilsonCi _),
+    "q58_pit_join" -> (q58PitJoin _),
     "q55_rfm" -> (q55Rfm _),
     "q53_attribution" -> (q53Attribution _),
     "q54_streaks" -> (q54Streaks _),
@@ -2260,5 +2321,6 @@ object FixtureQueries {
     "q55_rfm" -> q55Sql,
     "q56_rolling_actives" -> q56Sql,
     "q57_wilson_ci" -> q57Sql,
+    "q58_pit_join" -> q58Sql,
     "q46_integrity" -> q46Sql)
 }

@@ -348,6 +348,47 @@ class FixtureQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q58 PIT join: as-of attribution equals a driver interval-containment replay") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q58_pit_join")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+    def cents(v: Double): Long =
+      BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def band(v: Double): Long =
+      java.lang.Long.toBinaryString(
+        (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+      ).length.toLong
+    // driver SCD2: segment each user's (ts, event_id)-ordered band series
+    val rows = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (valid_from_us, band)
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        val b = band(e._5)
+        if (b != prev) { segs += ((e._2, b)); prev = b }
+      }
+      // attribute each purchase to the latest segment at-or-before its ts;
+      // ties on valid_from -> the later segment (interval containment)
+      sorted.filter(_._4 == "purchase").map { e =>
+        val seg = segs.zipWithIndex.filter(_._1._1 <= e._2).maxBy(_._2)._1
+        (seg._2, u, cents(e._5))
+      }
+    }
+    val expect = rows.groupBy(_._1).map { case (b, rs) =>
+      b -> ((b, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+        BigDecimal(rs.map(_._3).sum.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out == expect, s"PIT replay:\n$out\nvs\n$expect")
+    // conservation: every purchase lands in exactly one band
+    val total = ev.count(_._4 == "purchase").toLong
+    assert(out.values.map(_._2).sum == total, "attribution must partition purchases")
+  }
+
   test("q55 RFM: full segment table matches a driver inverse-CDF replay") {
     import spark.implicits._
     val out = FixtureQueries.queries("q55_rfm")(spark, sf)

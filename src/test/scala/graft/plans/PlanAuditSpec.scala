@@ -793,6 +793,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the 7-row offsets and 1-row horizon broadcast; day tables hash-join:\n$p")
   }
 
+  test("PIT feature join runs through the native as-of merge exec — no range join (q58)") {
+    val p = plan("q58_pit_join")
+    assert(p.contains("AsOfMergeJoin"),
+      s"the point-in-time lookup must plan as the native merge exec:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a range-predicate join would nest-loop; the as-of exec must replace it:\n$p")
+  }
+
   test("Wilson CI: two hash aggregations, no join, no window (q57)") {
     val p = plan("q57_wilson_ci")
     assert(!p.toLowerCase.contains("join"),
