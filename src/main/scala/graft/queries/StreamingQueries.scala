@@ -1434,7 +1434,88 @@ object StreamingQueries {
   private[graft] def s27CounterFrame(stream: DataFrame): DataFrame =
     stream.groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming point-in-time scorer — q58's live half (the batch-plan /
+    * stream-enforce pattern of s10/s23/s25): the SCD2 dimension is built
+    * batch-side ONCE, and the purchase stream attributes each event to the
+    * band valid at its timestamp via ONE stateless stream-static join whose
+    * range predicate (valid_from ≤ ts < valid_to) IS the point-in-time
+    * rule — no stream state beyond the per-band integer counters. On a
+    * gapless SCD2 chain every purchase matches exactly one interval, so
+    * counters are pure integer addition — micro-batch order cannot change
+    * a bit. (Distinct users stays batch-side in q58: streaming complete
+    * mode cannot nest a distinct under an aggregation.) */
+  def s28StreamPit(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = stageInput("s28pit", dir, Seq("events.parquet")) { out =>
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(out)
+    }
+    val scd = FixtureQueries.q50Scd2(spark, dir)
+      .select(col("user_id").as("s_user"), col("band"),
+        col("valid_from"), col("valid_to"))
+      .localCheckpoint() // freeze the dimension; the stream probes it per batch
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val name = freshMemorySink(spark, "graft_s28_")
+    withStateSizedShuffle(spark, Seq(inDir)) {
+      val q = s28PitFrame(stream, scd)
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000),
+        "s28 stream timed out before AvailableNow drained — memory table would be partial")
+    }
+    spark.table(name)
+  }
+
+  /** The s28 pre-start frame (PlanAuditSpec pins it): ONE stream-static
+    * join carrying the point-in-time range predicate, then per-band
+    * integer counters — the only stateful operator. */
+  private[graft] def s28PitFrame(stream: DataFrame, scd: DataFrame): DataFrame =
+    stream
+      .join(scd, col("user_id") === col("s_user")
+        && col("valid_from") <= col("ts")
+        && (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("purchases"), sum(col("cents")).as("c"))
+      .select(col("band"), col("purchases"),
+        round(col("c").cast("double") / lit(100.0), 2).as("amount"))
+
+  private val s28Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    length(bin(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))) AS band
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(band) OVER w IS NULL
+      |                   OR lag(band) OVER w <> band THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, seg, min(band) AS band, min(ts) AS valid_from
+      |  FROM s GROUP BY 1, 2),
+      |scd AS (
+      |  SELECT user_id, band, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT sc.band, p.cents
+      |  FROM p JOIN scd sc
+      |    ON sc.user_id = p.user_id AND sc.valid_from <= p.ts
+      |    AND (sc.valid_to IS NULL OR p.ts < sc.valid_to))
+      |SELECT band, CAST(count(*) AS BIGINT) AS purchases,
+      |  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+      |    AS amount
+      |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_stream_pit" -> (s28StreamPit _),
     "s27_stream_cusum" -> (s27StreamCusum _),
     "s26_stream_rollup" -> (s26StreamRollup _),
     "s25_stream_winsor" -> (s25StreamWinsor _),
@@ -1464,6 +1545,7 @@ object StreamingQueries {
     "s4_stream_interval_join" -> (s4StreamIntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "s28_stream_pit" -> s28Sql, // stream-static range join IS the PIT rule
     "s27_stream_cusum" -> ExtensionQueries.x103Sql, // streamed day census, batch sweep
     "s26_stream_rollup" -> s26Sql, // two chained stateful window aggs, append mode
     "s25_stream_winsor" -> ExtensionQueries.x99Sql, // batch-planned clip, stream-enforced

@@ -834,6 +834,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!lp.contains("Window"), s"no window runs on the stream:\n$lp")
   }
 
+  test("streaming PIT scorer: one stateless range-predicate join, |bands| counter state (s28)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s28-pin").toString
+    Seq((1L, "2024-01-01 10:00:00", 123L), (2L, "2024-01-02 11:00:00", 50L))
+      .toDF("user_id", "ts", "cents")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("cents"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val scd = Seq((1L, 7L, "2024-01-01 00:00:00", null.asInstanceOf[String]),
+        (2L, 6L, "2024-01-01 00:00:00", "2024-01-03 00:00:00"))
+      .toDF("s_user", "band", "vf", "vt")
+      .select(col("s_user"), col("band"),
+        col("vf").cast("timestamp_ntz").as("valid_from"),
+        col("vt").cast("timestamp_ntz").as("valid_to"))
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val df = graft.queries.StreamingQueries.s28PitFrame(stream, scd)
+    assert(df.isStreaming, "s28's rollup must aggregate ON the stream")
+    assert(df.schema.fieldNames.sameElements(Array("band", "purchases", "amount")),
+      df.schema.treeString)
+    val lp = df.queryExecution.analyzed.toString
+    assert(lp.toLowerCase.split("join").length == 2,
+      s"exactly ONE stream-static PIT join, nothing stream-stream:\n$lp")
+    assert("Aggregate".r.findAllIn(lp).size == 1,
+      s"per-band counters are the only stateful operator:\n$lp")
+    assert(!lp.contains("Window"), s"no window runs on the stream:\n$lp")
+  }
+
   test("streaming rollup chain: hourly tier consumes the 5-min windows, not raw events (s26)") {
     val spark0 = spark
     import spark0.implicits._
