@@ -260,6 +260,34 @@ object Profile {
             / (col("sd_x_n") + col("mean_x_n")), 6)).as("burstiness"))
   }
 
+  /** Hill tail-index estimator over a positive integer column — the
+    * heavy-tail diagnostic (α ≈ how fast the tail decays; α ≤ 2 means
+    * infinite variance, the regime where mean-based capacity planning and
+    * uniform sharding break). H = (1/k)·Σ ln(x_i / x_(k)) over the k
+    * largest values, α = 1/H.
+    *
+    * Scale shape: the ONLY corpus-wide stage is the top-k cut, which plans
+    * as TakeOrderedAndProject (per-partition heaps of k, never a global
+    * sort); the estimator itself runs on k rows. Determinism: the top-k
+    * VALUE MULTISET is order-free (ties at the boundary carry equal
+    * values), ln terms are 6dp-rounded into a DECIMAL sum (x94
+    * discipline), and H/α are each one final rounded double step. */
+  def hillTail(rows: DataFrame, valueCol: String, k: Int = 500): DataFrame = {
+    require(k >= 2, s"the Hill estimator needs at least two order statistics: $k")
+    val top = rows.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x") > 0) // ln demands positivity; zero-length rows carry no tail info
+      .orderBy(col("x").desc).limit(k)
+    top
+      .agg(count(lit(1)).as("k"), min(col("x")).as("x_k"),
+        sum(round(log(col("x").cast("double")), 6).cast("decimal(27,6)")).as("slnx"))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("hraw", (col("slnx").cast("double")
+        - col("kd") * round(log(col("x_k").cast("double")), 6)) / col("kd"))
+      .select(col("k"), col("x_k"), round(col("hraw"), 6).as("hill_h"),
+        when(col("hraw") === 0.0, lit(0.0))
+          .otherwise(round(lit(1.0) / col("hraw"), 6)).as("tail_alpha"))
+  }
+
   /** CUSUM sweep over a (event_type, day, cnt) daily census: one-sided
     * positive and negative cumulative-sum statistics against each type's
     * own mean, reported as the peak excursion and the day it peaks (the

@@ -3976,12 +3976,41 @@ object ExtensionQueries {
       |       ELSE round((syd - (num / den) * sxd) / md, 6) END AS intercept
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x106 — Hill tail-index of document length: the heavy-tail diagnostic
+  // behind shard sizing and straggler risk (α ≤ 2 = infinite variance —
+  // uniform sharding breaks). The only corpus-wide stage is the top-k cut
+  // (TakeOrderedAndProject heaps, no global sort); the estimator runs on k
+  // rows with 6dp-rounded ln terms in a DECIMAL sum — bitwise.
+  // ---------------------------------------------------------------------------
+  def x106HillTail(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.hillTail(Tables.documents(spark, dir), "n_chars")
+
+  private[queries] val x106Sql =
+    """WITH top AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+      |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 500),
+      |ag AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, min(x) AS x_k,
+      |    sum(CAST(round(ln(CAST(x AS DOUBLE)), 6) AS DECIMAL(27,6))) AS slnx
+      |  FROM top),
+      |h AS (
+      |  SELECT k, x_k,
+      |    (CAST(slnx AS DOUBLE) - CAST(k AS DOUBLE)
+      |       * round(ln(CAST(x_k AS DOUBLE)), 6)) / CAST(k AS DOUBLE) AS hraw
+      |  FROM ag)
+      |SELECT k, x_k, round(hraw, 6) AS hill_h,
+      |  CASE WHEN hraw = 0.0 THEN 0.0
+      |       ELSE round(CAST(1.0 AS DOUBLE) / hraw, 6) END AS tail_alpha
+      |FROM h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
     "x102_burstiness" -> (x102Burstiness _),
     "x103_cusum" -> (x103Cusum _),
     "x104_acf" -> (x104Acf _),
     "x105_zipf_slope" -> (x105ZipfSlope _),
+    "x106_hill_tail" -> (x106HillTail _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -4126,6 +4155,7 @@ object ExtensionQueries {
     "x103_cusum" -> x103Sql,
     "x104_acf" -> x104Sql,
     "x105_zipf_slope" -> x105Sql,
+    "x106_hill_tail" -> x106Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

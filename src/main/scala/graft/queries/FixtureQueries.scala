@@ -2204,10 +2204,66 @@ object FixtureQueries {
       |    AS amount
       |FROM j GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q59 — conversion latency: seconds from each user's FIRST view to their
+  // first purchase at-or-after it, summarized as exact p50/p90/p99 via the
+  // integer inverse-CDF over the LAG CENSUS (the x99/q55 discipline — the
+  // percentile sweep never sorts anything user-sized) plus an exact-integer
+  // mean. Two user-keyed aggregations and one user-keyed join are the only
+  // corpus-scale stages; the census window is |distinct lags|-bounded.
+  // ---------------------------------------------------------------------------
+  def q59ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v0"))
+    val lag = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") >= col("v0"))
+      .groupBy("user_id", "v0").agg(min(col("us")).as("p0"))
+      .select(expr("(p0 - v0) div 1000000L").as("lag_s"))
+    val census = lag.groupBy("lag_s").agg(count(lit(1)).as("c"))
+    val n = census.agg(sum(col("c")).as("n"), sum(col("lag_s") * col("c")).as("tot"))
+    val cum = census.crossJoin(broadcast(n))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("lag_s")))
+    cum.agg(
+      max(col("n")).as("n_converters"),
+      min(when(col("cum") * 100 >= col("n") * 50, col("lag_s"))).as("p50_s"),
+      min(when(col("cum") * 100 >= col("n") * 90, col("lag_s"))).as("p90_s"),
+      min(when(col("cum") * 100 >= col("n") * 99, col("lag_s"))).as("p99_s"),
+      max(round(col("tot").cast("double") / col("n").cast("double"), 6)).as("mean_s"))
+  }
+
+  private[queries] val q59Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fv AS (
+      |  SELECT user_id, min(us) AS v0 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |lag AS (
+      |  SELECT (min(e.us) - fv.v0) // 1000000 AS lag_s
+      |  FROM e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= fv.v0
+      |  GROUP BY e.user_id, fv.v0),
+      |c AS (SELECT lag_s, CAST(count(*) AS BIGINT) AS c FROM lag GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(lag_s * c) AS BIGINT) AS tot FROM c),
+      |cu AS (
+      |  SELECT lag_s, CAST(sum(c) OVER (ORDER BY lag_s) AS BIGINT) AS cum,
+      |    (SELECT n FROM t) AS n, (SELECT tot FROM t) AS tot
+      |  FROM c)
+      |SELECT max(n) AS n_converters,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN lag_s END) AS p50_s,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN lag_s END) AS p90_s,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN lag_s END) AS p99_s,
+      |  max(round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6)) AS mean_s
+      |FROM cu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_rolling_actives" -> (q56RollingActives _),
     "q57_wilson_ci" -> (q57WilsonCi _),
     "q58_pit_join" -> (q58PitJoin _),
+    "q59_conversion_lag" -> (q59ConversionLag _),
     "q55_rfm" -> (q55Rfm _),
     "q53_attribution" -> (q53Attribution _),
     "q54_streaks" -> (q54Streaks _),
@@ -2322,5 +2378,6 @@ object FixtureQueries {
     "q56_rolling_actives" -> q56Sql,
     "q57_wilson_ci" -> q57Sql,
     "q58_pit_join" -> q58Sql,
+    "q59_conversion_lag" -> q59Sql,
     "q46_integrity" -> q46Sql)
 }

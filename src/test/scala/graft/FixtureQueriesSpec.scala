@@ -389,6 +389,31 @@ class FixtureQueriesSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == total, "attribution must partition purchases")
   }
 
+  test("q59 conversion lag: percentiles and mean match a driver replay") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q59_conversion_lag")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, String, Long)].collect()
+    val lags = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None else {
+        val v0 = views.min
+        val ps = rows.filter(r => r._2 == "purchase" && r._3 >= v0).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - v0) / 1000000L)
+      }
+    }.sorted
+    val n = lags.size.toLong
+    def pct(q: Int): Long = lags(lags.indices.find(i => (i + 1).toLong * 100 >= n * q).get)
+    val mean = BigDecimal(lags.sum.toDouble / n.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((n, pct(50), pct(90), pct(99), mean)),
+      s"conversion-lag replay: $out vs ${(n, pct(50), pct(90), pct(99), mean)}")
+    assert(out._2 <= out._3 && out._3 <= out._4, "percentiles must be monotone")
+  }
+
   test("q55 RFM: full segment table matches a driver inverse-CDF replay") {
     import spark.implicits._
     val out = FixtureQueries.queries("q55_rfm")(spark, sf)

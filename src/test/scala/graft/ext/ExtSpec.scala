@@ -1805,6 +1805,30 @@ class ExtSpec extends AnyFunSuite {
     assert(fix._2 < 0.0, s"fixture corpus must be Zipf-shaped: $fix")
   }
 
+  test("hillTail: hand order statistics replay; fixture alpha positive and replayed") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replay(top: Seq[Long]): (Long, Long, Double, Double) = {
+      val k = top.size.toLong; val xk = top.min
+      val slnx = top.map(x => BigDecimal(r6(math.log(x.toDouble)))).sum.toDouble
+      val hraw = (slnx - k.toDouble * r6(math.log(xk.toDouble))) / k.toDouble
+      (k, xk, r6(hraw), if (hraw == 0.0) 0.0 else r6(1.0 / hraw))
+    }
+    val hand = Seq(1000L, 100L, 10L, 0L, -5L).toDF("n_chars") // non-positives dropped
+    val out = Profile.hillTail(hand, "n_chars").as[(Long, Long, Double, Double)].head()
+    assert(out == replay(Seq(1000L, 100L, 10L)), s"hand Hill: $out")
+    // a geometric tail x = r^i has H = mean of i*ln r = known closed sum
+    val geo = (0 to 9).map(i => math.pow(2.0, i).toLong).toDF("n_chars")
+    val gout = Profile.hillTail(geo, "n_chars").as[(Long, Long, Double, Double)].head()
+    assert(gout == replay((0 to 9).map(i => 1L << i)), s"geometric Hill: $gout")
+    assert(gout._3 > 0.0 && gout._4 > 0.0, "a decaying tail has positive H and alpha")
+    // fixture replay: top-500 doc lengths collected and replayed
+    val top = docs.select(col("n_chars").cast("long").as("x")).filter(col("x") > 0)
+      .orderBy(col("x").desc).limit(500).as[Long].collect().toSeq
+    val fix = Profile.hillTail(docs, "n_chars").as[(Long, Long, Double, Double)].head()
+    assert(fix == replay(top), s"fixture Hill replay: $fix vs ${replay(top)}")
+    assert(fix._4 > 0.0, s"doc lengths must show a decaying tail: $fix")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -801,6 +801,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a range-predicate join would nest-loop; the as-of exec must replace it:\n$p")
   }
 
+  test("conversion lag: percentile sweep on the lag census, one window (q59)") {
+    val p = plan("q59_conversion_lag")
+    assert(count(p, "Window") == 1,
+      s"the inverse-CDF sweep runs once, on the |distinct lags| census:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total broadcasts onto the census:\n$p")
+  }
+
+  test("Hill tail: top-k via heap cut — no global sort, no shuffle of the corpus (x106)") {
+    val p = plan("x106_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must plan as per-partition heaps:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a global ORDER BY would range-shuffle the corpus:\n$p")
+    assert(!p.toLowerCase.contains("join") && count(p, "Window") == 0,
+      s"estimator is one aggregate over k rows:\n$p")
+  }
+
   test("Wilson CI: two hash aggregations, no join, no window (q57)") {
     val p = plan("q57_wilson_ci")
     assert(!p.toLowerCase.contains("join"),
