@@ -288,6 +288,49 @@ object Profile {
           .otherwise(round(lit(1.0) / col("hraw"), 6)).as("tail_alpha"))
   }
 
+  /** Chi-square test of independence between two categorical columns — the
+    * "is my corpus mix confounded" audit (e.g. language × source: a large
+    * χ² / Cramér's V means language balance cannot be tuned by sampling
+    * sources independently). Returns the statistic, degrees of freedom and
+    * Cramér's V in one row.
+    *
+    * Scale shape: ONE (a, b)-keyed counting aggregation is the only
+    * corpus-sized stage; marginals and the term table live on the
+    * |A|·|B| contingency census, with marginals broadcast back onto it.
+    * Determinism: O/R/C/N are exact BIGINTs; each cell's (O−E)²/E is
+    * evaluated in a fixed IEEE order, rounded at 12dp and summed as
+    * DECIMAL(38,12) — order-free — so χ² and V are each one final rounded
+    * step from an exact sum. */
+  def chiSquareIndependence(rows: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val o = rows.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // census: feeds marginals and the term scan
+    val ra = o.groupBy("a").agg(sum(col("o")).as("ra"))
+    val cb = o.groupBy("b").agg(sum(col("o")).as("cb"))
+    val nt = o.agg(sum(col("o")).as("n"))
+    // densify: an UNOBSERVED (a,b) cell still contributes (0−E)²/E = E —
+    // dropping zero cells silently understates χ² (a perfectly dependent
+    // 2x2 would read N/2 instead of N)
+    val full = ra.select("a").crossJoin(broadcast(cb.select("b")))
+      .join(o, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val od = col("o").cast("double")
+    val e = col("ra").cast("double") * col("cb").cast("double") / col("n").cast("double")
+    full.join(broadcast(ra), "a").join(broadcast(cb), "b").crossJoin(broadcast(nt))
+      .select(col("n"), col("a"), col("b"),
+        round((od - e) * (od - e) / e, 12).cast("decimal(38,12)").as("term"))
+      .agg(max(col("n")).as("n_rows"),
+        countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"),
+        sum(col("term")).as("chi2d"))
+      .select(col("n_rows"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2d").cast("double")
+          / (col("n_rows").cast("double")
+             * least(col("n_a") - 1, col("n_b") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** CUSUM sweep over a (event_type, day, cnt) daily census: one-sided
     * positive and negative cumulative-sum statistics against each type's
     * own mean, reported as the peak excursion and the day it peaks (the

@@ -4004,6 +4004,47 @@ object ExtensionQueries {
       |       ELSE round(CAST(1.0 AS DOUBLE) / hraw, 6) END AS tail_alpha
       |FROM h""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x107 — language × source chi-square independence: the "is my corpus mix
+  // confounded" audit (large V ⇒ language balance can't be tuned by
+  // sampling sources independently). ONE (lang, source) counting agg is the
+  // only corpus stage; marginals broadcast onto the contingency census and
+  // each cell's (O−E)²/E is 12dp-rounded into a DECIMAL sum — bitwise.
+  // ---------------------------------------------------------------------------
+  def x107Chi2(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.chiSquareIndependence(
+      Tables.documents(spark, dir), "lang", "source")
+
+  private[queries] val x107Sql =
+    """WITH o AS (
+      |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM o GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM o GROUP BY 1),
+      |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+      |grid AS (
+      |  SELECT ra.a, cb.b, CAST(coalesce(o.o, 0) AS BIGINT) AS o
+      |  FROM ra CROSS JOIN cb LEFT JOIN o ON o.a = ra.a AND o.b = cb.b),
+      |tm AS (
+      |  SELECT n, a, b,
+      |    CAST(round((CAST(o.o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      * (CAST(o.o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+      |      AS DECIMAL(38,12)) AS term
+      |  FROM grid o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt),
+      |ag AS (
+      |  SELECT max(n) AS n_rows, CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS n_b, sum(term) AS chi2d
+      |  FROM tm)
+      |SELECT n_rows, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+      |  round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+      |  round(sqrt(CAST(chi2d AS DOUBLE)
+      |    / (CAST(n_rows AS DOUBLE) * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
     "x102_burstiness" -> (x102Burstiness _),
@@ -4011,6 +4052,7 @@ object ExtensionQueries {
     "x104_acf" -> (x104Acf _),
     "x105_zipf_slope" -> (x105ZipfSlope _),
     "x106_hill_tail" -> (x106HillTail _),
+    "x107_chi2_mix" -> (x107Chi2 _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -4156,6 +4198,7 @@ object ExtensionQueries {
     "x104_acf" -> x104Sql,
     "x105_zipf_slope" -> x105Sql,
     "x106_hill_tail" -> x106Sql,
+    "x107_chi2_mix" -> x107Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -2259,11 +2259,63 @@ object FixtureQueries {
       |  max(round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6)) AS mean_s
       |FROM cu""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // q60 — shipping-delay SLA profile: days from order date to line-item ship
+  // date, exact p50/p90/p99 + mean per order priority. ONE orderkey-keyed
+  // join (the same shuffle every TPC-H-shape query pays) builds the integer
+  // day-diff stream; the percentile sweep is the integer inverse-CDF over
+  // the (priority, delay) CENSUS — nothing row-sized ever sorts, windows
+  // run on |priorities|·|distinct delays| rows.
+  // ---------------------------------------------------------------------------
+  def q60ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("ok"), col("o_orderdate"),
+          col("o_orderpriority").as("priority")), Seq("ok"))
+      .select(col("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay"))
+      .groupBy("priority", "delay").agg(count(lit(1)).as("c"))
+    val tot = census.groupBy("priority")
+      .agg(sum(col("c")).as("n"), sum(col("delay") * col("c")).as("totd"))
+    census.join(broadcast(tot), "priority")
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("priority").orderBy("delay")))
+      .groupBy("priority")
+      .agg(max(col("n")).as("n_items"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("delay"))).as("p50_d"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("delay"))).as("p90_d"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("delay"))).as("p99_d"),
+        max(round(col("totd").cast("double") / col("n").cast("double"), 6)).as("mean_d"))
+  }
+
+  private[queries] val q60Sql =
+    """WITH d AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |c AS (SELECT priority, delay, CAST(count(*) AS BIGINT) AS c
+      |      FROM d GROUP BY 1, 2),
+      |t AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(sum(delay * c) AS BIGINT) AS totd
+      |      FROM c GROUP BY 1),
+      |cu AS (
+      |  SELECT c.priority, delay, c, n, totd,
+      |    CAST(sum(c) OVER (PARTITION BY c.priority ORDER BY delay) AS BIGINT) AS cum
+      |  FROM c JOIN t ON c.priority = t.priority)
+      |SELECT priority, max(n) AS n_items,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN delay END) AS p50_d,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN delay END) AS p90_d,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN delay END) AS p99_d,
+      |  max(round(CAST(totd AS DOUBLE) / CAST(n AS DOUBLE), 6)) AS mean_d
+      |FROM cu GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_rolling_actives" -> (q56RollingActives _),
     "q57_wilson_ci" -> (q57WilsonCi _),
     "q58_pit_join" -> (q58PitJoin _),
     "q59_conversion_lag" -> (q59ConversionLag _),
+    "q60_ship_delay" -> (q60ShipDelay _),
     "q55_rfm" -> (q55Rfm _),
     "q53_attribution" -> (q53Attribution _),
     "q54_streaks" -> (q54Streaks _),
@@ -2379,5 +2431,6 @@ object FixtureQueries {
     "q57_wilson_ci" -> q57Sql,
     "q58_pit_join" -> q58Sql,
     "q59_conversion_lag" -> q59Sql,
+    "q60_ship_delay" -> q60Sql,
     "q46_integrity" -> q46Sql)
 }

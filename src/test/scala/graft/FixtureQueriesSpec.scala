@@ -414,6 +414,34 @@ class FixtureQueriesSpec extends AnyFunSuite {
     assert(out._2 <= out._3 && out._3 <= out._4, "percentiles must be monotone")
   }
 
+  test("q60 ship delay: per-priority percentiles match a driver replay") {
+    import spark.implicits._
+    val out = FixtureQueries.queries("q60_ship_delay")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date"))
+      .as[(Long, java.sql.Date)].collect()
+    val ord = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date"), col("o_orderpriority"))
+      .as[(Long, java.sql.Date, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val delays = li.map { case (ok, sd) =>
+      val (od, pr) = ord(ok)
+      (pr, sd.toLocalDate.toEpochDay - od.toLocalDate.toEpochDay)
+    }
+    val expect = delays.groupBy(_._1).map { case (pr, rows) =>
+      val ds = rows.map(_._2).sorted
+      val n = ds.length.toLong
+      def pct(q: Int): Long = ds(ds.indices.find(i => (i + 1).toLong * 100 >= n * q).get)
+      val mean = BigDecimal(ds.sum.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      pr -> ((pr, n, pct(50), pct(90), pct(99), mean))
+    }
+    assert(out == expect, s"ship-delay replay:\n$out\nvs\n$expect")
+    assert(out.values.forall(r => r._3 <= r._4 && r._4 <= r._5),
+      "percentiles must be monotone")
+  }
+
   test("q55 RFM: full segment table matches a driver inverse-CDF replay") {
     import spark.implicits._
     val out = FixtureQueries.queries("q55_rfm")(spark, sf)

@@ -1829,6 +1829,42 @@ class ExtSpec extends AnyFunSuite {
     assert(fix._4 > 0.0, s"doc lengths must show a decaying tail: $fix")
   }
 
+  test("chiSquareIndependence: exact 0 on independence, N on perfect 2x2 dependence, fixture replay") {
+    // independent 2x2: every E equals O exactly -> chi2 = 0, V = 0
+    val ind = (Seq.fill(2)(("a1", "b1")) ++ Seq.fill(2)(("a1", "b2"))
+      ++ Seq.fill(3)(("a2", "b1")) ++ Seq.fill(3)(("a2", "b2"))).toDF("a", "b")
+    val i = Profile.chiSquareIndependence(ind, "a", "b")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(i == ((10L, 2L, 2L, 1L, 0.0, 0.0)), s"independent table: $i")
+    // perfectly dependent 2x2: chi2 = N, Cramer's V = 1
+    val dep = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2"))).toDF("a", "b")
+    val d = Profile.chiSquareIndependence(dep, "a", "b")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(d == ((10L, 2L, 2L, 1L, 10.0, 1.0)), s"dependent table: $d")
+    // fixture replay at sf0.001 from the collected contingency census
+    val cen = docs.groupBy(col("lang").as("a"), col("source").as("b"))
+      .agg(count(lit(1)).as("o")).as[(String, String, Long)].collect()
+    val n = cen.map(_._3).sum
+    val ra = cen.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cb = cen.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val omap = cen.map(r => (r._1, r._2) -> r._3).toMap
+    val chi2d = (for (a <- ra.keys.toSeq; b <- cb.keys.toSeq) yield {
+      val o = omap.getOrElse((a, b), 0L) // zero cells contribute E
+      val e = ra(a).toDouble * cb(b).toDouble / n.toDouble
+      BigDecimal((o.toDouble - e) * (o.toDouble - e) / e)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }).sum
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mind = math.min(ra.size - 1, cb.size - 1).toDouble
+    val expect = (n, ra.size.toLong, cb.size.toLong,
+      (ra.size - 1).toLong * (cb.size - 1).toLong,
+      r6(chi2d.toDouble), r6(math.sqrt(chi2d.toDouble / (n.toDouble * mind))))
+    val fix = graft.queries.ExtensionQueries.queries("x107_chi2_mix")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert(fix == expect, s"fixture chi2 replay: $fix vs $expect")
+    assert(fix._6 >= 0.0 && fix._6 <= 1.0, s"Cramer's V in [0,1]: $fix")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -819,6 +819,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"estimator is one aggregate over k rows:\n$p")
   }
 
+  test("ship delay: one key join, percentile sweep on the delay census (q60)") {
+    val p = plan("q60_ship_delay")
+    assert(count(p, "Window") == 1,
+      s"the inverse-CDF sweep runs once, on the (priority, delay) census:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lineitem joins orders on the key; totals broadcast-hash onto the census:\n$p")
+  }
+
+  test("chi-square mix audit: marginals broadcast onto the contingency census (x107)") {
+    val p = plan("x107_chi2_mix")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |A|/|B| marginal tables must broadcast onto the census probe:\n$p")
+    assert(count(p, "Window") == 0, s"closed-form statistic needs no window:\n$p")
+  }
+
   test("Wilson CI: two hash aggregations, no join, no window (q57)") {
     val p = plan("q57_wilson_ci")
     assert(!p.toLowerCase.contains("join"),

@@ -71,5 +71,6 @@ ONLY=$(printf '%s,' \
   x101_survival x102_burstiness q55_rfm s26_stream_rollup \
   x103_cusum x104_acf s27_stream_cusum \
   q56_rolling_actives q57_wilson_ci x105_zipf_slope q58_pit_join \
-  s28_stream_pit q59_conversion_lag x106_hill_tail | sed 's/,$//')
+  s28_stream_pit q59_conversion_lag x106_hill_tail \
+  q60_ship_delay x107_chi2_mix | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
