@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Lake-format parity: one write/read seam over the formats this Spark
+  * build carries natively, so a pipeline can target whichever container a
+  * downstream system demands without touching query code. (Columnar
+  * formats carry their own schema; the text formats are read back under
+  * the WRITER's schema — never inference, which would silently widen
+  * integers and re-type timestamps.)
+  *
+  * Format notes, encoded as guards rather than prose:
+  * - `csv` is flat-only (no arrays/structs/maps) — writing a nested schema
+  *   through it would corrupt silently on some engines, so it's rejected.
+  * - `json`/`csv` round-trip timestamps through an explicit ISO pattern;
+  *   parquet/orc keep their native logical types.
+  * - `avro` needs the spark-avro connector, which this build does not
+  *   ship — rejected with a clear message instead of a classpath error.
+  *
+  * Scale shape: both directions are plain distributed scans/writes — no
+  * driver materialization, partitioning preserved by Spark's writer. */
+object Formats {
+
+  val supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  private val tsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def isFlat(schema: StructType): Boolean =
+    schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: StructType => false
+      case _ => true
+    })
+
+  def write(df: DataFrame, dir: String, format: String): Unit = {
+    require(supported.contains(format),
+      s"unsupported format '$format' (this build carries: ${supported.mkString(", ")})")
+    require(format != "csv" || isFlat(df.schema),
+      "csv is flat-only: arrays/structs/maps would not survive the round trip")
+    val w = df.write.mode("overwrite")
+    format match {
+      case "csv" => w.option("header", "true")
+        .option("timestampFormat", tsPattern).csv(dir)
+      case "json" => w.option("timestampFormat", tsPattern).json(dir)
+      case "orc" => w.orc(dir)
+      case _ => w.parquet(dir)
+    }
+  }
+
+  /** Read back under the writer's schema — text formats never infer. */
+  def read(spark: SparkSession, dir: String, format: String,
+      schema: StructType): DataFrame = {
+    require(supported.contains(format),
+      s"unsupported format '$format' (this build carries: ${supported.mkString(", ")})")
+    format match {
+      case "csv" => spark.read.schema(schema).option("header", "true")
+        .option("timestampFormat", tsPattern).csv(dir)
+      case "json" => spark.read.schema(schema)
+        .option("timestampFormat", tsPattern).json(dir)
+      case "orc" => spark.read.schema(schema).orc(dir)
+      case _ => spark.read.schema(schema).parquet(dir)
+    }
+  }
+}
