@@ -4045,6 +4045,72 @@ object ExtensionQueries {
       |    AS cramers_v
       |FROM ag""".stripMargin
 
+  // ---------------------------------------------------------------------------
+  // x108 — kNN label agreement: for a deterministic 2% query sample
+  // (vec_id % 50 = 0), do the 5 nearest neighbors vote the vector's own
+  // label? The standard embedding-quality probe (low agreement = the space
+  // doesn't separate the classes; per-label rates localize which class
+  // bleeds). Scoring reuses x8's brute plan (corpus fanned out, queries
+  // broadcast) with the round-before-rank discipline, so both engines cut
+  // the identical neighbor set; votes are integer counts, the majority is
+  // max(count, then min label), and the rate is one rounded division.
+  // ---------------------------------------------------------------------------
+  def x108KnnAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val topk = Similarity.cosineScores(emb, emb.filter(col("vec_id") % 50 === 0))
+      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val votes = topk
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("c"))
+    val best = votes.groupBy("query_id")
+      .agg(max(struct(col("c"), (-col("n_label")).as("nl"))).as("m"))
+      .select(col("query_id"), (-col("m.nl")).as("voted"))
+    best
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        "query_id")
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("voted") === col("q_label"), 1L).otherwise(0L)).as("agree"))
+      .select(col("label"), col("n_queries"), col("agree"),
+        round(col("agree").cast("double") / col("n_queries").cast("double"), 6)
+          .as("agree_rate"))
+  }
+
+  private[queries] val x108Sql =
+    """WITH q AS (
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
+      |topk AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT t.query_id, e.label AS n_label, count(*) AS c
+      |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id GROUP BY 1, 2),
+      |best AS (
+      |  SELECT query_id, n_label AS voted FROM (
+      |    SELECT query_id, n_label, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY c DESC, n_label ASC) AS rn FROM votes)
+      |  WHERE rn = 1),
+      |ag AS (
+      |  SELECT q.label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+      |    CAST(sum(CASE WHEN b.voted = q.label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM best b JOIN q ON q.vec_id = b.query_id GROUP BY 1)
+      |SELECT label, n_queries, agree,
+      |  round(CAST(agree AS DOUBLE) / CAST(n_queries AS DOUBLE), 6) AS agree_rate
+      |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
     "x102_burstiness" -> (x102Burstiness _),
@@ -4053,6 +4119,7 @@ object ExtensionQueries {
     "x105_zipf_slope" -> (x105ZipfSlope _),
     "x106_hill_tail" -> (x106HillTail _),
     "x107_chi2_mix" -> (x107Chi2 _),
+    "x108_knn_agreement" -> (x108KnnAgreement _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -4199,6 +4266,7 @@ object ExtensionQueries {
     "x105_zipf_slope" -> x105Sql,
     "x106_hill_tail" -> x106Sql,
     "x107_chi2_mix" -> x107Sql,
+    "x108_knn_agreement" -> x108Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1865,6 +1865,40 @@ class ExtSpec extends AnyFunSuite {
     assert(fix._6 >= 0.0 && fix._6 <= 1.0, s"Cramer's V in [0,1]: $fix")
   }
 
+  test("x108 kNN agreement: clean clusters read 1.0, a planted mislabel is caught") {
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-x108").toString
+    // two tight clusters (same direction per cluster), 6 vectors each, ids
+    // chosen so exactly one per cluster is sampled (id % 50 == 0: 0 and 50);
+    // all labels consistent -> every sampled query agrees
+    def vec(base: Array[Float], eps: Float, i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, j) => if (j == i % 4) v + eps else v }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val clean = (0 to 5).map(i => (i.toLong * 50, vec(a, 0.01f * (i + 1), i), 1)) ++
+      (0 to 5).map(i => (i.toLong * 50 + 1, vec(b, 0.01f * (i + 1), i), 2))
+    clean.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = ExtensionQueries.queries("x108_knn_agreement")(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // sampled queries: ids 0,50,100,150,200,250 — all label 1
+    assert(out.keySet == Set(1), s"only label-1 vectors are sampled: $out")
+    assert(out(1) == ((1, 6L, 6L, 1.0)), s"clean clusters must agree 1.0: $out")
+    // plant: flip one sampled vector's label -> its 5 neighbors still vote 1
+    val planted = clean.map { case (id, v, l) => (id, v, if (id == 100L) 9 else l) }
+    planted.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out2 = ExtensionQueries.queries("x108_knn_agreement")(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out2(9) == ((9, 1L, 0L, 0.0)), s"the mislabel must read 0 agreement: $out2")
+    assert(out2(1)._3 == 5L, s"the remaining label-1 queries still agree: $out2")
+    // fixture identities at sf0.001: agreement bounded, sample partitioned
+    val fix = ExtensionQueries.queries("x108_knn_agreement")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    val sampled = emb.filter(col("vec_id") % 50 === 0).count()
+    assert(fix.map(_._2).sum == sampled, "every sampled query lands in one label row")
+    assert(fix.forall(r => r._3 <= r._2), "agreement bounded by query count")
+  }
+
   /** Textbook DP reference for the spec's brute-force cross-check. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -834,6 +834,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0, s"closed-form statistic needs no window:\n$p")
   }
 
+  test("kNN agreement: queries broadcast onto the fanned-out corpus, keyed rank cut (x108)") {
+    val p = plan("x108_knn_agreement")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 2% query sample must broadcast; the corpus streams once:\n$p")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("query_id"),
+      s"the rank cut partitions per query — never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
+  }
+
   test("Wilson CI: two hash aggregations, no join, no window (q57)") {
     val p = plan("q57_wilson_ci")
     assert(!p.toLowerCase.contains("join"),

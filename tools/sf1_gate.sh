@@ -15,6 +15,9 @@
 #    blocks quadratically are kept OUT only if measured slow; x41/x45 run.
 #  - s2-s10 streaming twins share batch oracles already replayed above at
 #    driver SFs; s1/s11/s12/s13 run here as the streaming representatives.
+#  - x108: its oracle re-scores a 2% query sample against the full corpus
+#    (4k x 200k list_cosine at sf1) — oracle cost, not engine cost; covered
+#    bitwise at the three driver SFs, engine benched at sf1.
 #  - x76: its oracle replays TWO brute-force all-pairs searches (64-dim
 #    and projected) — oracle cost at 10x; covered at the driver SFs.
 #  - x67: shares x2's oracle (the all-shingles join) — the ORACLE is the
