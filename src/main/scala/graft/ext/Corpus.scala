@@ -787,10 +787,18 @@ object Corpus {
       // projection don't each re-run the corpus aggregation
       .localCheckpoint()
     val tot = stats.agg(sum(col("w")).as("tw"))
+    // a fully degenerate corpus (every stratum zero-variance) gives tw = 0;
+    // dividing through would silently emit null allocations — fail fast
+    // with the actual condition instead (the pcaTopComponent discipline)
     stats.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_docs"),
         col("sd").cast("double").as("sd_chars"),
         floor(col("w").cast("double") * lit(budget.toDouble)
-          / col("tw").cast("double")).cast("long").as("alloc"))
+          / when(col("tw").cast("double") > 0d, col("tw").cast("double"))
+            .otherwise(raise_error(lit(
+              "neymanAllocation: total Neyman weight is zero — every stratum "
+                + "has zero variance, so the variance-proportional design is "
+                + "undefined (use proportional-to-N allocation instead)"))))
+          .cast("long").as("alloc"))
   }
 }

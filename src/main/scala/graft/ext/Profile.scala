@@ -93,20 +93,34 @@ object Profile {
     * the 9·|groups| census, not rows. Determinism: expected probabilities
     * are 6dp literals; expected counts are exact integer·DECIMAL products;
     * each chi term is DECIMAL-cast after two IEEE ops on exact inputs and
-    * the group chi2 is a DECIMAL sum — bitwise. */
+    * the group chi2 is a DECIMAL sum — bitwise.
+    *
+    * The leading digit comes from |cents|, so negative amounts test like
+    * their magnitudes instead of evading the grid as '-'; zero-cent rows
+    * have no leading digit and are counted OUT LOUD in `excluded` — an
+    * audit that silently drops rows is itself the kind of blind spot it
+    * exists to catch (a fabricated feed of zeros would otherwise sail
+    * through untested). */
   def benfordAudit(rows: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 6)
     // round(log10(1 + 1/d), 6) for d = 1..9, inlined as literals so both
     // engines see constants, not a libm call on the data path
     val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
-    val obs = rows
+    val digits = rows
       .select(col(groupCol).as("grp"),
-        substring(round(col(valueCol) * 100).cast("long").cast("string"), 1, 1)
-          .cast("int").as("digit"))
+        abs(round(col(valueCol) * 100).cast("long")).as("cents"))
+      .withColumn("digit",
+        when(col("cents") === 0L, lit(null))
+          .otherwise(substring(col("cents").cast("string"), 1, 1).cast("int")))
+    val obs = digits.filter(col("digit").isNotNull)
       .groupBy("grp", "digit").agg(count(lit(1)).as("obs"))
-    val grid = obs.select("grp").distinct()
-      .crossJoin(spark(obs).range(1, 10).select(col("id").cast("int").as("digit")))
+    // every group keeps its row in the report even if all-zero, and the
+    // zero-cent drop count rides along so the audit shows what it skipped
+    val excluded = digits.groupBy("grp")
+      .agg(sum(when(col("digit").isNull, 1L).otherwise(0L)).as("excluded"))
+    val grid = excluded.select("grp")
+      .crossJoin(spark(excluded).range(1, 10).select(col("id").cast("int").as("digit")))
     // DECIMAL(8,6), not (27,6): the p·n product must stay inside the 38-digit
     // decimal cap on every engine (8 + 18 + 1 = 27 digits)
     val pExpr = benford.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (p, i)) =>
@@ -118,16 +132,21 @@ object Profile {
       .withColumn("n", sum(col("obs")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("grp")))
       .withColumn("exp_cnt", (pExpr * col("n")).cast(dec))
-      .withColumn("chi_term", round(
-        (col("obs").cast("double") - col("exp_cnt").cast("double"))
-          * (col("obs").cast("double") - col("exp_cnt").cast("double"))
-          / col("exp_cnt").cast("double"), 6).cast(dec))
+      // n = 0 (a group whose every row was excluded as zero-cent) has
+      // nothing to test: chi terms pin to 0 instead of dividing 0/0
+      .withColumn("chi_term", when(col("n") === 0L, lit(0.0).cast(dec))
+        .otherwise(round(
+          (col("obs").cast("double") - col("exp_cnt").cast("double"))
+            * (col("obs").cast("double") - col("exp_cnt").cast("double"))
+            / col("exp_cnt").cast("double"), 6).cast(dec)))
     filled
       .withColumn("chi2", sum(col("chi_term")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("grp")).cast("double"))
+      .join(excluded, Seq("grp"))
       .select(col("grp"), col("digit"), col("obs"),
         col("exp_cnt").cast("double").as("exp_cnt"),
-        col("chi_term").cast("double").as("chi_term"), col("chi2"))
+        col("chi_term").cast("double").as("chi_term"), col("chi2"),
+        col("excluded"))
   }
 
   private def spark(df: DataFrame) = df.sparkSession

@@ -532,12 +532,27 @@ object Similarity {
   }
 
   /** Probe a persisted IVF index (see [[buildIvfIndex]]). Same output as
-    * [[cosineTopKIvf]] over the corpus the index was built from. */
+    * [[cosineTopKIvf]] over the corpus the index was built from.
+    *
+    * The probed cluster list is tiny and known up front (<= min(nlist,
+    * nprobe * |queries|)), so it is pushed into the postings scan as a
+    * STATIC partition filter — only the probed clusters' directories are
+    * listed or read, independent of how many clusters the index holds
+    * (the same treatment as the quantized probe; PlanAuditSpec pins it).
+    * The filter changes nothing semantically: ivfScore's equi-join on
+    * cluster_id already discards every unprobed cluster. */
   def cosineTopKIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
+    val probeClusters = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      centroids, "query_id", "q_vec", keep = nprobe)
+      .select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: <= nlist rows
     val assigned = spark.read.parquet(s"$path/postings")
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .filter(col("cluster_id").isin(probeClusters: _*))
       .select(col("neighbor_id"), col("c_vec"), col("cluster_id"))
     ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
   }
@@ -865,6 +880,14 @@ object Similarity {
         max(when(col("rn") === 1, col("centroid_id"))).as("cluster_id"),
         max(when(col("rn") === 1, round(col("rawcos"), 6))).as("own_cos"),
         max(when(col("rn") === 2, round(col("rawcos"), 6))).as("other_cos"))
+      // nlist >= 2 was required, but a sub-2-vector corpus still yields one
+      // centroid and no rank-2 row; a null other_cos would null s and skew
+      // the null-skipping mean toward 0 silently — fail fast instead
+      .withColumn("other_cos",
+        when(col("other_cos").isNotNull, col("other_cos"))
+          .otherwise(raise_error(lit(
+            "silhouetteSimplified: no second centroid to compare against "
+              + "(corpus has fewer than 2 vectors?) — silhouette is undefined"))))
     val a = lit(1.0) - col("own_cos")
     val b = lit(1.0) - col("other_cos")
     per

@@ -13,6 +13,13 @@ import org.apache.spark.sql.types.StructType
   * Format notes, encoded as guards rather than prose:
   * - `csv` is flat-only (no arrays/structs/maps) — writing a nested schema
   *   through it would corrupt silently on some engines, so it's rejected.
+  * - `csv` writes NULL as an explicit `\N` sentinel (and reads it back as
+  *   NULL) so SQL NULL and the empty string survive as distinct values —
+  *   the default empty-string-for-both convention silently collapses them
+  *   on read. Reads are `multiLine`, so a quoted field containing a line
+  *   separator stays one row instead of corrupting the ones after it.
+  *   Known residual (spec-pinned): a LITERAL `\N` string value collapses
+  *   to NULL on read — the parser matches the sentinel post-unquoting.
   * - `json`/`csv` round-trip timestamps through an explicit ISO pattern;
   *   parquet/orc keep their native logical types.
   * - `avro` needs the spark-avro connector, which this build does not
@@ -25,6 +32,12 @@ object Formats {
   val supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
 
   private val tsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  // NULL sentinel for csv: anything that cannot collide with real data once
+  // quoted — the MySQL/Hive convention. Written for NULL, parsed back to
+  // NULL; a genuine "\N" string value is quoted by the writer and therefore
+  // NOT matched by the reader's unquoted-null rule.
+  private val csvNull = "\\N"
 
   private def isFlat(schema: StructType): Boolean =
     schema.fields.forall(f => f.dataType match {
@@ -42,7 +55,10 @@ object Formats {
     val w = df.write.mode("overwrite")
     format match {
       case "csv" => w.option("header", "true")
-        .option("timestampFormat", tsPattern).csv(dir)
+        .option("timestampFormat", tsPattern)
+        .option("nullValue", csvNull)   // NULL → \N, not ""
+        .option("emptyValue", "\"\"")   // "" → quoted empty, not nothing
+        .csv(dir)
       case "json" => w.option("timestampFormat", tsPattern).json(dir)
       case "orc" => w.orc(dir)
       case _ => w.parquet(dir)
@@ -56,7 +72,11 @@ object Formats {
       s"unsupported format '$format' (this build carries: ${supported.mkString(", ")})")
     format match {
       case "csv" => spark.read.schema(schema).option("header", "true")
-        .option("timestampFormat", tsPattern).csv(dir)
+        .option("timestampFormat", tsPattern)
+        .option("nullValue", csvNull)
+        .option("emptyValue", "")       // quoted empty parses back to ""
+        .option("multiLine", "true")    // embedded \n stays inside its row
+        .csv(dir)
       case "json" => spark.read.schema(schema)
         .option("timestampFormat", tsPattern).json(dir)
       case "orc" => spark.read.schema(schema).orc(dir)

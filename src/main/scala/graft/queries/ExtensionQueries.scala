@@ -3585,11 +3585,15 @@ object ExtensionQueries {
   private[queries] val x96Sql =
     """WITH d AS (
       |  SELECT o_orderpriority AS grp,
-      |    CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-      |      1, 1) AS INTEGER) AS digit
+      |    CASE WHEN abs(CAST(round(o_totalprice * 100) AS BIGINT)) = 0 THEN NULL
+      |      ELSE CAST(substring(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT))
+      |        AS VARCHAR), 1, 1) AS INTEGER) END AS digit
       |  FROM orders),
-      |o AS (SELECT grp, digit, count(*) AS obs FROM d GROUP BY 1, 2),
-      |grps AS (SELECT DISTINCT grp FROM o),
+      |o AS (SELECT grp, digit, count(*) AS obs FROM d
+      |      WHERE digit IS NOT NULL GROUP BY 1, 2),
+      |ex AS (SELECT grp, CAST(sum(CASE WHEN digit IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS excluded FROM d GROUP BY 1),
+      |grps AS (SELECT grp FROM ex),
       |p AS (
       |  SELECT digit, CAST(CASE digit
       |    WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
@@ -3608,17 +3612,18 @@ object ExtensionQueries {
       |t AS (
       |  SELECT grp, digit, CAST(obs AS BIGINT) AS obs,
       |    CAST(p * n AS DECIMAL(27,6)) AS exp_cnt,
-      |    CAST(round(
+      |    CASE WHEN n = 0 THEN CAST(0.0 AS DECIMAL(27,6)) ELSE CAST(round(
       |      (CAST(obs AS DOUBLE) - CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE))
       |      * (CAST(obs AS DOUBLE) - CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE))
       |      / CAST(CAST(p * n AS DECIMAL(27,6)) AS DOUBLE), 6)
-      |      AS DECIMAL(27,6)) AS chi_term
+      |      AS DECIMAL(27,6)) END AS chi_term
       |  FROM w)
       |SELECT grp AS o_orderpriority, digit, obs,
       |  CAST(exp_cnt AS DOUBLE) AS exp_cnt,
       |  CAST(chi_term AS DOUBLE) AS chi_term,
-      |  CAST(sum(chi_term) OVER (PARTITION BY grp) AS DOUBLE) AS chi2
-      |FROM t""".stripMargin
+      |  CAST(sum(chi_term) OVER (PARTITION BY grp) AS DOUBLE) AS chi2,
+      |  ex.excluded AS excluded
+      |FROM t JOIN ex USING (grp)""".stripMargin
 
   // ---------------------------------------------------------------------------
   // x97 — Gini token-mass concentration per source (Lorenz curve on the term
@@ -4046,24 +4051,40 @@ object ExtensionQueries {
       |FROM ag""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // x108 — kNN label agreement: for a deterministic 2% query sample
-  // (vec_id % 50 = 0), do the 5 nearest neighbors vote the vector's own
-  // label? The standard embedding-quality probe (low agreement = the space
-  // doesn't separate the classes; per-label rates localize which class
-  // bleeds). Scoring reuses x8's brute plan (corpus fanned out, queries
-  // broadcast) with the round-before-rank discipline, so both engines cut
-  // the identical neighbor set; votes are integer counts, the majority is
-  // max(count, then min label), and the rate is one rounded division.
+  // x108 — kNN label agreement: for a deterministic bounded query sample, do
+  // the 5 nearest neighbors vote the vector's own label? The standard
+  // embedding-quality probe (low agreement = the space doesn't separate the
+  // classes; per-label rates localize which class bleeds).
+  //
+  // Scale shape (the round-6 fix): the sample is an ABSOLUTE 256-row cap —
+  // the 256 corpus rows with the smallest signed md5-low-64 of 'knn:'||id
+  // (one TakeOrdered over a narrow scan, not a fraction that keeps the
+  // audit quadratic) — and scoring probes the PERSISTED IVF index shared
+  // with x13 (partition-pruned postings: 256 · |corpus| · nprobe / nlist
+  // cosines instead of 256 · |corpus|). Both stages are bit-replayed by the
+  // oracle: the md5 sample order, the x13 centroid/assignment CTE, and the
+  // round-before-rank neighbor cut. Votes are integer counts, the majority
+  // is max(count, then min label), the rate one rounded division. x109
+  // keeps the brute-scored form as the ground-truth twin (x67-vs-x2
+  // discipline); AnnAgreementSpec holds the two within tolerance.
   // ---------------------------------------------------------------------------
-  def x108KnnAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    val topk = Similarity.cosineScores(emb, emb.filter(col("vec_id") % 50 === 0))
-      .withColumn("cosine", round(col("cosine"), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+  private val knnSampleCap = 256
+
+  /** The audit's query sample: `knnSampleCap` rows by signed md5-low-64 of
+    * 'knn:'||vec_id (ties to vec_id) — deterministic, uniform, and O(n scan
+    * + cap·log(cap) driver merge) at any corpus size. */
+  private def knnAuditSample(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("_h", graft.functions.HashFunctions.md5_lo64(
+        concat(lit("knn:"), col("vec_id").cast("string"))))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(knnSampleCap)
+      .drop("_h")
+
+  /** Majority-vote agreement over a (query_id, neighbor_id) top-k set:
+    * per-label query counts, agreements, and the agreement rate. */
+  private def knnAgreement(topk: DataFrame, emb: DataFrame,
+      sample: DataFrame): DataFrame = {
     val votes = topk
       .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
         "neighbor_id")
@@ -4072,7 +4093,7 @@ object ExtensionQueries {
       .agg(max(struct(col("c"), (-col("n_label")).as("nl"))).as("m"))
       .select(col("query_id"), (-col("m.nl")).as("voted"))
     best
-      .join(emb.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+      .join(sample.select(col("vec_id").as("query_id"), col("label").as("q_label")),
         "query_id")
       .groupBy(col("q_label").as("label"))
       .agg(count(lit(1)).as("n_queries"),
@@ -4082,20 +4103,53 @@ object ExtensionQueries {
           .as("agree_rate"))
   }
 
-  private[queries] val x108Sql =
-    """WITH q AS (
-      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0),
-      |scored AS (
-      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-      |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id),
-      |topk AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
-      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
-      |  WHERE rank <= 5),
-      |votes AS (
+  def x108KnnAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // same staged index as x13 — build-once/probe-many, the serving shape
+    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+      Seq("embeddings.parquet")) { tmp =>
+      Similarity.buildIvfIndex(emb, tmp.toString)
+    }
+    val sample = knnAuditSample(emb)
+    val topk = Similarity.cosineTopKIvfIndexed(spark, stage.toString, sample, k = 5)
+    knnAgreement(topk, emb, sample)
+  }
+
+  /** x109 — the brute-scored ground-truth twin of x108 (same capped sample,
+    * x8's exact plan): verification-only at driver SFs, like x2 for x67 —
+    * its cost is cap·|corpus| by construction, so the IVF-probed x108 is
+    * the scale path. */
+  def x109KnnAgreementBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val sample = knnAuditSample(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val topk = Similarity.cosineScores(emb, sample)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    knnAgreement(topk, emb, sample)
+  }
+
+  /** The md5-capped sample CTE shared by the x108/x109 oracles — the
+    * engine's signed-low-64 ordering restated (md5_number_lower is unsigned
+    * HUGEINT; two's-complement fold makes it the JVM long). */
+  private val knnSampleCte =
+    s"""samp AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  ORDER BY CASE WHEN md5_number_lower('knn:' || CAST(vec_id AS VARCHAR))
+      |                     >= 9223372036854775808
+      |            THEN CAST(md5_number_lower('knn:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |                 - 18446744073709551616
+      |            ELSE CAST(md5_number_lower('knn:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
+      |            END ASC, vec_id ASC
+      |  LIMIT $knnSampleCap)""".stripMargin
+
+  /** Vote/majority/agreement tail shared by both oracles (expects `topk` =
+    * (query_id, neighbor_id) and `samp` in scope). */
+  private val knnAgreementTailSql =
+    """votes AS (
       |  SELECT t.query_id, e.label AS n_label, count(*) AS c
       |  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id GROUP BY 1, 2),
       |best AS (
@@ -4104,12 +4158,52 @@ object ExtensionQueries {
       |      ORDER BY c DESC, n_label ASC) AS rn FROM votes)
       |  WHERE rn = 1),
       |ag AS (
-      |  SELECT q.label AS label, CAST(count(*) AS BIGINT) AS n_queries,
-      |    CAST(sum(CASE WHEN b.voted = q.label THEN 1 ELSE 0 END) AS BIGINT) AS agree
-      |  FROM best b JOIN q ON q.vec_id = b.query_id GROUP BY 1)
+      |  SELECT s.label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+      |    CAST(sum(CASE WHEN b.voted = s.label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM best b JOIN samp s ON s.vec_id = b.query_id GROUP BY 1)
       |SELECT label, n_queries, agree,
       |  round(CAST(agree AS DOUBLE) / CAST(n_queries AS DOUBLE), 6) AS agree_rate
       |FROM ag""".stripMargin
+
+  private[queries] lazy val x108Sql =
+    s"""WITH $ivfAssignCte,
+      |$knnSampleCte,
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
+      |  FROM (
+      |    SELECT s.vec_id, s.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY s.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+      |                                        CAST(c.centroid_vec AS DOUBLE[])) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM samp s CROSS JOIN centroids c)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT DISTINCT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |                                 CAST(a.c_vec AS DOUBLE[])), 6) AS cosine
+      |  FROM probes p JOIN assigned a ON p.cluster_id = a.cluster_id
+      |  WHERE p.query_id <> a.neighbor_id),
+      |topk AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 5),
+      |$knnAgreementTailSql""".stripMargin
+
+  private[queries] lazy val x109Sql =
+    s"""WITH $knnSampleCte,
+      |scored AS (
+      |  SELECT s.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+      |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM samp s JOIN embeddings e ON s.vec_id <> e.vec_id),
+      |topk AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      |  WHERE rank <= 5),
+      |$knnAgreementTailSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x101_survival" -> (x101Survival _),
@@ -4120,6 +4214,7 @@ object ExtensionQueries {
     "x106_hill_tail" -> (x106HillTail _),
     "x107_chi2_mix" -> (x107Chi2 _),
     "x108_knn_agreement" -> (x108KnnAgreement _),
+    "x109_knn_agreement_brute" -> (x109KnnAgreementBrute _),
     "x99_winsorize" -> (x99Winsorize _),
     "x100_vocab_growth" -> (x100VocabGrowth _),
     "x98_neyman_alloc" -> (x98Neyman _),
@@ -4267,6 +4362,7 @@ object ExtensionQueries {
     "x106_hill_tail" -> x106Sql,
     "x107_chi2_mix" -> x107Sql,
     "x108_knn_agreement" -> x108Sql,
+    "x109_knn_agreement_brute" -> x109Sql,
     "x9_knn_lsh" -> x9Sql,
     "x13_knn_ivf" -> x13Sql,
     "x15_embedding_pairs_lsh" -> x15Sql,

@@ -1272,17 +1272,25 @@ object StreamingQueries {
   private[graft] def s24BenfordFrame(rows: DataFrame): DataFrame =
     rows
       .select(col("event_type"),
-        substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
-          .cast("int").as("digit"))
+        abs(round(col("value") * 100).cast("long")).as("cents"))
+      // |cents| so negative amounts test as their magnitudes (not '-'),
+      // zero-cent rows filtered stateless-side: they have no leading digit
+      // (the batch audit counts them in `excluded`; the live census keys
+      // strictly on digits so its state stays 9·|types|-bounded)
+      .filter(col("cents") =!= 0L)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("event_type", "digit")
       .agg(count(lit(1)).as("obs"))
 
   private val s24Sql =
     """SELECT event_type,
-      |  CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
-      |    AS INTEGER) AS digit,
+      |  CAST(substring(CAST(abs(CAST(round(value * 100) AS BIGINT)) AS VARCHAR),
+      |    1, 1) AS INTEGER) AS digit,
       |  count(*) AS obs
-      |FROM events GROUP BY 1, 2""".stripMargin
+      |FROM events
+      |WHERE abs(CAST(round(value * 100) AS BIGINT)) <> 0
+      |GROUP BY 1, 2""".stripMargin
 
   /** Streaming winsorization enforcement (x99's live half): batch-planned
     * p5/p95 clip thresholds enforced on the value stream — per event type,

@@ -25,6 +25,18 @@ object EntrySmoke {
     println(s"QUERIES=${qk.size} ORACLES=${ok.size} ORACLES_SUBSET=${ok.subsetOf(qk)} ROWS_ONLY=${(qk -- ok).toSeq.sorted.mkString(",")}")
     require(n > 0, "entry returned 0 rows")
     require(ok.subsetOf(qk), "oracle declared for a missing query")
+    // every query needs an sf1 story: a gate replay entry or a documented
+    // exclusion (the round-6 late-landing-operator failure mode)
+    val uncovered = Sf1Coverage.uncovered(qk)
+    val stale = Sf1Coverage.stale(qk)
+    println(s"SF1_UNCOVERED=${uncovered.toSeq.sorted.mkString(",")}")
+    println(s"SF1_STALE=${stale.toSeq.sorted.mkString(",")}")
+    require(uncovered.isEmpty,
+      s"queries with neither an sf1 gate entry nor a documented exclusion: " +
+        s"${uncovered.toSeq.sorted.mkString(", ")}")
+    require(stale.isEmpty,
+      s"sf1 gate/exclusion rows for unregistered or doubly-listed queries: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   *    ~1% of a coordinate) so ANN at sf1 searches 10x distinct vectors
   *    rather than bitwise clones.
   *
-  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [copies]"
+  * Optional 4th arg `hotPct` (default 0 = off) plants a genuinely HOT
+  * user: that percentage of ALL replicated events is deterministically
+  * reassigned (hash of event_id) to one existing copy-0 user. At
+  * hotPct=10 over 10 copies the hot user carries ~1500x the median user's
+  * events — the `player_name`-skew shape from the reference's report
+  * paths (SURVEY §7.4.7), used to prove the per-user aggregation/window
+  * queries hold their slopes under skew (AQE skew-join / salted paths
+  * engaging) rather than serializing one reducer.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [copies] [hotPct]"
   */
 object ScaleUp {
   private val Stride = 1000000000L
@@ -34,6 +43,8 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/localdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val hotPct = args.lift(3).map(_.toInt).getOrElse(0)
+    require(hotPct >= 0 && hotPct <= 50, "hotPct must be in [0, 50]")
     val spark = Sessions.local(
       math.min(Runtime.getRuntime.availableProcessors, 32), "graft-scaleup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,7 +71,21 @@ object ScaleUp {
     write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
     write(replicate(read("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    val events = replicate(read("events"), Seq("event_id", "user_id"))
+    val skewed =
+      if (hotPct == 0) events
+      else {
+        // one EXISTING copy-0 user absorbs hotPct% of every copy's events;
+        // selection hashes event_id so the hot subset is deterministic and
+        // spread uniformly over time/type (a real celebrity-user shape,
+        // not one contiguous block)
+        val hotId = read("events").agg(min(col("user_id"))).head.getLong(0)
+        println(s"SCALEUP hot user=$hotId pct=$hotPct")
+        events.withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(100L)) < hotPct, lit(hotId))
+            .otherwise(col("user_id")))
+      }
+    write(skewed, "events")
     write(replicate(read("documents"), Seq("doc_id")), "documents")
     write(replicate(read("embeddings"), Seq("vec_id"),
       perCopy = (d, k) =>

@@ -1,0 +1,48 @@
+package graft.tools
+
+/** The round-6 recurring failure mode: an operator lands after the sf1
+  * sweep and ships with no 10x measurement at all. This closes the loop
+  * structurally — every registered query must either be in the
+  * `tools/sf1_gate.sh` replay list or carry a documented exclusion line in
+  * `tools/sf1_exclusions.txt` (name + reason, the oracle-cost/ground-truth
+  * -twin cases). EntrySmoke and Sf1CoverageSpec both assert it, so a query
+  * cannot register without declaring its 10x story.
+  */
+object Sf1Coverage {
+  private val nameRe = "[qrsx][0-9]+_[a-z0-9_]+".r
+
+  /** Query names in the sf1 gate's ONLY list (parsed after `ONLY=` so the
+    * header's prose exclusion notes are never miscounted as entries). */
+  def gateNames(root: String = "."): Set[String] = {
+    val txt = scala.io.Source.fromFile(s"$root/tools/sf1_gate.sh", "UTF-8").mkString
+    val after = txt.split("ONLY=", 2)
+    require(after.length == 2, "sf1_gate.sh lost its ONLY list")
+    nameRe.findAllIn(after(1)).toSet
+  }
+
+  /** Documented exclusions: `name  reason` lines, '#' comments allowed. */
+  def excludedNames(root: String = "."): Map[String, String] = {
+    scala.io.Source.fromFile(s"$root/tools/sf1_exclusions.txt", "UTF-8")
+      .getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\s+", 2)
+        require(parts.length == 2 && parts(1).trim.nonEmpty,
+          s"sf1_exclusions.txt line needs 'name reason': '$l'")
+        parts(0) -> parts(1).trim
+      }
+      .toMap
+  }
+
+  /** Registered queries with neither a gate entry nor a documented
+    * exclusion — must be empty. */
+  def uncovered(queryNames: Set[String], root: String = "."): Set[String] =
+    queryNames -- gateNames(root) -- excludedNames(root).keySet
+
+  /** Stale rows: gate/exclusion entries for queries that no longer exist,
+    * and names listed BOTH ways (an exclusion for a query the gate runs). */
+  def stale(queryNames: Set[String], root: String = "."): Set[String] =
+    (gateNames(root) -- queryNames) ++ (excludedNames(root).keySet -- queryNames) ++
+      (gateNames(root) intersect excludedNames(root).keySet)
+}

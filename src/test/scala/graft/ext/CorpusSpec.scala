@@ -345,6 +345,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.exists(r => reseeded(r._1) != r._3), "seed changes the order")
   }
 
+  test("neymanAllocation fails fast on a fully degenerate corpus (all sd = 0)") {
+    // every stratum zero-variance -> total weight 0: the division must not
+    // silently emit null allocations (the pcaTopComponent raise_error
+    // discipline)
+    val flat = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val e = intercept[Exception] {
+      Corpus.neymanAllocation(flat, col("source"), col("n_chars"), 100L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("zero variance"),
+      s"degenerate design must name the condition: ${e.getMessage}")
+  }
+
   test("neymanAllocation: uniform stratum earns 0, allocation tracks N*sd, budget respected") {
     // s1: 3 docs all length 10 (sd 0) — earns nothing despite its size;
     // s2: 2 docs lengths 10/30 (sd 10); s3: 4 docs lengths 0/10/20/30

@@ -1212,6 +1212,20 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got.toSet, "pairs must be bitwise layout-invariant")
   }
 
+  test("silhouetteSimplified fails fast when no second centroid exists") {
+    // one-vector corpus: nlist >= 2 passes the require, but the centroid
+    // sample has a single row, so other_cos would be null and the
+    // null-skipping mean would read a silent 0-ish silhouette — the guard
+    // must surface the condition instead
+    val lone = Seq((1L, Array(1f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.silhouetteSimplified(lone, nlist = 16).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("second centroid"),
+      s"degenerate corpus must name the condition: ${e.getMessage}")
+  }
+
   test("silhouetteSimplified: bounds, coverage, and a full driver-side replay agree") {
     val out = Similarity.silhouetteSimplified(emb, nlist = 16)
       .as[(Long, Long, Double)].collect()
@@ -1545,24 +1559,30 @@ class ExtSpec extends AnyFunSuite {
     assert(full == expect, "fixture replay must match bitwise")
   }
 
-  test("benfordAudit: digit census exact, zero-digit grid completion, chi2 replay") {
+  test("benfordAudit: digit census exact, abs/zero handling visible, chi2 replay") {
+    // -4.56 must test as digit 4 (magnitude, not '-'); 0.00 has no leading
+    // digit and must be counted in `excluded`, not silently dropped
     val rows = Seq(
-      ("g1", 1.23), ("g1", 19.99), ("g1", 0.02), ("g1", 3.50),
-      ("g2", 9.99), ("g2", 0.91)).toDF("grp", "amount")
+      ("g1", 1.23), ("g1", 19.99), ("g1", 0.02), ("g1", 3.50), ("g1", -4.56),
+      ("g2", 9.99), ("g2", 0.91), ("g2", 0.0)).toDF("grp", "amount")
     val out = Profile.benfordAudit(rows, "amount", "grp")
-      .as[(String, Int, Long, Double, Double, Double)].collect()
+      .as[(String, Int, Long, Double, Double, Double, Long)].collect()
     assert(out.length == 18, s"9-digit grid per group: ${out.length}")
     val g1 = out.filter(_._1 == "g1").map(r => r._2 -> r).toMap
-    assert(g1(1)._3 == 2L && g1(2)._3 == 1L && g1(3)._3 == 1L && g1(4)._3 == 0L,
-      s"observed digit census: ${g1.values.toSeq.sortBy(_._2)}")
+    val g2 = out.filter(_._1 == "g2").map(r => r._2 -> r).toMap
+    assert(g1(1)._3 == 2L && g1(2)._3 == 1L && g1(3)._3 == 1L && g1(4)._3 == 1L,
+      s"observed digit census (|-4.56| lands on 4): ${g1.values.toSeq.sortBy(_._2)}")
+    assert(g1.values.forall(_._7 == 0L), s"g1 excluded nothing: ${g1(1)}")
+    assert(g2.values.forall(_._7 == 1L), s"g2's zero row is counted out loud: ${g2(1)}")
+    assert(g2(9)._3 == 2L, s"g2 digits: ${g2.values.toSeq.sortBy(_._2)}")
     // chi2 replay with identical arithmetic (6dp expected literals,
-    // exact-decimal expected counts, DECIMAL term sum)
+    // exact-decimal expected counts, DECIMAL term sum); g1 n = 5 tested rows
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val p = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
       0.066947, 0.057992, 0.051153, 0.045757)
     val chi2 = (1 to 9).map { d =>
-      val e = BigDecimal(p(d - 1)).setScale(6) * BigDecimal(4)
+      val e = BigDecimal(p(d - 1)).setScale(6) * BigDecimal(5)
       val dev = g1(d)._3.toDouble - e.toDouble
       BigDecimal(r6(dev * dev / e.toDouble)).setScale(6)
     }.foldLeft(BigDecimal(0))(_ + _).toDouble
@@ -1570,9 +1590,15 @@ class ExtSpec extends AnyFunSuite {
     assert(g1.values.map(_._6).toSet.size == 1, "chi2 is constant within a group")
     // expected counts carry the group total: the 6dp Benford literals
     // telescope to exactly 1.000000 (Σ log10(1+1/d) = log10(10)), so the
-    // expected mass equals n
+    // expected mass equals n (the TESTED rows, zero-cent exclusions out)
     val expSum = g1.values.map(_._4).sum
-    assert(math.abs(expSum - 4.0) < 1e-9, s"expected-count mass: $expSum")
+    assert(math.abs(expSum - 5.0) < 1e-9, s"expected-count mass: $expSum")
+    // an all-zero group tests nothing and says so: chi2 0, n excluded
+    val z = Profile.benfordAudit(
+      Seq(("z", 0.0), ("z", 0.0)).toDF("grp", "amount"), "amount", "grp")
+      .as[(String, Int, Long, Double, Double, Double, Long)].collect()
+    assert(z.length == 9 && z.forall(r => r._3 == 0L && r._6 == 0.0 && r._7 == 2L),
+      s"all-zero group: ${z.toSeq}")
   }
 
   test("winsorizeAudit: exact percentile thresholds, clip census, moved mass identity") {
@@ -1865,12 +1891,12 @@ class ExtSpec extends AnyFunSuite {
     assert(fix._6 >= 0.0 && fix._6 <= 1.0, s"Cramer's V in [0,1]: $fix")
   }
 
-  test("x108 kNN agreement: clean clusters read 1.0, a planted mislabel is caught") {
+  test("kNN agreement: clean clusters read 1.0, a planted mislabel is caught (x109 brute)") {
     import graft.queries.ExtensionQueries
-    val dir = java.nio.file.Files.createTempDirectory("graft-x108").toString
-    // two tight clusters (same direction per cluster), 6 vectors each, ids
-    // chosen so exactly one per cluster is sampled (id % 50 == 0: 0 and 50);
-    // all labels consistent -> every sampled query agrees
+    val dir = java.nio.file.Files.createTempDirectory("graft-x109").toString
+    // two tight clusters (same direction per cluster), 6 vectors each; the
+    // corpus is far below the 256 sample cap, so EVERY vector is a query —
+    // all labels consistent -> every query agrees with its cluster's vote
     def vec(base: Array[Float], eps: Float, i: Int): Array[Float] =
       base.zipWithIndex.map { case (v, j) => if (j == i % 4) v + eps else v }
     val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
@@ -1878,25 +1904,41 @@ class ExtSpec extends AnyFunSuite {
       (0 to 5).map(i => (i.toLong * 50 + 1, vec(b, 0.01f * (i + 1), i), 2))
     clean.toDF("vec_id", "embedding", "label").write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
-    val out = ExtensionQueries.queries("x108_knn_agreement")(spark, dir)
+    val out = ExtensionQueries.queries("x109_knn_agreement_brute")(spark, dir)
       .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    // sampled queries: ids 0,50,100,150,200,250 — all label 1
-    assert(out.keySet == Set(1), s"only label-1 vectors are sampled: $out")
-    assert(out(1) == ((1, 6L, 6L, 1.0)), s"clean clusters must agree 1.0: $out")
-    // plant: flip one sampled vector's label -> its 5 neighbors still vote 1
+    assert(out.keySet == Set(1, 2), s"every vector is sampled under the cap: $out")
+    assert(out(1) == ((1, 6L, 6L, 1.0)) && out(2) == ((2, 6L, 6L, 1.0)),
+      s"clean clusters must agree 1.0: $out")
+    // plant: flip one vector's label -> its 5 neighbors still vote 1
     val planted = clean.map { case (id, v, l) => (id, v, if (id == 100L) 9 else l) }
     planted.toDF("vec_id", "embedding", "label").write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
-    val out2 = ExtensionQueries.queries("x108_knn_agreement")(spark, dir)
+    val out2 = ExtensionQueries.queries("x109_knn_agreement_brute")(spark, dir)
       .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(out2(9) == ((9, 1L, 0L, 0.0)), s"the mislabel must read 0 agreement: $out2")
     assert(out2(1)._3 == 5L, s"the remaining label-1 queries still agree: $out2")
-    // fixture identities at sf0.001: agreement bounded, sample partitioned
-    val fix = ExtensionQueries.queries("x108_knn_agreement")(spark, sf)
-      .as[(Int, Long, Long, Double)].collect()
-    val sampled = emb.filter(col("vec_id") % 50 === 0).count()
-    assert(fix.map(_._2).sum == sampled, "every sampled query lands in one label row")
-    assert(fix.forall(r => r._3 <= r._2), "agreement bounded by query count")
+  }
+
+  test("x108 IVF-probed agreement tracks the x109 brute twin") {
+    import graft.queries.ExtensionQueries
+    // identical capped sample on both paths -> identical per-label query
+    // counts; rates may differ only where the 4-probe misses a true
+    // neighbor, so the fixture audit must stay within recall tolerance
+    val ivf = ExtensionQueries.queries("x108_knn_agreement")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val brute = ExtensionQueries.queries("x109_knn_agreement_brute")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ivf.keySet == brute.keySet, s"same label partition: $ivf vs $brute")
+    assert(ivf.keySet.forall(l => ivf(l)._2 == brute(l)._2),
+      s"the md5-capped sample is the same on both paths: $ivf vs $brute")
+    val n = ivf.values.map(_._2).sum
+    assert(n == math.min(256L, emb.count()), s"sample is the 256-cap: $n")
+    ivf.keySet.foreach { l =>
+      assert(math.abs(ivf(l)._4 - brute(l)._4) <= 0.34,
+        s"IVF agreement must track brute within recall tolerance at label $l: " +
+          s"${ivf(l)} vs ${brute(l)}")
+    }
+    assert(ivf.values.forall(r => r._3 <= r._2), "agreement bounded by query count")
   }
 
   /** Textbook DP reference for the spec's brute-force cross-check. */

@@ -43,6 +43,35 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("csv round-trips NULL vs empty string vs embedded newline distinctly") {
+    // the three classic csv corruption cases: "" collapsing to NULL, NULL
+    // collapsing to "", and an embedded line separator splitting the row
+    val tricky = Seq(
+      (1L, Option("plain")),
+      (2L, Option("")),               // empty string, NOT null
+      (3L, Option.empty[String]),     // SQL NULL, NOT ""
+      (4L, Option("line one\nline two")), // embedded newline
+      (6L, Option("quoted \"inner\" text,with,commas"))
+    ).toDF("id", "s")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-formats-c").toString
+    Formats.write(tricky, s"$tmp/csv", "csv")
+    val back = Formats.read(spark, s"$tmp/csv", "csv", tricky.schema)
+    val got = back.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    val want = tricky.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy(_._1).toSeq
+    assert(got == want,
+      "NULL, empty string, and embedded newline must all survive distinctly")
+    // the ONE documented loss of the sentinel convention: a literal "\N"
+    // data value is indistinguishable from the null marker on read (the
+    // parser compares post-unquoting), so it collapses to NULL — pinned
+    // here so the caveat stays visible instead of becoming a surprise
+    Formats.write(Seq((7L, Option("\\N"))).toDF("id", "s"), s"$tmp/csv2", "csv")
+    val sentinel = Formats.read(spark, s"$tmp/csv2", "csv", tricky.schema).collect()
+    assert(sentinel.length == 1 && sentinel(0).isNullAt(1),
+      "a literal \\N value collapses to NULL — the documented sentinel collision")
+  }
+
   test("text formats read under the writer's schema, never inference") {
     val base = Seq((1L, "2024-01-01 10:30:00.123456")).toDF("id", "s")
       .select(col("id"), col("s").cast("timestamp").as("ts"))

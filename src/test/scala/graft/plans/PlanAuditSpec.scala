@@ -834,13 +834,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0, s"closed-form statistic needs no window:\n$p")
   }
 
-  test("kNN agreement: queries broadcast onto the fanned-out corpus, keyed rank cut (x108)") {
+  test("kNN agreement probes the pruned IVF postings; sample cap is a heap cut (x108)") {
     val p = plan("x108_knn_agreement")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the 2% query sample must broadcast; the corpus streams once:\n$p")
+    // the round-6 scale fix: the audit sample is an absolute 256-row cap
+    // (TakeOrdered heap, not a fraction) and scoring reads ONLY the probed
+    // clusters' postings partitions — an unpruned scan or a resurrected
+    // brute pairing would put the audit back on the n^2 path
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      s"postings scan must be partition-filtered on the probed clusters:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the md5-ordered sample cap must plan as per-partition heaps:\n$p")
     val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
     assert(winLine.contains("query_id"),
       s"the rank cut partitions per query — never a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
+  }
+
+  test("brute agreement twin broadcasts the capped sample onto one corpus stream (x109)") {
+    val p = plan("x109_knn_agreement_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the capped query sample must broadcast; the corpus streams once:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
   }
 

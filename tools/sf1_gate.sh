@@ -15,9 +15,11 @@
 #    blocks quadratically are kept OUT only if measured slow; x41/x45 run.
 #  - s2-s10 streaming twins share batch oracles already replayed above at
 #    driver SFs; s1/s11/s12/s13 run here as the streaming representatives.
-#  - x108: its oracle re-scores a 2% query sample against the full corpus
-#    (4k x 200k list_cosine at sf1) — oracle cost, not engine cost; covered
-#    bitwise at the three driver SFs, engine benched at sf1.
+#  - x109: the brute ground-truth twin of x108 (x2/x10 discipline) — its
+#    oracle re-scores the 256-cap sample against the full corpus
+#    (256 x 50k list_cosine at sf1); oracle cost, not engine cost; covered
+#    bitwise at the three driver SFs. x108 itself (IVF-probed) RUNS here:
+#    its oracle replays the x13 assignment CTE, linear at 10x.
 #  - x76: its oracle replays TWO brute-force all-pairs searches (64-dim
 #    and projected) — oracle cost at 10x; covered at the driver SFs.
 #  - x67: shares x2's oracle (the all-shingles join) — the ORACLE is the
@@ -75,5 +77,5 @@ ONLY=$(printf '%s,' \
   x103_cusum x104_acf s27_stream_cusum \
   q56_rolling_actives q57_wilson_ci x105_zipf_slope q58_pit_join \
   s28_stream_pit q59_conversion_lag x106_hill_tail \
-  q60_ship_delay x107_chi2_mix | sed 's/,$//')
+  q60_ship_delay x107_chi2_mix x108_knn_agreement | sed 's/,$//')
 SPARK_GRAFT_ONLY="$ONLY" exec python3 tools/check.py "$SF1" /tmp/graft_verify_sf1 --exact --only="$ONLY"
