@@ -531,6 +531,16 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/postings")
   }
 
+  /** [[buildIvfIndex]] with [[adaptiveNlist]] sizing — the serving default.
+    * Fixed nlist means clusters fatten linearly with the corpus and every
+    * probe's postings read grows with it; ~500-vector cells pin the
+    * per-probe cost (nprobe * ~500 scored rows) at ANY corpus size, leaving
+    * nprobe as the pure recall knob. At the driver SFs the formula resolves
+    * to the 16 floor, so recorded outputs are unchanged. */
+  def buildIvfIndexAuto(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    buildIvfIndex(corpus, path, adaptiveNlist(corpus.count()), idCol, vecCol)
+
   /** Probe a persisted IVF index (see [[buildIvfIndex]]). Same output as
     * [[cosineTopKIvf]] over the corpus the index was built from.
     *
@@ -680,6 +690,13 @@ object Similarity {
     quantizedPostings(corpus, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/postings")
   }
+
+  /** [[buildIvfIndexQuantized]] with [[adaptiveNlist]] sizing — see
+    * [[buildIvfIndexAuto]] for the rationale. */
+  def buildIvfIndexQuantizedAuto(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    buildIvfIndexQuantized(corpus, path, adaptiveNlist(corpus.count()),
+      None, idCol, vecCol)
 
   /** INCREMENTAL index maintenance: assign + quantize ONLY the new batch
     * against the index's FIXED centroids and append its postings files.

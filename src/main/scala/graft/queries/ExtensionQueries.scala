@@ -362,9 +362,9 @@ object ExtensionQueries {
     // the files — the serving shape, with dynamic partition pruning doing
     // the inverted-file lookup. SimilaritySpec asserts index == inline.
     val emb = Tables.embeddings(spark, dir)
-    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+    val stage = Staging.stageDir("graft_ivf_index_v4", "ivf", dir,
       Seq("embeddings.parquet")) { tmp =>
-      Similarity.buildIvfIndex(emb, tmp.toString)
+      Similarity.buildIvfIndexAuto(emb, tmp.toString)
     }
     Similarity.cosineTopKIvfIndexed(spark, stage.toString,
       emb.filter(col("vec_id") < 10), k = 5)
@@ -401,11 +401,13 @@ object ExtensionQueries {
 
   /** The engine's `Similarity.adaptiveNlist` restated in pure integer SQL:
     * ceil(n/500) via (n+499)//500, clamped [16, 4096]. */
-  private lazy val ivfAssignCteAdaptive = ivfAssignCteWith(
-    "(SELECT greatest(16, least(4096, (count(*) + 499) // 500)) FROM embeddings)")
+  private val adaptiveNlistSql =
+    "(SELECT greatest(16, least(4096, (count(*) + 499) // 500)) FROM embeddings)"
+
+  private lazy val ivfAssignCteAdaptive = ivfAssignCteWith(adaptiveNlistSql)
 
   private lazy val x13Sql =
-    s"""WITH $ivfAssignCte,
+    s"""WITH $ivfAssignCteAdaptive,
       |probes AS (
       |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
       |  FROM (
@@ -842,16 +844,16 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   def x35QuantizedIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val stage = Staging.stageDir("graft_ivf_index_v3", "ivfq", dir,
+    val stage = Staging.stageDir("graft_ivf_index_v4", "ivfq", dir,
       Seq("embeddings.parquet")) { tmp =>
-      Similarity.buildIvfIndexQuantized(emb, tmp.toString)
+      Similarity.buildIvfIndexQuantizedAuto(emb, tmp.toString)
     }
     Similarity.cosineTopKIvfQuantizedIndexed(spark, stage.toString,
       emb.filter(col("vec_id") < 10), k = 5)
   }
 
-  private val x35Sql =
-    """WITH centroids AS (
+  private lazy val x35Sql =
+    s"""WITH centroids AS (
       |  SELECT vec_id AS centroid_id, embedding AS centroid_vec
       |  FROM embeddings
       |  ORDER BY CASE WHEN md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR))
@@ -860,7 +862,7 @@ object ExtensionQueries {
       |                 - 18446744073709551616
       |            ELSE CAST(md5_number_lower('ivf:' || CAST(vec_id AS VARCHAR)) AS HUGEINT)
       |            END
-      |  LIMIT 16),
+      |  LIMIT $adaptiveNlistSql),
       |assigned AS (
       |  SELECT vec_id AS neighbor_id, centroid_id AS cluster_id
       |  FROM (
@@ -1180,7 +1182,7 @@ object ExtensionQueries {
     Similarity.recallAtK(x8KnnBrute(spark, dir), x13KnnIvf(spark, dir), k = 5)
 
   private lazy val x44Sql =
-    s"""WITH $ivfAssignCte,
+    s"""WITH $ivfAssignCteAdaptive,
       |probes AS (
       |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
       |  FROM (
@@ -1591,15 +1593,15 @@ object ExtensionQueries {
 
   def x51CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+    val stage = Staging.stageDir("graft_ivf_index_v4", "ivf", dir,
       Seq("embeddings.parquet")) { tmp =>
-      Similarity.buildIvfIndex(emb, tmp.toString)
+      Similarity.buildIvfIndexAuto(emb, tmp.toString)
     }
     Similarity.centroidOutliers(spark, stage.toString, k = outlierK)
   }
 
   private lazy val x51Sql =
-    s"""WITH $ivfAssignCte,
+    s"""WITH $ivfAssignCteAdaptive,
        |sc AS (
        |  SELECT a.neighbor_id AS vec_id, a.cluster_id,
        |    round(list_cosine_similarity(CAST(a.c_vec AS DOUBLE[]),
@@ -2239,7 +2241,7 @@ object ExtensionQueries {
   }
 
   private lazy val x61Sql =
-    s"""WITH $ivfAssignCte,
+    s"""WITH $ivfAssignCteAdaptive,
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
        |  FROM (
@@ -4106,9 +4108,9 @@ object ExtensionQueries {
   def x108KnnAgreement(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // same staged index as x13 — build-once/probe-many, the serving shape
-    val stage = Staging.stageDir("graft_ivf_index_v3", "ivf", dir,
+    val stage = Staging.stageDir("graft_ivf_index_v4", "ivf", dir,
       Seq("embeddings.parquet")) { tmp =>
-      Similarity.buildIvfIndex(emb, tmp.toString)
+      Similarity.buildIvfIndexAuto(emb, tmp.toString)
     }
     val sample = knnAuditSample(emb)
     val topk = Similarity.cosineTopKIvfIndexed(spark, stage.toString, sample, k = 5)
@@ -4166,7 +4168,7 @@ object ExtensionQueries {
       |FROM ag""".stripMargin
 
   private[queries] lazy val x108Sql =
-    s"""WITH $ivfAssignCte,
+    s"""WITH $ivfAssignCteAdaptive,
       |$knnSampleCte,
       |probes AS (
       |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id AS cluster_id
