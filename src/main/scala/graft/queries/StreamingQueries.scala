@@ -71,6 +71,15 @@ object StreamingQueries {
     val trackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prevTrack = spark.conf.getOption(trackKey)
     spark.conf.set(trackKey, "false")
+    // NOTE: leave spark.sql.streaming.stateStore.maintenanceInterval at its
+    // 60 s default. Deferring it looks tempting for drain-and-terminate
+    // AvailableNow runs (no snapshot work mid-query), but maintenance is
+    // also what UNLOADS inactive RocksDB store instances — with a long
+    // interval, repeated runs in one JVM accumulate live stores (the
+    // interval join holds 4 per partition) until native memory thrashes:
+    // measured at sf3, s4 went from ~35 s to a 300 s timeout. The snapshot
+    // side is already cheap here because changelog checkpointing defers
+    // full snapshots past minDeltasForSnapshot batches.
     try body finally {
       spark.conf.set(key, prev)
       prevStore.fold(spark.conf.unset(storeKey))(spark.conf.set(storeKey, _))
