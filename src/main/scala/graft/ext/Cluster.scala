@@ -372,27 +372,30 @@ object Cluster {
     // iteration re-scans a fresh source (lineage cut for free), executor
     // memory stays owned by the join/agg doing actual work. Same fix
     // measured: 418 s -> 131 s at the SAME 32 GiB heap (slope vs sf1 back
-    // to ~linear).
+    // to ~linear). The scratch dir comes from the configurable Staging
+    // seam (spark.graft.scratch → shared storage on a cluster) and is
+    // recursively deleted on exit — every labels iterate is an EAGER
+    // localCheckpoint, so the returned frame has no lineage into it.
     val spark = edges.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory("graft_lpa_edges")
-    tmp.toFile.deleteOnExit()
-    val symPath = tmp.resolve("sym").toString
-    e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .write.mode("overwrite").parquet(symPath)
-    val sym = spark.read.parquet(symPath)
-    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
-      val votes = sym
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u"), col("label")).agg(sum(col("w")).as("s"))
-      val winner = votes.groupBy("u")
-        .agg(max(struct(col("s"), (-col("label")).as("nl"))).as("m"))
-        .select(col("u").as("node"), (-col("m.nl")).as("label"))
-      labels = nodes.join(winner, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint()
+    graft.queries.Staging.withScratch(spark, "lpa") { scratch =>
+      val symPath = s"$scratch/sym"
+      e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .write.mode("overwrite").parquet(symPath)
+      val sym = spark.read.parquet(symPath)
+      val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+      var labels = nodes.select(col("node"), col("node").as("label"))
+      for (_ <- 1 to iters) {
+        val votes = sym
+          .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+          .groupBy(col("u"), col("label")).agg(sum(col("w")).as("s"))
+        val winner = votes.groupBy("u")
+          .agg(max(struct(col("s"), (-col("label")).as("nl"))).as("m"))
+          .select(col("u").as("node"), (-col("m.nl")).as("label"))
+        labels = nodes.join(winner, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+          .localCheckpoint()
+      }
+      labels
     }
-    labels
   }
 }

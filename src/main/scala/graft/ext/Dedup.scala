@@ -677,6 +677,75 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Scale-safe SERVING summary of [[editNeighborPairs]]: per entity, how
+    * many matches exist at distance 0 (identical string) and exactly 1,
+    * plus the best match id (smallest id at the smallest distance) — one
+    * row per entity that has any match, never the pair enumeration.
+    *
+    * Why this exists: the pair list is group-quadratic — a name shared by
+    * g entities alone contributes g*(g-1)/2 pairs, and at 10x sf1 the TRUE
+    * pair set is ~3e9 rows (census-measured), so ANY enumerating plan is
+    * output-bound no matter how good the blocking is. The summary keeps
+    * the quadratic mass out of the PLAN, not just the output, by
+    * collapsing to DISTINCT names first:
+    *   - exact matches are pure arithmetic on the name's multiplicity m
+    *     (n_exact = m - 1; best = the group's min id, or its second-min
+    *     for the min holder — two aggregates, never a collected group);
+    *   - the FastSS deletion-variant join runs on distinct names only
+    *     (between distinct names a shared variant implies distance
+    *     EXACTLY 1, so the verify filter is an equality), and each name's
+    *     neighbor multiplicities fold into (sum, min) — again aggregates.
+    * Total cost: two groupBys on name + the distinct-name variant join;
+    * per-entity output is bounded by construction. The full enumeration
+    * stays available as the ground-truth twin (x86, the x2/x109
+    * discipline) for audits at SFs where it is feasible.
+    *
+    * Returns (cust_id, n_exact, n_near, best_match) — all integers,
+    * bitwise on any engine. */
+  def fuzzyMatchSummary(df: DataFrame,
+      idCol: String = "id", strCol: String = "name"): DataFrame = {
+    val ents = graft.ops.Par.fanOut(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("name"))
+    // per-name multiplicity + the two smallest member ids — enough to name
+    // every member's best exact match without collecting a group
+    val g1 = ents.groupBy("name")
+      .agg(count(lit(1)).as("m"), min(col("id")).as("m1"))
+    val g2 = ents.join(g1, Seq("name")).filter(col("id") > col("m1"))
+      .groupBy("name").agg(min(col("id")).as("m2"))
+    val groups = g1.join(g2, Seq("name"), "left")
+    // distinct-name distance-1 neighbors via single-deletion variants
+    val variants = g1
+      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("i") - 1),
+            col("name").substr(col("i") + 1, length(col("name")))))
+          .as("variant"))
+      .distinct()
+    val nbr = variants.select(col("variant"), col("name").as("name_a"))
+      .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    val sym = nbr.union(nbr.select(col("name_b"), col("name_a"))).toDF("name", "nname")
+    val nstats = sym
+      .join(g1.select(col("name").as("nname"), col("m").as("nm"), col("m1").as("nm1")),
+        Seq("nname"))
+      .groupBy("name")
+      .agg(sum(col("nm")).as("near_m"), min(col("nm1")).as("near_best"))
+    ents.join(groups, Seq("name"))
+      .join(nstats, Seq("name"), "left")
+      .withColumn("n_exact", col("m") - 1)
+      .withColumn("n_near", coalesce(col("near_m"), lit(0L)))
+      .filter(col("n_exact") + col("n_near") > 0)
+      .withColumn("best_match",
+        when(col("n_exact") > 0,
+          when(col("id") === col("m1"), col("m2")).otherwise(col("m1")))
+          .otherwise(col("near_best")))
+      .select(col("id").as("cust_id"), col("n_exact"), col("n_near"), col("best_match"))
+  }
+
   /** Asymmetric containment pairs: every DIRECTED pair (doc_a, doc_b) with
     * `|sh(A) ∩ sh(B)| / |sh(A)| >= t` and doc_a != doc_b — "A is (mostly)
     * quoted inside B". Jaccard misses exactly this case: a short doc fully

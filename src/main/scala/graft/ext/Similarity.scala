@@ -555,8 +555,16 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
+    // The queries plan is evaluated twice — once eagerly here (the probe-
+    // cluster collect) and once inside ivfScore. Pin ONE evaluation of the
+    // narrowed two-column projection so an expensive or nondeterministic
+    // queries plan can't double-pay or make the static partition filter
+    // diverge from ivfScore's per-query probes. Queries are the bounded
+    // probe batch in the serving shape (both in-repo callers cap them), so
+    // the pinned copy is small by contract.
+    val q = queries.select(col(idCol), col(vecCol)).localCheckpoint()
     val probeClusters = nearestCentroids(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      q.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       centroids, "query_id", "q_vec", keep = nprobe)
       .select(col("cluster_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: <= nlist rows
@@ -564,7 +572,7 @@ object Similarity {
       .withColumn("cluster_id", col("cluster_id").cast("long"))
       .filter(col("cluster_id").isin(probeClusters: _*))
       .select(col("neighbor_id"), col("c_vec"), col("cluster_id"))
-    ivfScore(assigned, centroids, queries, k, nprobe, idCol, vecCol)
+    ivfScore(assigned, centroids, q, k, nprobe, idCol, vecCol)
   }
 
   /** Embedding-space outlier scan over a persisted IVF index: each vector's

@@ -71,11 +71,22 @@ object Formats {
     require(supported.contains(format),
       s"unsupported format '$format' (this build carries: ${supported.mkString(", ")})")
     format match {
-      case "csv" => spark.read.schema(schema).option("header", "true")
+      case "csv" =>
+        // multiLine makes every part file NON-SPLITTABLE (one task per
+        // file, however large) — the price of quoted embedded newlines.
+        // Only string columns can carry an embedded line separator, so a
+        // string-free schema keeps the default splittable line-record
+        // reader and loses nothing; schemas WITH strings pay the
+        // serial-per-file cost for correctness. At scale the writer side
+        // already bounds the damage: Spark emits many part files, so
+        // parallelism degrades to #files, not 1.
+        val hasStrings = schema.fields.exists(
+          _.dataType == org.apache.spark.sql.types.StringType)
+        spark.read.schema(schema).option("header", "true")
         .option("timestampFormat", tsPattern)
         .option("nullValue", csvNull)
         .option("emptyValue", "")       // quoted empty parses back to ""
-        .option("multiLine", "true")    // embedded \n stays inside its row
+        .option("multiLine", hasStrings.toString) // embedded \n stays inside its row
         .csv(dir)
       case "json" => spark.read.schema(schema)
         .option("timestampFormat", tsPattern).json(dir)

@@ -3256,6 +3256,44 @@ object ExtensionQueries {
       |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x110 — the SERVING form of x86: per-entity fuzzy-match summary
+  // (n_exact identical-name matches, n_near edit-distance-1 matches,
+  // best_match = smallest id at the smallest distance). x86's pair list is
+  // group-quadratic (~3e9 true pairs at sf10, census-measured) — output-
+  // bound no matter the blocking — so the serving default collapses to
+  // DISTINCT names before the FastSS variant join and re-expands
+  // multiplicities arithmetically: per-entity output bounded by
+  // construction, quadratic mass out of the PLAN. x86 stays registered as
+  // the enumerating ground-truth twin (x2/x109 discipline). The oracle
+  // states the same semantics declaratively by aggregating the enumerated
+  // pairs — feasible at oracle SFs, which is exactly the twin split.
+  // All outputs are integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def x110FuzzySummary(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyMatchSummary(Tables.customer(spark, dir), "c_custkey", "c_name")
+
+  private[queries] val x110Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |    CASE WHEN i = 0 THEN c_name
+      |         ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
+      |  FROM (SELECT c_custkey, c_name,
+      |          unnest(range(0, len(c_name) + 1)) AS i FROM customer)),
+      |vd AS (SELECT DISTINCT id, name, variant FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+      |  FROM vd a JOIN vd b ON a.variant = b.variant AND a.id <> b.id),
+      |p AS (
+      |  SELECT ia AS cust_id, ib AS other_id, levenshtein(na, nb) AS dist
+      |  FROM cand WHERE levenshtein(na, nb) <= 1)
+      |SELECT cust_id,
+      |  CAST(count(*) FILTER (WHERE dist = 0) AS BIGINT) AS n_exact,
+      |  CAST(count(*) FILTER (WHERE dist = 1) AS BIGINT) AS n_near,
+      |  COALESCE(min(other_id) FILTER (WHERE dist = 0),
+      |           min(other_id) FILTER (WHERE dist = 1)) AS best_match
+      |FROM p GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x87 — simplified-silhouette cluster quality: per-cluster mean of
   // s = (b - a)/max(a,b) with a = cosine distance to the OWN centroid and
   // b = distance to the nearest OTHER centroid — the audit that says
@@ -4226,6 +4264,7 @@ object ExtensionQueries {
     "x85_sorted_neighborhood" -> (x85SortedNeighborhood _),
     "x87_silhouette" -> (x87Silhouette _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
+    "x110_fuzzy_summary" -> (x110FuzzySummary _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
     "x88_containment_pairs" -> (x88ContainmentPairs _),
     "x89_novelty" -> (x89Novelty _),
@@ -4343,6 +4382,7 @@ object ExtensionQueries {
     "x85_sorted_neighborhood" -> x85Sql,
     "x87_silhouette" -> x87Sql,
     "x86_fuzzy_block" -> x86Sql,
+    "x110_fuzzy_summary" -> x110Sql,
     "x88_containment_pairs" -> x88Sql,
     "x89_novelty" -> x89Sql,
     "x90_kanon_ladder" -> x90Sql,

@@ -60,6 +60,36 @@ object Staging {
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Scratch root for PER-CALL iterative staging (LPA's symmetric edge
+    * list, any future loop that round-trips working data through a lake
+    * format). Resolution order: `spark.graft.scratch` (session conf), then
+    * `SPARK_GRAFT_SCRATCH` (env), then `java.io.tmpdir`. On a real cluster
+    * this MUST point at executor-visible shared storage (HDFS/S3) — a
+    * driver-local path is only valid in local mode, which is why the seam
+    * is a conf and not a constant. */
+  def scratchRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.scratch")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Run `f` with a fresh scratch directory under [[scratchRoot]], then
+    * delete it RECURSIVELY — unlike `deleteOnExit`, which cannot remove a
+    * non-empty directory and so would leak GB-scale staged parquet on
+    * every call. All filesystem traffic goes through the Hadoop FS API, so
+    * the same code path works for file://, hdfs:// and s3a:// roots; the
+    * value `f` returns must not lazily depend on files inside the scratch
+    * dir (checkpoint or collect before returning). */
+  def withScratch[T](spark: org.apache.spark.sql.SparkSession, tag: String)
+      (f: String => T): T = {
+    val root = new org.apache.hadoop.fs.Path(scratchRoot(spark))
+    val dir = new org.apache.hadoop.fs.Path(root,
+      s"graft_scratch_${tag}_${java.util.UUID.randomUUID().toString.take(13)}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    try f(dir.toString)
+    finally fs.delete(dir, true)
+  }
+
   /** Run `build` into a private temp dir and atomically publish it as
     * tmpdir/<root>/<tag>_<contentKey>; if that artifact already exists,
     * return it without building. Returns the published dir. */

@@ -1139,6 +1139,28 @@ class ExtSpec extends AnyFunSuite {
     assert(cc.select("lbl").distinct().count() === 1L, "bridge graph is one component")
   }
 
+  test("labelPropagation: scratch staging honors the conf seam and cleans up after itself") {
+    // the staged symmetric edge list is GB-scale at 10x sf1 — deleteOnExit
+    // can never remove a non-empty dir, so the contract is: (a) the scratch
+    // dir is created under the configurable root (shared storage on a real
+    // cluster), (b) it is recursively gone when the call returns, (c) the
+    // returned labels are still fully usable (no lineage into the deleted
+    // files — every iterate is an eager localCheckpoint)
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_spec")
+    spark.conf.set("spark.graft.scratch", root.toString)
+    try {
+      val edges = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)).toDF("a", "b", "w")
+      val out = Cluster.labelPropagation(edges, iters = 2).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"triangle must converge: $out")
+      val leftovers = Option(root.toFile.listFiles()).map(_.toSeq).getOrElse(Seq())
+      assert(leftovers.isEmpty, s"scratch leaked into the configured root: $leftovers")
+    } finally {
+      spark.conf.unset("spark.graft.scratch")
+      root.toFile.delete()
+    }
+  }
+
   test("psiBySource: identical length profiles give exactly 0, skew gives > 0") {
     // s1 and s2 each hold one 1-token and one 3-token doc: per-source
     // distribution == corpus distribution, p == q in every bucket, and
@@ -1288,6 +1310,38 @@ class ExtSpec extends AnyFunSuite {
       if levenshteinRef(na, nb) <= 1
     } yield (ia, ib)).toSet
     assert(got == expect, s"blocking must find exactly the brute-force pairs: $got vs $expect")
+  }
+
+  test("fuzzyMatchSummary: hand-traced fixture; agrees with the enumerating twin on real names") {
+    // ids 1,2 share a name (dist 0); 3 is one substitution away; 4-5 are a
+    // single-deletion pair; 6 matches nothing
+    val names = Seq(
+      1L -> "abc", 2L -> "abc", 3L -> "abd",
+      4L -> "xyz", 5L -> "xy", 6L -> "widget").toDF("id", "name")
+    val got = Dedup.fuzzyMatchSummary(names)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val expect = Map(
+      1L -> (1L, 1L, 2L), // exact twin 2 beats near 3
+      2L -> (1L, 1L, 1L),
+      3L -> (0L, 2L, 1L), // two near matches (1,2), best = min id 1
+      4L -> (0L, 1L, 5L),
+      5L -> (0L, 1L, 4L)) // id 6 emits no row
+    assert(got === expect, s"hand trace mismatch:\n$got\nvs\n$expect")
+    // twin consistency on a real name table: aggregating x86's enumeration
+    // (symmetrized) must reproduce the summary exactly — same guarantee the
+    // oracle states declaratively
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    val pairs = Dedup.editNeighborPairs(cust, "c_custkey", "c_name")
+      .as[(Long, Long, Int)].collect()
+    val sym = pairs.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+    val twin = sym.groupBy(_._1).map { case (id, ms) =>
+      val best = ms.map(m => (m._3, m._2)).min._2
+      id -> (ms.count(_._3 == 0).toLong, ms.count(_._3 == 1).toLong, best)
+    }
+    val served = Dedup.fuzzyMatchSummary(cust, "c_custkey", "c_name")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(served === twin, s"summary must equal the aggregated enumeration (${twin.size} entities)")
+    assert(twin.nonEmpty, "fixture must actually contain fuzzy matches")
   }
 
   test("containmentPairsPrefix: planted embedded doc found; exact vs brute force; layout-invariant") {
