@@ -13,7 +13,18 @@ object ProbeStream {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("s3_stream_dedup")
     val dir = args.lift(1).getOrElse("/root/repo/localdata/sf1")
-    val spark = graft.Sessions.local(32, "graft-probe")
+    // the memory sink collects complete-mode results to the driver — a
+    // HARNESS shape (serving writes to files); at sf10 s1's result tops the
+    // 1 GiB maxResultSize default and fails the probe on sink capacity, not
+    // state cost. A diagnostic on a 128 GiB box can afford the headroom;
+    // it's a static conf, so it goes through the builder, not conf.set.
+    val spark = graft.Sessions.tuned(
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[32]").appName("graft-probe"), 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()

@@ -222,7 +222,11 @@ class Sf1InvariantsSpec extends AnyFunSuite {
     probe.foreach { r =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"split:${r.getLong(0)}".getBytes("UTF-8"))
-      val low = java.nio.ByteBuffer.wrap(md.slice(8, 16)).getLong
+      // md5-low-64 = bytes 8..15 read little-endian (DuckDB
+      // md5_number_lower bit parity — the engine's convention)
+      var low = 0L
+      var i = 15
+      while (i >= 8) { low = (low << 8) | (md(i) & 0xFFL); i -= 1 }
       val bucket = java.lang.Long.remainderUnsigned(low, 10000L).toInt
       assert(bucket == r.getInt(1),
         s"cluster ${r.getLong(0)}: engine bucket ${r.getInt(1)} != md5 replay $bucket")
