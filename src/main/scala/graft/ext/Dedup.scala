@@ -707,9 +707,15 @@ object Dedup {
     val ents = graft.ops.Par.fanOut(df)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("name"))
     // per-name multiplicity + the two smallest member ids — enough to name
-    // every member's best exact match without collecting a group
+    // every member's best exact match without collecting a group. The
+    // name-dictionary table is consumed FOUR times (variants, second-min,
+    // neighbor stats, final assembly): pin one evaluation — it is bounded
+    // by |distinct names| and localCheckpoint spills to disk, so the pin
+    // never holds entity-table volume (measured 7.5 s -> ~3 s at sf0.1;
+    // without it the groupBy re-aggregates the full entity scan each time)
     val g1 = ents.groupBy("name")
       .agg(count(lit(1)).as("m"), min(col("id")).as("m1"))
+      .localCheckpoint()
     val g2 = ents.join(g1, Seq("name")).filter(col("id") > col("m1"))
       .groupBy("name").agg(min(col("id")).as("m2"))
     val groups = g1.join(g2, Seq("name"), "left")
@@ -723,11 +729,15 @@ object Dedup {
             col("name").substr(col("i") + 1, length(col("name")))))
           .as("variant"))
       .distinct()
+    // pin the edge list too: the symmetrizing union consumes it twice with
+    // mirrored projections, which defeats exchange reuse; it is bounded by
+    // the dictionary's distance-1 pairs, not by entities
     val nbr = variants.select(col("variant"), col("name").as("name_a"))
       .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
       .filter(col("name_a") < col("name_b"))
       .select("name_a", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .localCheckpoint()
     val sym = nbr.union(nbr.select(col("name_b"), col("name_a"))).toDF("name", "nname")
     val nstats = sym
       .join(g1.select(col("name").as("nname"), col("m").as("nm"), col("m1").as("nm1")),

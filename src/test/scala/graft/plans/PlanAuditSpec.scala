@@ -850,6 +850,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
   }
 
+  test("fuzzy summary joins DISTINCT names, never entity rows (x110)") {
+    val p = plan("x110_fuzzy_summary")
+    // the whole point of the serving form: the group-quadratic pair mass
+    // (~3e9 true pairs at sf10) must never enter the plan — the variant
+    // equi-join sits on the distinct-name collapse (groupBy name) and
+    // multiplicities re-expand arithmetically afterwards
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
+    assert(count(p, "keys=\\[name#") >= 2,
+      s"the variant join must consume the DISTINCT-name collapse, not raw entities:\n$p")
+    assert(count(p, "Window") == 0, s"aggregates only — no window sort:\n$p")
+  }
+
   test("brute agreement twin broadcasts the capped sample onto one corpus stream (x109)") {
     val p = plan("x109_knn_agreement_brute")
     assert(p.contains("BroadcastNestedLoopJoin"),
