@@ -677,6 +677,84 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Distance-1 neighbor pairs among DISTINCT names via single-deletion
+    * variants (FastSS — the [[editNeighborPairs]] block run on the name
+    * DICTIONARY): between distinct names a shared variant implies distance
+    * EXACTLY 1, so the verify filter is an equality. The edge list is
+    * localCheckpoint-pinned — consumers symmetrize it with mirrored
+    * projections (which defeats exchange reuse) and it is bounded by the
+    * dictionary's distance-1 pairs, never by entity volume.
+    * Returns (name_a, name_b) with name_a < name_b. */
+  private def nameEditNeighbors(names: DataFrame): DataFrame = {
+    val variants = names
+      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
+      .select(col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("i") - 1),
+            col("name").substr(col("i") + 1, length(col("name")))))
+          .as("variant"))
+      .distinct()
+    variants.select(col("variant"), col("name").as("name_a"))
+      .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .localCheckpoint()
+  }
+
+  /** Per-entity TOP-K fuzzy matches — the ranked serving companion to
+    * [[fuzzyMatchSummary]]: for every entity, its k best matches within
+    * edit distance 1, ranked (distance ASC, match id ASC), one row per
+    * (entity, rank). Entity resolution serving wants the short ranked
+    * candidate list, not a count and not the pair enumeration.
+    *
+    * Same scale contract as the summary — the group-quadratic pair mass
+    * never enters the plan:
+    *   - per name, the k+1 smallest member ids come from the bounded
+    *     [[graft.functions.AggFunctions.topk_pairs]] heap (map-side
+    *     combinable, O(k) state per group at every stage — never a window
+    *     sort, never a collected group; k+1 covers self-exclusion);
+    *   - the FastSS variant join runs on distinct names only, and each
+    *     name's k best NEAR ids are a second bounded top-k over its
+    *     neighbors' id lists;
+    *   - per entity, the final merge is array arithmetic over two <= k
+    *     lists (exact matches rank before distance-1 matches, ids break
+    *     ties) — output <= k rows per entity by construction.
+    * All outputs are integers — bitwise on any engine.
+    *
+    * Returns (cust_id, rank, match_id, dist), rank 1..k. Assumes ids are
+    * unique across the input (an id carries one name). */
+  def fuzzyTopMatches(df: DataFrame, idCol: String = "id",
+      strCol: String = "name", k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ents = graft.ops.Par.fanOut(df)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("name"))
+    val tops = ents.groupBy("name")
+      .agg(graft.functions.AggFunctions.topk_pairs(-col("id"), col("id"), k + 1).as("tp"))
+      .select(col("name"), expr("transform(tp, e -> e.item)").as("own_ids"))
+      .localCheckpoint() // name dictionary: consumed by edges, near stats, assembly
+    val nbr = nameEditNeighbors(tops.select("name"))
+    val sym = nbr.union(nbr.select(col("name_b"), col("name_a"))).toDF("name", "nname")
+    val nearTop = sym
+      .join(tops.select(col("name").as("nname"), col("own_ids").as("nids")), Seq("nname"))
+      .select(col("name"), explode(col("nids")).as("nid"))
+      .groupBy("name")
+      .agg(graft.functions.AggFunctions.topk_pairs(-col("nid"), col("nid"), k).as("tp"))
+      .select(col("name"), expr("transform(tp, e -> e.item)").as("near_ids"))
+    ents.join(tops, Seq("name"))
+      .join(nearTop, Seq("name"), "left")
+      .withColumn("exact_ids", expr(s"slice(filter(own_ids, x -> x != id), 1, $k)"))
+      .withColumn("cands", expr(
+        s"""slice(array_sort(concat(
+           |  transform(exact_ids, x -> named_struct('dist', 0, 'mid', x)),
+           |  transform(coalesce(near_ids, cast(array() as array<bigint>)),
+           |    x -> named_struct('dist', 1, 'mid', x)))), 1, $k)""".stripMargin))
+      .select(col("id").as("cust_id"), posexplode(col("cands")))
+      .select(col("cust_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.mid").as("match_id"), col("col.dist").cast("int").as("dist"))
+  }
+
   /** Scale-safe SERVING summary of [[editNeighborPairs]]: per entity, how
     * many matches exist at distance 0 (identical string) and exactly 1,
     * plus the best match id (smallest id at the smallest distance) — one
@@ -719,25 +797,7 @@ object Dedup {
     val g2 = ents.join(g1, Seq("name")).filter(col("id") > col("m1"))
       .groupBy("name").agg(min(col("id")).as("m2"))
     val groups = g1.join(g2, Seq("name"), "left")
-    // distinct-name distance-1 neighbors via single-deletion variants
-    val variants = g1
-      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("name"),
-        when(col("i") === 0, col("name"))
-          .otherwise(concat(
-            col("name").substr(lit(1), col("i") - 1),
-            col("name").substr(col("i") + 1, length(col("name")))))
-          .as("variant"))
-      .distinct()
-    // pin the edge list too: the symmetrizing union consumes it twice with
-    // mirrored projections, which defeats exchange reuse; it is bounded by
-    // the dictionary's distance-1 pairs, not by entities
-    val nbr = variants.select(col("variant"), col("name").as("name_a"))
-      .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
-      .filter(col("name_a") < col("name_b"))
-      .select("name_a", "name_b").distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
-      .localCheckpoint()
+    val nbr = nameEditNeighbors(g1.select("name"))
     val sym = nbr.union(nbr.select(col("name_b"), col("name_a"))).toDF("name", "nname")
     val nstats = sym
       .join(g1.select(col("name").as("nname"), col("m").as("nm"), col("m1").as("nm1")),

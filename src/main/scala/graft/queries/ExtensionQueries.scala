@@ -3294,6 +3294,43 @@ object ExtensionQueries {
       |FROM p GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // x111 — per-entity TOP-K fuzzy matches, the ranked serving companion to
+  // x110: every entity's 3 best matches within edit distance 1, ranked
+  // (distance ASC, match id ASC). The k+1 smallest member ids per name come
+  // from the bounded topk_pairs heap (x24's aggregate — O(k) state per
+  // group at every stage, never a window sort), the near side is a second
+  // bounded top-k over the FastSS distinct-name neighbors, and the final
+  // per-entity merge is array arithmetic over two <= k lists — output <= k
+  // rows per entity by construction, pair enumeration never planned. The
+  // oracle states the same ranking declaratively over the enumerated pairs
+  // (feasible at oracle SFs — the twin split again). Integers — bitwise.
+  // ---------------------------------------------------------------------------
+  def x111FuzzyTopk(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyTopMatches(Tables.customer(spark, dir), "c_custkey", "c_name", k = 3)
+
+  private[queries] val x111Sql =
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |    CASE WHEN i = 0 THEN c_name
+      |         ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS variant
+      |  FROM (SELECT c_custkey, c_name,
+      |          unnest(range(0, len(c_name) + 1)) AS i FROM customer)),
+      |vd AS (SELECT DISTINCT id, name, variant FROM v),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ia, a.name AS na, b.id AS ib, b.name AS nb
+      |  FROM vd a JOIN vd b ON a.variant = b.variant AND a.id <> b.id),
+      |p AS (
+      |  SELECT ia AS cust_id, ib AS other_id, levenshtein(na, nb) AS dist
+      |  FROM cand WHERE levenshtein(na, nb) <= 1),
+      |r AS (
+      |  SELECT cust_id, other_id, dist,
+      |    row_number() OVER (PARTITION BY cust_id ORDER BY dist, other_id) AS rank
+      |  FROM p)
+      |SELECT cust_id, CAST(rank AS INTEGER) AS rank, other_id AS match_id,
+      |  CAST(dist AS INTEGER) AS dist
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // x87 — simplified-silhouette cluster quality: per-cluster mean of
   // s = (b - a)/max(a,b) with a = cosine distance to the OWN centroid and
   // b = distance to the nearest OTHER centroid — the audit that says
@@ -4265,6 +4302,7 @@ object ExtensionQueries {
     "x87_silhouette" -> (x87Silhouette _),
     "x86_fuzzy_block" -> (x86FuzzyBlock _),
     "x110_fuzzy_summary" -> (x110FuzzySummary _),
+    "x111_fuzzy_topk" -> (x111FuzzyTopk _),
     "x84_cms_heavy" -> (x84CmsHeavy _),
     "x88_containment_pairs" -> (x88ContainmentPairs _),
     "x89_novelty" -> (x89Novelty _),
@@ -4383,6 +4421,7 @@ object ExtensionQueries {
     "x87_silhouette" -> x87Sql,
     "x86_fuzzy_block" -> x86Sql,
     "x110_fuzzy_summary" -> x110Sql,
+    "x111_fuzzy_topk" -> x111Sql,
     "x88_containment_pairs" -> x88Sql,
     "x89_novelty" -> x89Sql,
     "x90_kanon_ladder" -> x90Sql,

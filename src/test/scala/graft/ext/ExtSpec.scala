@@ -1344,6 +1344,38 @@ class ExtSpec extends AnyFunSuite {
     assert(twin.nonEmpty, "fixture must actually contain fuzzy matches")
   }
 
+  test("fuzzyTopMatches: hand-traced ranking; agrees with the enumerating twin on real names") {
+    // same fixture as the summary test: 1,2 share "abc"; 3 = "abd" (dist 1);
+    // 4-5 a deletion pair; 6 matches nothing
+    val names = Seq(
+      1L -> "abc", 2L -> "abc", 3L -> "abd",
+      4L -> "xyz", 5L -> "xy", 6L -> "widget").toDF("id", "name")
+    val got = Dedup.fuzzyTopMatches(names, k = 3)
+      .as[(Long, Int, Long, Int)].collect().map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val expect = Map(
+      (1L, 1) -> (2L, 0), (1L, 2) -> (3L, 1), // exact twin outranks the near match
+      (2L, 1) -> (1L, 0), (2L, 2) -> (3L, 1),
+      (3L, 1) -> (1L, 1), (3L, 2) -> (2L, 1), // two near matches, id order
+      (4L, 1) -> (5L, 1),
+      (5L, 1) -> (4L, 1))                     // id 6 emits nothing
+    assert(got === expect, s"hand trace mismatch:\n$got\nvs\n$expect")
+    // twin consistency: ranking x86's enumeration (symmetrized) by
+    // (dist, id) and cutting at 3 must reproduce the output exactly
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    val pairs = Dedup.editNeighborPairs(cust, "c_custkey", "c_name")
+      .as[(Long, Long, Int)].collect()
+    val twin = pairs.flatMap(p => Seq((p._1, p._2, p._3), (p._2, p._1, p._3)))
+      .groupBy(_._1).toSeq.flatMap { case (id, ms) =>
+        ms.map(m => (m._3, m._2)).sorted.take(3).zipWithIndex
+          .map { case ((d, mid), i) => (id, i + 1) -> (mid, d) }
+      }
+    val served = Dedup.fuzzyTopMatches(cust, "c_custkey", "c_name", k = 3)
+      .as[(Long, Int, Long, Int)].collect().map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(served === twin.toMap,
+      s"top-k must equal the ranked enumeration (${twin.size} rows)")
+    assert(twin.nonEmpty, "fixture must actually contain fuzzy matches")
+  }
+
   test("containmentPairsPrefix: planted embedded doc found; exact vs brute force; layout-invariant") {
     val d0 = docs.filter(col("doc_id") === 0).select("text").as[String].head()
     val d1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()

@@ -862,6 +862,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(count(p, "Window") == 0, s"aggregates only — no window sort:\n$p")
   }
 
+  test("fuzzy top-k ranks through bounded heaps, never a window sort (x111)") {
+    val p = plan("x111_fuzzy_topk")
+    // per-name candidate ids come from the topk_pairs bounded aggregate
+    // (O(k) state at every stage, map-side combinable); a window rank here
+    // would sort every name group's rows just to read the head
+    assert(count(p, "Window") == 0, s"ranking must be heap-bounded, no window:\n$p")
+    assert(p.contains("topk_pairs"), s"the bounded top-k aggregate must plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast pairing:\n$p")
+    assert(count(p, "keys=\\[name#") >= 2,
+      s"the variant join must consume the DISTINCT-name collapse:\n$p")
+  }
+
   test("brute agreement twin broadcasts the capped sample onto one corpus stream (x109)") {
     val p = plan("x109_knn_agreement_brute")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -66,7 +66,7 @@ ONLY=$(printf '%s,' \
   x78_filter_matrix \
   x68_column_profile x69_next_event_pairs x70_pagerank \
   q51_assoc_rules q52_khop x84_cms_heavy x85_sorted_neighborhood \
-  x86_fuzzy_block x110_fuzzy_summary x87_silhouette s20_stream_cms \
+  x86_fuzzy_block x110_fuzzy_summary x111_fuzzy_topk x87_silhouette s20_stream_cms \
   x89_novelty x90_kanon_ladder s21_stream_kanon \
   x91_ks_matrix x92_memorization x93_kcenter_coreset \
   s22_stream_novelty x94_entropy_rate \
