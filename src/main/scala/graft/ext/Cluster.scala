@@ -283,18 +283,32 @@ object Cluster {
     * node within `maxHops` of a seed (seeds themselves at 0). */
   def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    var dist = seeds.select(col("node").cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0)).localCheckpoint()
-    for (h <- 1 to maxHops) {
-      val frontier = dist.filter(col("dist") === h - 1)
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), lit(h).as("dist"))
-      dist = dist.union(next)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+    // The edge set is re-joined EVERY round; without a materialization the
+    // whole edge-derivation pipeline (for q52: the basket self-join) re-runs
+    // once per hop. Stage it to parquet through the same scratch seam as the
+    // LPA loop — columnar two-long rows off heap, each round re-scans a
+    // fresh source, and the iterative-reuse shape survives any edge count
+    // (the on-heap localCheckpoint alternative is exactly what thrashed the
+    // LPA loop at 10x sf1). The returned frame is localCheckpoint-pinned by
+    // the last round, so nothing lazily depends on the scratch dir.
+    val spark = edges.sparkSession
+    graft.queries.Staging.withScratch(spark, "khop") { scratch =>
+      val ePath = s"$scratch/edges"
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .write.mode("overwrite").parquet(ePath)
+      val e = spark.read.parquet(ePath)
+      var dist = seeds.select(col("node").cast("long").as("node"))
+        .distinct().withColumn("dist", lit(0)).localCheckpoint()
+      for (h <- 1 to maxHops) {
+        val frontier = dist.filter(col("dist") === h - 1)
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node"), lit(h).as("dist"))
+        dist = dist.union(next)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
     }
-    dist
   }
 
   /** Per-node triangle counts over an undirected edge set (pairs normalized
@@ -317,7 +331,14 @@ object Cluster {
     * Returns (node, n_triangles) for nodes in >= 1 triangle. */
   def triangleCounts(edges: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // Pin the edge set FIRST: it feeds the degree aggregation (twice, via
+    // the symmetrizing union) and both degree re-attach joins — four
+    // occurrences in the DAG, so an unpinned expensive edge derivation
+    // (x79 feeds the whole collapsed-MinHash pipeline in here) re-runs four
+    // times. The near-dup edge list is LSH-pruned — a sliver of the corpus —
+    // so the pin is bounded at any scale (the dupClusters discipline).
     val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // rank = (degree, id): a total order, ties broken by id
@@ -388,11 +409,14 @@ object Cluster {
         val votes = sym
           .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
           .groupBy(col("u"), col("label")).agg(sum(col("w")).as("s"))
-        val winner = votes.groupBy("u")
+        // The vote covers EVERY node by construction: labels is total over
+        // nodes (induction from labels0 = nodes), so each symmetric edge
+        // (u,v) matches, and every node appears as u in sym. The textbook
+        // nodes-LEFT-join + coalesce fallback therefore re-attaches nothing —
+        // it only added a join + shuffle per iteration. Dropped.
+        labels = votes.groupBy("u")
           .agg(max(struct(col("s"), (-col("label")).as("nl"))).as("m"))
           .select(col("u").as("node"), (-col("m.nl")).as("label"))
-        labels = nodes.join(winner, Seq("node"), "left")
-          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
           .localCheckpoint()
       }
       labels
