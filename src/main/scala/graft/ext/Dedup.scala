@@ -655,27 +655,39 @@ object Dedup {
     * Returns (id_a, id_b, dist) with id_a < id_b, dist <= 1. */
   def editNeighborPairs(df: DataFrame,
       idCol: String = "id", strCol: String = "name"): DataFrame = {
+    // Variant dedup is LOCAL by construction — a (id, variant) duplicate can
+    // only come from deleting either of two equal adjacent characters in the
+    // SAME name — so array_distinct before the explode replaces a global
+    // distinct (one full shuffle of the variant table, the widest row set in
+    // the plan, gone).
     val variants = graft.ops.Par.fanOut(df)
       .select(col(idCol).cast("long").as("id"), col(strCol).as("name"))
       .select(col("id"), col("name"),
-        explode(sequence(lit(0), length(col("name")))).as("i"))
-      .select(col("id"), col("name"),
-        when(col("i") === 0, col("name"))
-          .otherwise(concat(
-            col("name").substr(lit(1), col("i") - 1),
-            col("name").substr(col("i") + 1, length(col("name")))))
-          .as("variant"))
-      .distinct()
+        explode(array_distinct(deletionVariants("name"))).as("variant"))
     val a = variants.select(col("variant"), col("id").as("id_a"), col("name").as("name_a"))
     val b = variants.select(col("variant"), col("id").as("id_b"), col("name").as("name_b"))
+    // Verify BEFORE the pair-level distinct: the DP levenshtein is ~1 µs of
+    // local arithmetic per candidate, while the distinct is a shuffle whose
+    // width is the candidate fan-out — filtering first shuffles only true
+    // pairs. dist is a function of (id_a, id_b) (ids name one string each),
+    // so distinct-after-filter returns the identical set.
     a.join(b, Seq("variant"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "name_a", "id_b", "name_b")
-      .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
+      .distinct()
   }
+
+  /** All single-character deletions of column `c` plus the string itself
+    * (the FastSS radius-1 neighborhood), as an array — position 0 is the
+    * original, position i the deletion at i. */
+  private def deletionVariants(c: String): org.apache.spark.sql.Column =
+    expr(
+      s"""transform(sequence(0, length($c)),
+         |  i -> CASE WHEN i = 0 THEN $c
+         |       ELSE concat(substring($c, 1, i - 1),
+         |                   substring($c, i + 1, length($c))) END)""".stripMargin)
 
   /** Distance-1 neighbor pairs among DISTINCT names via single-deletion
     * variants (FastSS — the [[editNeighborPairs]] block run on the name
@@ -686,20 +698,22 @@ object Dedup {
     * dictionary's distance-1 pairs, never by entity volume.
     * Returns (name_a, name_b) with name_a < name_b. */
   private def nameEditNeighbors(names: DataFrame): DataFrame = {
-    val variants = names
-      .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
+    // Same two moves as [[editNeighborPairs]]: variant dedup is local to a
+    // name (array_distinct, no global distinct shuffle), and the exact
+    // levenshtein verify runs BEFORE the pair-level distinct so the shuffle
+    // carries only true distance-1 pairs, not the whole candidate fan-out.
+    // fanOut matters here: the name dictionary arrives AQE-coalesced to ~1
+    // partition, and with the broadcast variant join there is no exchange
+    // left to restore parallelism — without it the whole candidate
+    // verification runs single-threaded.
+    val variants = graft.ops.Par.fanOut(names)
       .select(col("name"),
-        when(col("i") === 0, col("name"))
-          .otherwise(concat(
-            col("name").substr(lit(1), col("i") - 1),
-            col("name").substr(col("i") + 1, length(col("name")))))
-          .as("variant"))
-      .distinct()
+        explode(array_distinct(deletionVariants("name"))).as("variant"))
     variants.select(col("variant"), col("name").as("name_a"))
       .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
-      .filter(col("name_a") < col("name_b"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) === 1)
       .select("name_a", "name_b").distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
       .localCheckpoint()
   }
 
