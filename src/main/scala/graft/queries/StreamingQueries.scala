@@ -22,7 +22,7 @@ object StreamingQueries {
     * On a real cluster this is sized up with state volume; the session value
     * is restored afterwards either way. */
   private def withStateSizedShuffle[T](spark: SparkSession,
-      stagedDirs: Seq[String] = Nil)(body: => T): T = {
+      stagedDirs: Seq[String] = Nil, finalNoDataBatch: Boolean = true)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
@@ -71,6 +71,18 @@ object StreamingQueries {
     val trackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prevTrack = spark.conf.getOption(trackKey)
     spark.conf.set(trackKey, "false")
+    // The trailing no-data micro-batch advances the watermark one last time:
+    // append-mode AGGREGATIONS need it to emit their final windows, but a
+    // complete-mode sink just re-truncates and rewrites the identical table,
+    // and an eagerly-emitting inner stream-stream join emits nothing — those
+    // callers pass finalNoDataBatch = false and skip one full no-op batch
+    // (state-store open/commit across every partition) per drain. Output is
+    // bitwise identical by construction for those shapes; eviction the
+    // skipped batch would have done is irrelevant to a drain-and-terminate
+    // run. The conf is restored either way.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    if (!finalNoDataBatch) spark.conf.set(noDataKey, "false")
     // NOTE: leave spark.sql.streaming.stateStore.maintenanceInterval at its
     // 60 s default. Deferring it looks tempting for drain-and-terminate
     // AvailableNow runs (no snapshot work mid-query), but maintenance is
@@ -85,6 +97,7 @@ object StreamingQueries {
       prevStore.fold(spark.conf.unset(storeKey))(spark.conf.set(storeKey, _))
       prevChangelog.fold(spark.conf.unset(changelogKey))(spark.conf.set(changelogKey, _))
       prevTrack.fold(spark.conf.unset(trackKey))(spark.conf.set(trackKey, _))
+      prevNoData.fold(spark.conf.unset(noDataKey))(spark.conf.set(noDataKey, _))
     }
   }
 
@@ -155,7 +168,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s1_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = StreamingSummary.transFiveMinStream(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -260,7 +273,7 @@ object StreamingQueries {
       .dedupStream(stream, Seq("event_id"), "trade_time")
       .drop("event_id")
     val name = freshMemorySink(spark, "graft_s3_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = StreamingSummary.transFiveMinStream(deduped, watermark = "")
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -306,7 +319,7 @@ object StreamingQueries {
     val tStream = spark.readStream.schema(spark.read.parquet(tDir).schema).parquet(tDir)
     val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema).parquet(rDir)
     val name = freshMemorySink(spark, "graft_s4_")
-    withStateSizedShuffle(spark, Seq(tDir, rDir)) {
+    withStateSizedShuffle(spark, Seq(tDir, rDir), finalNoDataBatch = false) {
       val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -438,7 +451,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s7_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = stream.groupBy(col("lang"))
         .agg(graft.functions.AggFunctions.topk_pairs(
           col("n_chars"), col("doc_id"), 3).as("top"))
@@ -495,7 +508,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s9_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       // watermarks require TIMESTAMP (ltz); the session math is relative to
       // the event times themselves, so the ntz->ltz->ntz round trip under
       // the session's fixed UTC zone is value-preserving (same as s1/s4)
@@ -542,7 +555,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s10_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = stream
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
@@ -617,7 +630,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s12_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = stream
         .groupBy(col("source"))
         .agg(
@@ -658,7 +671,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s13_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = stream
         .withColumn("h", shiftrightunsigned(
           graft.functions.HashFunctions.md5_lo64(col("user_id").cast("string")), 1))
@@ -787,7 +800,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s15_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = stream
         .select(col("label").as("grp"), (col("vec_id") % 2 === 1).cast("int").as("in_b"),
           posexplode(col("embedding")).as(Seq("j", "x")))
@@ -912,7 +925,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s18_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s18StreamFrame(stream, plan)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -956,7 +969,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s19_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s19CounterFrame(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1007,7 +1020,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s20_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val toks = stream.filter(trim(col("text")) =!= "")
         .select(explode(split(trim(col("text")), " ")).as("item"))
       val q = s20CounterFrame(toks)
@@ -1058,7 +1071,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s21_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s21CensusFrame(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1111,7 +1124,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s22_")
-    withStateSizedShuffle(spark, Seq(inDir, refDir)) {
+    withStateSizedShuffle(spark, Seq(inDir, refDir), finalNoDataBatch = false) {
       val q = s22NoveltyFrame(stream, ref)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1175,7 +1188,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s23_")
-    withStateSizedShuffle(spark, Seq(inDir, modelDir)) {
+    withStateSizedShuffle(spark, Seq(inDir, modelDir), finalNoDataBatch = false) {
       val q = s23XentFrame(stream, pairs, ctxTotals, vocab)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1265,7 +1278,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s24_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s24BenfordFrame(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1324,7 +1337,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s25_")
-    withStateSizedShuffle(spark, Seq(inDir, thrDir)) {
+    withStateSizedShuffle(spark, Seq(inDir, thrDir), finalNoDataBatch = false) {
       val q = s25WinsorFrame(stream, thresholds)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1435,7 +1448,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s27_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s27CounterFrame(stream)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -1476,7 +1489,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).parquet(inDir)
     val name = freshMemorySink(spark, "graft_s28_")
-    withStateSizedShuffle(spark, Seq(inDir)) {
+    withStateSizedShuffle(spark, Seq(inDir), finalNoDataBatch = false) {
       val q = s28PitFrame(stream, scd)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
