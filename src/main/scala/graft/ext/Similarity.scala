@@ -846,10 +846,16 @@ object Similarity {
       .select(col("j"), lit(1.0 / d).as("v"))
     var lastNorm: DataFrame = null
     for (_ <- 1 to iters) {
+      // Pin each iterate: w is consumed TWICE per step (the norm aggregate
+      // and the normalized update), so an unpinned loop doubles the lazy
+      // plan every iteration — 2^iters copies of the matvec by the end
+      // (a ~1900-operator plan at iters = 3, pure planner burn). The pin is
+      // d rows — dimension-sized, corpus-independent.
       val w = cov.join(v.select(col("j").as("k"), col("v").as("vk")), "k")
         .groupBy("j")
         .agg(sum(round(col("c") * col("vk"), 12).cast(dec)).as("ws"))
         .select(col("j"), round(col("ws").cast("double"), 12).as("w"))
+        .localCheckpoint()
       lastNorm = w.agg(
         sqrt(sum(round(col("w") * col("w"), 12).cast(dec)).cast("double")).as("norm"))
       // a degenerate corpus (all vectors identical → zero covariance) gives

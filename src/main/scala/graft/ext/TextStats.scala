@@ -559,7 +559,12 @@ object TextStats {
     val slots = bigramSlots(docs, textCol, Seq(idCol))
     val pairC = slots.groupBy("ctx", "nxt").agg(count(lit(1)).as("cp"))
     val ctxC = pairC.groupBy("ctx").agg(sum(col("cp")).as("cc"))
-    val vocab = slots.select("nxt").distinct().count()
+    // vocabulary as a broadcast scalar INSIDE the one DAG, derived from
+    // pairC (distinct nxt of the pair table == distinct nxt of the slots,
+    // and pairC's exchange is already in the plan twice, so runtime
+    // exchange reuse makes this branch nearly free) — the previous eager
+    // .count() was a separate action that re-ran the whole explode pass
+    val vocabDf = pairC.select("nxt").distinct().agg(count(lit(1)).as("v"))
     val docPairs = slots.groupBy(col(idCol), col("ctx"), col("nxt"))
       .agg(count(lit(1)).as("m"))
     // the per-doc mean happens in exact integer MICRO-units with explicit
@@ -570,8 +575,9 @@ object TextStats {
     docPairs
       .join(pairC, Seq("ctx", "nxt"))
       .join(ctxC, Seq("ctx"))
+      .crossJoin(broadcast(vocabDf))
       .withColumn("t", round(log(
-        (col("cc") + lit(vocab)).cast("double")
+        (col("cc") + col("v")).cast("double")
           / (col("cp") + 1L).cast("double")), 6).cast(dec))
       .withColumn("tmicro", (col("t") * lit(1000000L)).cast("long"))
       .groupBy(col(idCol))

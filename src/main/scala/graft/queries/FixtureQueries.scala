@@ -1413,7 +1413,9 @@ object FixtureQueries {
       .groupBy("partkey").agg(sum(col("rev_cents")).as("rev"))
     val scanned = graft.ops.PrefixSum.exclusiveRunningTotalOrdered(
       rev, Seq(col("rev").desc, col("partkey").asc), "rev", outCol = "prior_rev")
-    val total = rev.agg(sum(col("rev")).as("total"))
+    // the grand total reads the PINNED scan output, not `rev` — aggregating
+    // rev again would re-run the full lineitem scan + aggregation
+    val total = scanned.agg(sum(col("rev")).as("total"))
     scanned.crossJoin(broadcast(total))
       .withColumn("cum_share",
         (col("prior_rev") + col("rev")).cast("double") / col("total").cast("double"))
@@ -1457,7 +1459,9 @@ object FixtureQueries {
     val scanned = graft.ops.PrefixSum.exclusiveRunningTotalOrdered(
       li, Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc),
       "one", outCol = "pos")
-    val n = li.agg(count(lit(1)).as("n"))
+    // row count from the PINNED scan output — counting `li` again would
+    // re-scan lineitem end to end
+    val n = scanned.agg(count(lit(1)).as("n"))
     scanned.crossJoin(broadcast(n))
       .withColumn("bucket", expr("pos * 16 div n"))
       .groupBy("bucket")
@@ -1781,15 +1785,19 @@ object FixtureQueries {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
-    val baskets = li.select(col("ok")).distinct().count()
+    // basket total as a broadcast scalar INSIDE the one DAG (the oracle's
+    // CROSS JOIN nb shape) — the previous eager .count() was a separate
+    // action that re-scanned lineitem end to end before the query even ran
+    val nb = li.select(col("ok")).distinct().agg(count(lit(1)).as("baskets"))
     basketPairs(spark, dir)
       .filter(col("co") >= 2)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
       .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
+      .crossJoin(broadcast(nb))
       .select(col("part_a"), col("part_b"), col("co").as("support"),
         round(col("co").cast("double") / col("na").cast("double"), 6).as("conf_ab"),
         round(col("co").cast("double") / col("nb").cast("double"), 6).as("conf_ba"),
-        round((col("co") * lit(baskets)).cast("double")
+        round((col("co") * col("baskets")).cast("double")
           / (col("na") * col("nb")).cast("double"), 6).as("lift"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(200)
