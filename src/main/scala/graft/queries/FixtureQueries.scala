@@ -1606,37 +1606,58 @@ object FixtureQueries {
     Tables.events(spark, dir).select(col("event_type"),
       (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
 
-  /** Per-type (median_cents, mad_cents) from the value histogram — the
-    * robust-center PLAN table (tiny: one row per event_type). */
-  private[queries] def madPlan(ev: DataFrame): DataFrame = {
-    // lower median via the cumulative histogram: the value at 0-based
-    // position (n-1) div 2 of the sorted multiset
-    def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame = {
-      val h = df.groupBy(col("event_type"), col(vcol)).agg(count(lit(1)).as("c"))
-      h.withColumn("hi", sum(col("c")).over(
-          Window.partitionBy("event_type").orderBy(vcol)))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
-        .filter(col("hi") - col("c") <= expr("(n - 1) div 2") &&
-          expr("(n - 1) div 2") < col("hi"))
-        .select(col("event_type"), col(vcol).as(out))
-    }
-    val med = lowerMedian(ev, "cents", "median_cents")
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("dev", abs(col("cents") - col("median_cents")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad_cents")
+  /** (event_type, cents, c) value histogram — q48/s18's single corpus pass:
+    * everything downstream (median, MAD, outlier counts) is arithmetic over
+    * this domain-bounded table (~|types| x |distinct cents| rows), so the
+    * events table is scanned exactly once however many trillion rows feed
+    * it. */
+  private[queries] def eventCentsHistogram(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+
+  /** Lower median from a (event_type, vcol, c) histogram: the value at
+    * 0-based position (n-1) div 2 of the sorted multiset. */
+  private def lowerMedianHist(h: DataFrame, vcol: String, out: String): DataFrame =
+    h.withColumn("hi", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy(vcol)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+      .filter(col("hi") - col("c") <= expr("(n - 1) div 2") &&
+        expr("(n - 1) div 2") < col("hi"))
+      .select(col("event_type"), col(vcol).as(out))
+
+  /** Per-type (median_cents, mad_cents) from a pinned value histogram. The
+    * deviation histogram is DERIVED from the value histogram (dev is a
+    * per-cents function once the median is known; counts re-key by sum) —
+    * no second pass over the events. */
+  private[queries] def madPlanFromHist(h: DataFrame): DataFrame = {
+    val med = lowerMedianHist(h, "cents", "median_cents")
+    val devH = h.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"),
+        abs(col("cents") - col("median_cents")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedianHist(devH, "dev", "mad_cents")
     med.join(mad, "event_type")
   }
 
+  /** Per-type (median_cents, mad_cents) from the value histogram — the
+    * robust-center PLAN table (tiny: one row per event_type). */
+  private[queries] def madPlan(ev: DataFrame): DataFrame =
+    madPlanFromHist(eventCentsHistogram(ev).localCheckpoint())
+
   def q48MadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventCents(spark, dir)
-    val plan = madPlan(ev)
-    ev.join(broadcast(plan), "event_type")
+    // one corpus pass: the histogram subtree feeds the plan AND the outlier
+    // census (outliers re-key histogram counts, never re-scan events); all
+    // three consumers share one identical aggregation exchange inside one
+    // action, so runtime exchange reuse computes the events scan once —
+    // no pin needed
+    val h = eventCentsHistogram(eventCents(spark, dir))
+    val plan = madPlanFromHist(h)
+    h.join(broadcast(plan), "event_type")
       .withColumn("dev", abs(col("cents") - col("median_cents")))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(sum(col("c")).as("n_rows"),
         min(col("median_cents")).as("median_cents"),
         min(col("mad_cents")).as("mad_cents"),
-        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+        sum(when(col("dev") > lit(3) * col("mad_cents"), col("c")).otherwise(0L))
           .as("n_outliers"))
   }
 
