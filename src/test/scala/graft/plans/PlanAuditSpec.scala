@@ -528,8 +528,15 @@ class PlanAuditSpec extends AnyFunSuite {
   test("bigram xent: explode + model equi-joins, never doc x doc (x95)") {
     val p = plan("x95_bigram_xent")
     assert(p.contains("Generate"), s"bigram slots come from one explode pass:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"scoring joins doc-bigrams to the model on the bigram KEY — equi only:\n$p")
+    // The one permitted non-equi join is the 1-row vocabulary scalar
+    // broadcast onto the scored rows (folding the former eager .count()
+    // into the DAG saved a full explode pass); anything beyond that single
+    // BuildRight scalar cross means a corpus-sized side leaked in.
+    assert(!p.contains("CartesianProduct") &&
+        count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"scoring joins doc-bigrams to the model on the bigram KEY:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"model re-attach (pair + ctx totals) must stay equi-broadcast:\n$p")
     assert(!p.contains("Window"), s"nothing here justifies a window:\n$p")
   }
 
