@@ -1551,22 +1551,40 @@ object FixtureQueries {
   // sort materializes); cosine is two correctly-rounded IEEE ops on exact
   // integers, bitwise on any engine.
   // ---------------------------------------------------------------------------
+  /** One row per basket: (ok, ps = set of distinct partkeys). The shared
+    * first shuffle of the whole co-purchase family — collect_set dedupes
+    * exactly like the former DISTINCT projection, map-side-partially, in
+    * ONE orderkey-keyed exchange. Baskets are bounded (TPC-H caps at 7
+    * lines/order; a retail basket is O(10)), so the arrays are tiny at any
+    * corpus size. */
+  private[queries] def basketSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+
   /** (part_a, part_b, co-order count) with a<b — the co-purchase edge set
-    * shared by q47 (similarity) and q49 (communities). Pair generation is
-    * per-basket, bounded by basket size. */
-  private[queries] def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    * shared by q47 (similarity) and q49 (communities). Pairs are generated
+    * LOCALLY inside each basket row (a higher-order transform over the
+    * bounded set — order-invariant, since it emits every x<y combination
+    * regardless of array layout), replacing the former ok-keyed self-join:
+    * the distinct exchange and both join exchanges collapse into the one
+    * basketSets aggregation, leaving exactly two shuffles end to end
+    * (orderkey agg, pair agg). */
+  private[queries] def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketSets(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  x -> transform(filter(ps, y -> y > x),
+          |       y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("co"))
-  }
 
   def q47CoPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    // per-part basket counts from the SAME basketSets subtree as the pair
+    // table — runtime exchange reuse serves both from one orderkey shuffle
+    // (the former shape paid a second lineitem scan + distinct + pk shuffle)
+    val counts = basketSets(spark, dir)
+      .select(explode(col("ps")).as("pk")).groupBy("pk").agg(count(lit(1)).as("n"))
     basketPairs(spark, dir)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
       .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
@@ -1803,13 +1821,15 @@ object FixtureQueries {
   // tiebreaks cuts via TakeOrderedAndProject, no global sort materializes.
   // ---------------------------------------------------------------------------
   def q51AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    // both side tables ride the basketSets exchange that basketPairs
+    // already pays: per-part counts via one local explode, the basket
+    // total as a row count of the set table (== count(DISTINCT ok))
+    val counts = basketSets(spark, dir)
+      .select(explode(col("ps")).as("pk")).groupBy("pk").agg(count(lit(1)).as("n"))
     // basket total as a broadcast scalar INSIDE the one DAG (the oracle's
     // CROSS JOIN nb shape) — the previous eager .count() was a separate
     // action that re-scanned lineitem end to end before the query even ran
-    val nb = li.select(col("ok")).distinct().agg(count(lit(1)).as("baskets"))
+    val nb = basketSets(spark, dir).agg(count(lit(1)).as("baskets"))
     basketPairs(spark, dir)
       .filter(col("co") >= 2)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
