@@ -280,23 +280,36 @@ object Cluster {
     * pure integers — bitwise on any engine; an oracle unrolls the rounds.
     *
     * `edges`: (src, dst); `seeds`: (node). Returns (node, dist) for every
-    * node within `maxHops` of a seed (seeds themselves at 0). */
-  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    * node within `maxHops` of a seed (seeds themselves at 0).
+    *
+    * `symmetrize = true` treats `edges` as UNDIRECTED pairs: the staged
+    * parquet holds each pair once and the reverse direction is derived by
+    * swapping columns on the cheap staged scan. Callers with undirected
+    * semantics should prefer this over pre-unioning, which would (a) double
+    * the staged write volume and (b) run the edge-derivation pipeline's
+    * final aggregation once per union branch (exchange reuse dedupes only
+    * the partial-agg exchange below it). */
+  def khopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      symmetrize: Boolean = false): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     // The edge set is re-joined EVERY round; without a materialization the
-    // whole edge-derivation pipeline (for q52: the basket self-join) re-runs
-    // once per hop. Stage it to parquet through the same scratch seam as the
-    // LPA loop — columnar two-long rows off heap, each round re-scans a
-    // fresh source, and the iterative-reuse shape survives any edge count
-    // (the on-heap localCheckpoint alternative is exactly what thrashed the
-    // LPA loop at 10x sf1). The returned frame is localCheckpoint-pinned by
-    // the last round, so nothing lazily depends on the scratch dir.
+    // whole edge-derivation pipeline (for q52: the per-basket pair fan-out)
+    // re-runs once per hop. Stage it to parquet through the same scratch
+    // seam as the LPA loop — columnar two-long rows off heap, each round
+    // re-scans a fresh source, and the iterative-reuse shape survives any
+    // edge count (the on-heap localCheckpoint alternative is exactly what
+    // thrashed the LPA loop at 10x sf1). The returned frame is
+    // localCheckpoint-pinned by the last round, so nothing lazily depends
+    // on the scratch dir.
     val spark = edges.sparkSession
     graft.queries.Staging.withScratch(spark, "khop") { scratch =>
       val ePath = s"$scratch/edges"
       edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
         .write.mode("overwrite").parquet(ePath)
-      val e = spark.read.parquet(ePath)
+      val staged = spark.read.parquet(ePath)
+      val e = if (symmetrize)
+        staged.union(staged.select(col("dst").as("src"), col("src").as("dst")))
+      else staged
       var dist = seeds.select(col("node").cast("long").as("node"))
         .distinct().withColumn("dist", lit(0)).localCheckpoint()
       for (h <- 1 to maxHops) {
@@ -399,10 +412,16 @@ object Cluster {
     // localCheckpoint, so the returned frame has no lineage into it.
     val spark = edges.sparkSession
     graft.queries.Staging.withScratch(spark, "lpa") { scratch =>
-      val symPath = s"$scratch/sym"
-      e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
-        .write.mode("overwrite").parquet(symPath)
-      val sym = spark.read.parquet(symPath)
+      // Stage the DIRECTED pairs and derive the reverse direction from the
+      // staged scan: half the write volume, and the (possibly expensive)
+      // edge pipeline runs once instead of once per union branch — exchange
+      // reuse only dedupes the partial-agg exchange, so a pre-union would
+      // still pay the final pair aggregation twice. Per-iteration cost is
+      // two cheap columnar scans of |E| instead of one of 2|E|.
+      val ePath = s"$scratch/edges"
+      e.write.mode("overwrite").parquet(ePath)
+      val d = spark.read.parquet(ePath)
+      val sym = d.union(d.select(col("v").as("u"), col("u").as("v"), col("w")))
       val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
       var labels = nodes.select(col("node"), col("node").as("label"))
       for (_ <- 1 to iters) {

@@ -1873,12 +1873,14 @@ object FixtureQueries {
   // set); lineage cut per round like the LPA loop. Pure integers — bitwise.
   // ---------------------------------------------------------------------------
   def q52KHop(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = basketPairs(spark, dir).select(col("part_a"), col("part_b"))
-    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-      .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+    // hand khop the DIRECTED pair list and let it symmetrize from its own
+    // staged scan — pre-unioning here would double the scratch write and
+    // re-run the pair aggregation once per union branch
+    val edges = basketPairs(spark, dir)
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
     val seeds = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
       .select(col("p_partkey").as("node"))
-    graft.ext.Cluster.khopDistances(edges, seeds, maxHops = 3)
+    graft.ext.Cluster.khopDistances(edges, seeds, maxHops = 3, symmetrize = true)
       .select(col("node").as("part"), col("dist").as("hops"))
   }
 

@@ -318,6 +318,12 @@ class CorpusSpec extends AnyFunSuite {
     val two = Cluster.khopDistances(edges.repartition(7), Seq(1L, 5L).toDF("node"), maxHops = 2)
       .as[(Long, Int)].collect().toMap
     assert(two == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // symmetrize: directed pairs staged once, reverse derived from the
+    // staged scan — must equal the pre-unioned undirected run exactly
+    val sym = Cluster.khopDistances(pairs.toDF("src", "dst"), seeds,
+        maxHops = 3, symmetrize = true)
+      .as[(Long, Int)].collect().toMap
+    assert(sym == got, s"symmetrize=true must match pre-unioned edges: $sym")
   }
 
   test("seededShuffle: bijective positions, shard math, layout-invariant, sf1-scale ids safe") {
