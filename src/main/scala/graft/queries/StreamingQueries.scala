@@ -22,7 +22,8 @@ object StreamingQueries {
     * On a real cluster this is sized up with state volume; the session value
     * is restored afterwards either way. */
   private def withStateSizedShuffle[T](spark: SparkSession,
-      stagedDirs: Seq[String] = Nil, finalNoDataBatch: Boolean = true)(body: => T): T = {
+      stagedDirs: Seq[String] = Nil, finalNoDataBatch: Boolean = true,
+      stateWeight: Int = 1)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val storeKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
@@ -35,13 +36,25 @@ object StreamingQueries {
     // parallelizes across stores and per-store compactions shrink, so
     // under-partitioning state is a real regression at scale, exactly like
     // under-partitioning a shuffle. SPARK_GRAFT_STREAM_PARTS overrides.
+    //
+    // `stateWeight` scales the MiB proxy for operators whose state WORK per
+    // input byte is a multiple of an aggregation's: a stream-stream join
+    // buffers BOTH full inputs (4 stores per partition) and updates state on
+    // every row, so its update task-time per staged MiB is ~an order above
+    // a windowed sum's. Measured on the interval join at sf0.1 (2.2 MiB
+    // staged): 8 parts = 4.24 s, 16 = 3.79 s, 24 = 5.43 s, 32 = 11.2 s —
+    // weight 8 lands it at the measured optimum while the aggregations
+    // (which measured BEST at the 8 floor: six-query sweep 13.9 s at 8 vs
+    // 15.2 s at 16) keep weight 1. At production state volumes the MiB
+    // term saturates the core cap either way, so the weight only shapes
+    // the small end.
     val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
       val bytes = stagedDirs.map { d =>
         val f = new java.io.File(d)
         if (f.isDirectory) f.listFiles().map(_.length).sum else f.length
       }.sum
       val cores = spark.sparkContext.defaultParallelism
-      math.max(8, math.min(cores, (bytes >> 20).toInt))
+      math.max(8, math.min(cores, (stateWeight * (bytes >> 20)).toInt))
     }
     spark.conf.set(key, parts.toString)
     // RocksDB is the default state store: the in-memory HDFS-backed provider
@@ -319,7 +332,8 @@ object StreamingQueries {
     val tStream = spark.readStream.schema(spark.read.parquet(tDir).schema).parquet(tDir)
     val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema).parquet(rDir)
     val name = freshMemorySink(spark, "graft_s4_")
-    withStateSizedShuffle(spark, Seq(tDir, rDir), finalNoDataBatch = false) {
+    withStateSizedShuffle(spark, Seq(tDir, rDir), finalNoDataBatch = false,
+        stateWeight = 8) {
       val q = StreamingSummary.transNearRoundsStream(tStream, rStream)
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
