@@ -233,7 +233,8 @@ object Similarity {
     * (localCheckpoint) so the k-step lineage stays flat. */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, poolK: Int, k: Int,
       lambdaRel: Double, lambdaDiv: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      driverPoolLimit: Long = 100000L): DataFrame = {
     require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
     val wPool = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("cand_id").asc)
@@ -253,6 +254,24 @@ object Similarity {
       .select(col("query_id"), col("a"), col("b"),
         round(cosine_sim(col("va"), col("vb")), 6).as("sim"))
       .localCheckpoint()
+    // Scale-adaptive gate, the componentLabels discipline: the greedy loop
+    // consumes only the poolK-bounded pool and poolK^2-bounded pair table —
+    // when those fit comfortably on the driver, k sequential Spark jobs
+    // (each a join+window+checkpoint over a few dozen rows per query) are
+    // pure scheduler overhead. Collect once, replay the IDENTICAL
+    // arithmetic (rel/sim arrive pre-rounded from the distributed plan; the
+    // only driver ops are the same two IEEE multiplies, one subtract, and
+    // the same HALF_UP 6dp round Spark's Round applies), emit the same
+    // rows. Above the gate — or for non-integral ids, whose driver-side
+    // ordering could diverge from Catalyst's — the distributed loop below
+    // is unchanged.
+    val integralIds = {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val t = pool.schema("cand_id").dataType
+      t == LongType || t == IntegerType
+    }
+    if (integralIds && pool.count() <= driverPoolLimit)
+      return mmrGreedyDriver(pool, pairs, k, lambdaRel, lambdaDiv)
     val wPick = Window.partitionBy(col("query_id"))
       .orderBy(col("mmr_score").desc, col("cand_id").asc)
     var result = pool
@@ -274,6 +293,74 @@ object Similarity {
       result = result.unionByName(pick).localCheckpoint()
     }
     result
+  }
+
+  /** Driver-side replay of [[mmrRerank]]'s greedy loop for gate-sized
+    * pools. Bitwise-identical to the distributed loop by construction:
+    * rel and sim are collected ALREADY 6dp-rounded, the step score is the
+    * same `lambdaRel * rel - lambdaDiv * maxSim` (two IEEE multiplies, one
+    * subtract, same literal lambdas) through the same HALF_UP 6dp round
+    * Catalyst's Round applies to doubles, and the argmax order
+    * (mmr_score DESC, cand_id ASC) matches the window spec — a total order
+    * over integral ids, so ties resolve identically. */
+  private def mmrGreedyDriver(pool: DataFrame, pairs: DataFrame, k: Int,
+      lambdaRel: Double, lambdaDiv: Double): DataFrame = {
+    val spark = pool.sparkSession
+    def idOf(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => sys.error(s"gated ids must be integral, got $other")
+    }
+    // Spark's Round on DoubleType: BigDecimal.valueOf -> setScale HALF_UP
+    def r6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val poolRows = pool.collect()
+    val simMap = new java.util.HashMap[(Any, Long, Long), Double]()
+    pairs.collect().foreach { r =>
+      simMap.put((r.get(0), idOf(r.get(1)), idOf(r.get(2))), r.getDouble(3))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    poolRows.groupBy(_.get(0)).foreach { case (q, rows) =>
+      val cands = rows.map(r => (r.get(1), idOf(r.get(1)), r.getDouble(2)))
+        .sortBy { case (_, key, rel) => (-rel, key) }
+      val picked = new scala.collection.mutable.ArrayBuffer[Long]()
+      val first = cands.head
+      out += org.apache.spark.sql.Row(q, first._1, first._3, first._3, 1)
+      picked += first._2
+      for (step <- 2 to k) {
+        var best: (Any, Long, Double, Double) = null
+        cands.foreach { case (id, key, rel) =>
+          if (!picked.contains(key)) {
+            var maxSim = Double.NegativeInfinity
+            picked.foreach { b =>
+              val s = simMap.get((q, key, b))
+              if (s > maxSim) maxSim = s
+            }
+            val score = r6(lambdaRel * rel - lambdaDiv * maxSim)
+            if (best == null || score > best._4 || (score == best._4 && key < best._2))
+              best = (id, key, rel, score)
+          }
+        }
+        if (best != null) {
+          out += org.apache.spark.sql.Row(q, best._1, best._3, best._4, step)
+          picked += best._2
+        }
+      }
+    }
+    val idType = pool.schema("query_id").dataType
+    val candType = pool.schema("cand_id").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", idType),
+      org.apache.spark.sql.types.StructField("cand_id", candType),
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** Embedding-distribution drift between two corpus slices: per group

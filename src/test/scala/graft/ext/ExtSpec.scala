@@ -811,6 +811,24 @@ class ExtSpec extends AnyFunSuite {
     mmr.unpersist()
   }
 
+  test("mmrRerank: gated driver greedy is bitwise-identical to the distributed loop") {
+    // the gate replays the loop driver-side for pool-bounded inputs; a
+    // driverPoolLimit of -1 forces the distributed path on the same input —
+    // every pick, score and rank must match exactly (same rounds, same
+    // argmax ties)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(limit: Long) =
+      Similarity.mmrRerank(emb, queries, poolK = 8, k = 5,
+          lambdaRel = 0.7, lambdaDiv = 0.3, driverPoolLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getInt(4))).sortBy(t => (t._1, t._5))
+    val gated = rows(100000L)
+    val dist = rows(-1L)
+    assert(gated.length === 5 * 5)
+    assert(gated.sameElements(dist),
+      s"gated vs distributed drift:\n${gated.mkString("\n")}\nvs\n${dist.mkString("\n")}")
+  }
+
   test("hybridRrf: fused ranking is consistent with its two legs") {
     val fused = Retrieval.hybridRrf(docs, emb,
       Seq("table", "query", "stream", "window"), queryVecId = 0L, k = 10).collect()
