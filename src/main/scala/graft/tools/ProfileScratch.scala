@@ -13,49 +13,41 @@ object ProfileScratch {
       println(f"[profile] $tag%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
-    // warm
-    graft.Tables.customer(spark, dir).count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    graft.Tables.embeddings(spark, dir).count() // warm
 
-    val ents = graft.ops.Par.fanOut(graft.Tables.customer(spark, dir))
-      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
-    val g1 = ents.groupBy("name").agg(count(lit(1)).as("m"), min(col("id")).as("m1")).localCheckpoint()
-    val names = g1.select("name")
+    time("x59 full warm1")(noop(graft.queries.ExtensionQueries.x59MmrRerank(spark, dir)))
+    time("x59 full warm2")(noop(graft.queries.ExtensionQueries.x59MmrRerank(spark, dir)))
 
-    def oldNbr() = {
-      val variants = names
-        .select(col("name"), explode(sequence(lit(0), length(col("name")))).as("i"))
-        .select(col("name"),
-          when(col("i") === 0, col("name"))
-            .otherwise(concat(
-              col("name").substr(lit(1), col("i") - 1),
-              col("name").substr(col("i") + 1, length(col("name")))))
-            .as("variant"))
-        .distinct()
-      variants.select(col("variant"), col("name").as("name_a"))
-        .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
-        .filter(col("name_a") < col("name_b"))
-        .select("name_a", "name_b").distinct()
-        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    // x59 pieces
+    val emb = graft.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+    val scored = time("cosineScores+pool") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("cand_id").asc)
+      val p = graft.ext.Similarity.cosineScores(emb, queries)
+        .withColumn("rel", round(col("cosine"), 6))
+        .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rel"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12).drop("rn")
+        .localCheckpoint()
+      println("[profile] pool rows = " + p.count()); p
     }
-    def newNbr() = {
-      val dv = expr(
-        """transform(sequence(0, length(name)),
-          |  i -> CASE WHEN i = 0 THEN name
-          |       ELSE concat(substring(name, 1, i - 1),
-          |                   substring(name, i + 1, length(name))) END)""".stripMargin)
-      val variants = names.select(col("name"), explode(array_distinct(dv)).as("variant"))
-      variants.select(col("variant"), col("name").as("name_a"))
-        .join(variants.select(col("variant"), col("name").as("name_b")), Seq("variant"))
-        .filter(col("name_a") < col("name_b") &&
-          levenshtein(col("name_a"), col("name_b")) === 1)
-        .select("name_a", "name_b").distinct()
-    }
-    time("old nbr x2a")(oldNbr().count()); time("old nbr x2b")(oldNbr().count())
-    time("new nbr x2a")(newNbr().count()); time("new nbr x2b")(newNbr().count())
-    println("===== old plan ====="); oldNbr().explain("formatted")
-    println("===== new plan ====="); newNbr().explain("formatted")
-    time("x110 warm1")(graft.queries.ExtensionQueries.x110FuzzySummary(spark, dir).count())
-    time("x110 warm2")(graft.queries.ExtensionQueries.x110FuzzySummary(spark, dir).count())
+
+    time("x54 full warm1")(noop(graft.queries.ExtensionQueries.x54KmeansRefine(spark, dir)))
+    time("x54 full warm2")(noop(graft.queries.ExtensionQueries.x54KmeansRefine(spark, dir)))
+    time("x57 full warm1")(noop(graft.queries.ExtensionQueries.x57Curriculum(spark, dir)))
+    time("x57 full warm2")(noop(graft.queries.ExtensionQueries.x57Curriculum(spark, dir)))
+
+    // x57 pieces
+    val docs = graft.Tables.documents(spark, dir)
+    val q = graft.ext.TextStats.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+    time("x57 quality alone")(noop(q))
+
+    // x94 pieces
+    time("x94 full warm1")(noop(graft.queries.ExtensionQueries.x94EntropyRate(spark, dir)))
+    time("x94 full warm2")(noop(graft.queries.ExtensionQueries.x94EntropyRate(spark, dir)))
     spark.stop()
   }
 }
