@@ -30,6 +30,7 @@ object PrefixSum {
   def exclusiveRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String = "running_total", numPartitions: Int = 0): DataFrame = {
     val spark: SparkSession = df.sparkSession
+    import spark.implicits._
     val p = if (numPartitions > 0) numPartitions
             else spark.sparkContext.defaultParallelism
     val sorted = df
@@ -42,11 +43,7 @@ object PrefixSum {
       .groupBy(spark_partition_id().as("_pid"))
       .agg(sum(col(valueCol)).as("_s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // the in-order pass stays on InternalRow (queryExecution.toRdd — no
-    // per-row conversion to external tuples and back through the encoder;
-    // both columns are primitive longs, extracted before the buffer reuse)
-    val internal = org.apache.spark.sql.GraftPlanBridge.internalRows(sorted)
-    val nParts = internal.getNumPartitions
+    val nParts = sorted.rdd.getNumPartitions
     val offsets = new Array[Long](nParts)
     var acc = 0L
     for (i <- 0 until nParts) {
@@ -59,23 +56,12 @@ object PrefixSum {
     // must be the range partition's own id. A downstream coalesce() pipelines
     // several range partitions into one task, where TaskContext would return
     // the coalesced id (0) for all of them and zero out every offset.
-    val scanned = internal.mapPartitionsWithIndex { (pid, it) =>
-      var run = bc.value(pid)
-      it.map { row =>
-        val k = row.getLong(0); val v = row.getLong(1)
-        val r = run; run += v
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](k, v, r)): org.apache.spark.sql.catalyst.InternalRow
+    val scanned = sorted.as[(Long, Long)].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var run = bc.value(pid)
+        it.map { case (k, v) => val r = run; run += v; (k, v, r) }
       }
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(orderCol,
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(valueCol,
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(outCol,
-        org.apache.spark.sql.types.LongType)))
-    org.apache.spark.sql.GraftPlanBridge.ofInternalRows(spark, scanned, schema)
+    spark.createDataset(scanned).toDF(orderCol, valueCol, outCol)
   }
 
   /** [[exclusiveRunningTotal]] generalized to an arbitrary total order:
@@ -98,8 +84,7 @@ object PrefixSum {
       .groupBy(spark_partition_id().as("_pid"))
       .agg(sum(col(valueCol)).as("_s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val internal = org.apache.spark.sql.GraftPlanBridge.internalRows(sorted)
-    val nParts = internal.getNumPartitions
+    val nParts = sorted.rdd.getNumPartitions
     val offsets = new Array[Long](nParts)
     var acc = 0L
     for (i <- 0 until nParts) {
@@ -109,21 +94,14 @@ object PrefixSum {
     val bc = spark.sparkContext.broadcast(offsets)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val outSchema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType)
-    // InternalRow pass-through: the input row is copied (UnsafeRow buffers
-    // are reused across next() calls) and the running total appended via a
-    // JoinedRow — no conversion of arbitrary caller columns to external
-    // objects and back
-    val scanned = internal.mapPartitionsWithIndex { (pid, it) =>
+    val scanned = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value(pid)
       it.map { row =>
         val r = run
         run += row.getLong(vIdx)
-        val tail = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](r))
-        new org.apache.spark.sql.catalyst.expressions.JoinedRow(row.copy(), tail):
-          org.apache.spark.sql.catalyst.InternalRow
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
       }
     }
-    org.apache.spark.sql.GraftPlanBridge.ofInternalRows(spark, scanned, outSchema)
+    spark.createDataFrame(scanned, outSchema)
   }
 }

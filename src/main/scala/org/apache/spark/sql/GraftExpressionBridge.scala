@@ -31,18 +31,4 @@ object GraftPlanBridge {
     if (!exp.extraOptimizations.contains(rule))
       exp.extraOptimizations = exp.extraOptimizations :+ rule
   }
-
-  /** The query's InternalRow RDD (`queryExecution.toRdd`) — the columnar
-    * pipeline's own binary rows, with NO conversion to external objects.
-    * Rows may be reused buffers: copy (or extract primitives) before
-    * holding one past `next()`. */
-  def internalRows(df: DataFrame): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
-    df.queryExecution.toRdd
-
-  /** DataFrame over an InternalRow RDD (`internalCreateDataFrame`) — the
-    * inverse seam, skipping the external-Row encoder entirely. */
-  def ofInternalRows(spark: SparkSession,
-      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
-      schema: types.StructType): DataFrame =
-    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
