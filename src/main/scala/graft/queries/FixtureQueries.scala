@@ -1563,13 +1563,24 @@ object FixtureQueries {
       .agg(collect_set(col("l_partkey")).as("ps"))
 
   /** (part_a, part_b, co-order count) with a<b — the co-purchase edge set
-    * shared by q47 (similarity) and q49 (communities). Pairs are generated
-    * LOCALLY inside each basket row (a higher-order transform over the
-    * bounded set — order-invariant, since it emits every x<y combination
-    * regardless of array layout), replacing the former ok-keyed self-join:
-    * the distinct exchange and both join exchanges collapse into the one
-    * basketSets aggregation, leaving exactly two shuffles end to end
-    * (orderkey agg, pair agg). */
+    * consumed PAIRS-ONLY by the graph loops (q49 communities, q52 khop).
+    * Pairs are generated LOCALLY inside each basket row (a higher-order
+    * transform over the bounded set — order-invariant, since it emits every
+    * x<y combination regardless of array layout), replacing the former
+    * ok-keyed self-join: two shuffles end to end (orderkey agg, pair agg).
+    *
+    * q47/q51 deliberately do NOT use this shape: they also need per-part
+    * basket counts, and deriving those from basketSets pays the collect_set
+    * MERGE aggregation twice (the counts branch carries an optimizer-
+    * inferred size(ps)>0 filter the pair branch lacks, so the subtrees stop
+    * canonicalizing equal and exchange reuse cannot collapse them — and
+    * ObjectHashAggregate's tiny sort-fallback threshold makes each merge
+    * expensive at |orders| groups). Measured at sf1: q47 on this shape
+    * 6.4 s vs 2.2 s on the distinct-self-join below — a local-only "win"
+    * that regresses 3x at 10x data, exactly the class this round excludes.
+    * The graph consumers have no counts side, so for them the collapse to
+    * two shuffles is a pure win at both SFs (q49 4.26 -> 3.88 isolated at
+    * sf0.1, flat at sf1; q52 better at both). */
   private[queries] def basketPairs(spark: SparkSession, dir: String): DataFrame =
     basketSets(spark, dir)
       .select(explode(expr(
@@ -1579,13 +1590,21 @@ object FixtureQueries {
       .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("co"))
 
+  /** The distinct-(ok, pk) projection + ok-keyed self-join pair derivation —
+    * the shape for consumers that ALSO aggregate per-part counts from the
+    * same distinct projection: one distinct exchange feeds the join's both
+    * sides and the counts aggregation through runtime exchange reuse. */
+  private def basketPairsViaJoin(li: DataFrame): DataFrame =
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("co"))
+
   def q47CoPurchase(spark: SparkSession, dir: String): DataFrame = {
-    // per-part basket counts from the SAME basketSets subtree as the pair
-    // table — runtime exchange reuse serves both from one orderkey shuffle
-    // (the former shape paid a second lineitem scan + distinct + pk shuffle)
-    val counts = basketSets(spark, dir)
-      .select(explode(col("ps")).as("pk")).groupBy("pk").agg(count(lit(1)).as("n"))
-    basketPairs(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    basketPairsViaJoin(li)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
       .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
       .select(col("part_a"), col("part_b"), col("co"),
@@ -1821,16 +1840,18 @@ object FixtureQueries {
   // tiebreaks cuts via TakeOrderedAndProject, no global sort materializes.
   // ---------------------------------------------------------------------------
   def q51AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    // both side tables ride the basketSets exchange that basketPairs
-    // already pays: per-part counts via one local explode, the basket
-    // total as a row count of the set table (== count(DISTINCT ok))
-    val counts = basketSets(spark, dir)
-      .select(explode(col("ps")).as("pk")).groupBy("pk").agg(count(lit(1)).as("n"))
+    // the distinct-projection shape, NOT basketSets: q51's counts and
+    // basket-total sides reuse the one distinct exchange (see the
+    // basketPairs scaladoc for the measured sf1 regression the collect_set
+    // derivation pays when a counts side exists)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val counts = li.groupBy("pk").agg(count(lit(1)).as("n"))
     // basket total as a broadcast scalar INSIDE the one DAG (the oracle's
     // CROSS JOIN nb shape) — the previous eager .count() was a separate
     // action that re-scanned lineitem end to end before the query even ran
-    val nb = basketSets(spark, dir).agg(count(lit(1)).as("baskets"))
-    basketPairs(spark, dir)
+    val nb = li.select(col("ok")).distinct().agg(count(lit(1)).as("baskets"))
+    basketPairsViaJoin(li)
       .filter(col("co") >= 2)
       .join(counts.select(col("pk").as("part_a"), col("n").as("na")), "part_a")
       .join(counts.select(col("pk").as("part_b"), col("n").as("nb")), "part_b")
